@@ -1,0 +1,206 @@
+"""Deterministic rule-based triple extraction (the batch stand-in for the
+reference's LLM extraction chain).
+
+The reference extracts (subj, pred, obj) triples from refined report
+text with an LLM under a strict prompt contract
+(src/ai/prompt.py:44-127 + structured output
+src/ai/output_format.py:25-30); ``LLMGraphTransformer`` runs per chunk
+(src/ai/ai_agent.py:243-247). In a sealed batch engine the extractor
+must be deterministic per (url, chunk) — Ray task retries re-execute
+lineage, and the north rule demands a reproducible triple set — so we
+implement the prompt contract as an explicit grammar:
+
+1. sentence split on ``[.!?]`` + whitespace;
+2. V4 speculation filter (prompt.py:92-95);
+3. V5 atomic clause split on ``; / and then / then / and``
+   (prompt.py:96-99);
+4. one master verb-alternation regex per clause → (subj, verb-surface,
+   obj); clauses without a whitelist verb surface are background and are
+   dropped (prompt.py:92-95 EXCLUDE);
+5. V1 surface→verb normalization (verbs.SURFACE_TO_VERB);
+6. V2 download atomization — a download-like clause emits
+   ``http_request|network_request endpoint`` **plus** ``create
+   basename(endpoint)`` (or ``inject → in memory`` when the sentence has
+   a fileless marker) (prompt.py:83-99);
+7. V3 generic-actor flagging — resolution to the document's first named
+   actor happens in a per-url groupby stage
+   (stages/triples.py), since chunks of one document may be in
+   different batches.
+
+All heavy steps are pandas/str-vectorized over exploded clause frames;
+no per-row Python in the scan path except the final object cleanup maps.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import re
+
+import numpy as np
+import pandas as pd
+
+from . import verbs as V
+
+# Verb alternation, longest-first so e.g. "network_connect" beats "connect".
+_ALL_SURFACES = sorted(
+    set(V.SURFACE_TO_VERB) | set(V.DOWNLOAD_SURFACES), key=len, reverse=True
+)
+_VERB_ALT = "|".join(re.escape(s) for s in _ALL_SURFACES)
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+|\n+")  # newline = hard boundary
+_CLAUSE_SPLIT = re.compile(r"\s*(?:;|,?\s+and\s+then\s+|,?\s+then\s+|,?\s+and\s+)\s*")
+_SPECULATION = re.compile(V.SPECULATION_RE)
+_MASTER = re.compile(
+    rf"^(?P<subj>.+?)\s+(?P<surface>{_VERB_ALT})\b"
+    rf"(?:\s+(?:to|from|into|at|via|with|on)\b)?\s+(?P<obj>.+)$"
+)
+# V5 produces subject-elided clauses ("… and then persists via X"); the
+# prompt contract resolves ellipsis to the running actor (prompt.py:66).
+_NOSUBJ = re.compile(
+    rf"^(?P<surface>{_VERB_ALT})\b"
+    rf"(?:\s+(?:to|from|into|at|via|with|on)\b)?\s+(?P<obj>.+)$"
+)
+_FILELESS = re.compile("|".join(re.escape(m) for m in V.FILELESS_MARKERS))
+_OBJ_TRIM = re.compile(r"""^["'`]+|["'`.,:)\]]+$""")
+_TYPE_RULES = [(re.compile(pat, re.I), t) for pat, t in V.TYPE_RULES]
+
+TRIPLE_COLUMNS = [
+    "doc_url", "chunk_id", "ord", "subj", "subj_is_generic",
+    "pred", "obj", "subj_type", "obj_type",
+]
+
+
+def _clean_obj(obj: str) -> str:
+    # context after an em/double dash is rationale, not object; the
+    # object itself is the first whitespace token (IoCs — URLs, paths,
+    # process names, registry keys — are space-free; trailing adverbials
+    # like "every 60 seconds" are rationale, prompt.py:108-112).
+    obj = obj.split(" — ")[0].split(" -- ")[0].strip()
+    obj = obj.split(" ", 1)[0] if obj else obj
+    return _OBJ_TRIM.sub("", obj)
+
+
+def _etype(value: str, default: str) -> str:
+    for rx, t in _TYPE_RULES:
+        if rx.search(value):
+            return t
+    return default
+
+
+def extract_triples(df: pd.DataFrame) -> pd.DataFrame:
+    """(url, chunk_id, text) rows → raw triple rows (TRIPLE_COLUMNS).
+
+    ``ord`` is a deterministic within-document order key
+    ``chunk_id * 10^6 + sentence_idx * 10^3 + clause_idx`` used for
+    first-named-actor resolution and last-writer tie-breaks.
+    """
+    if len(df) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=_DTYPES[c]) for c in TRIPLE_COLUMNS})
+
+    sents = df[["url", "chunk_id"]].copy()
+    sents["sent"] = df["text"].str.split(_SENT_SPLIT)
+    sents = sents.explode("sent", ignore_index=True)
+    sents["sent_idx"] = sents.groupby(["url", "chunk_id"]).cumcount()
+    sents = sents[sents["sent"].str.len() > 0]
+    # V4 speculation filter
+    sents = sents[~sents["sent"].str.contains(_SPECULATION, regex=True)]
+
+    cl = sents.copy()
+    cl["clause"] = cl["sent"].str.split(_CLAUSE_SPLIT)
+    cl = cl.explode("clause", ignore_index=True)
+    cl["clause_idx"] = cl.groupby(["url", "chunk_id", "sent_idx"]).cumcount()
+    cl = cl[cl["clause"].str.len() > 0]
+    if len(cl) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=_DTYPES[c]) for c in TRIPLE_COLUMNS})
+
+    m = cl["clause"].str.extract(_MASTER)
+    # second chance: subject-elided clauses inherit the running subject
+    nosubj = cl["clause"][m["surface"].isna()].str.extract(_NOSUBJ)
+    m.loc[nosubj.index, "surface"] = nosubj["surface"]
+    m.loc[nosubj.index, "obj"] = nosubj["obj"]
+    cl = cl.assign(subj=m["subj"], surface=m["surface"], obj=m["obj"])
+    cl = cl.dropna(subset=["surface"])
+    if len(cl) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=_DTYPES[c]) for c in TRIPLE_COLUMNS})
+
+    cl["subj"] = cl["subj"].str.strip()
+    # forward-fill elided subjects from the previous clause of the same
+    # sentence; still-unresolved ones are treated as generic ("it") and
+    # resolved at document level (resolve_generic_actors).
+    cl["subj"] = cl.groupby(["url", "chunk_id", "sent_idx"])["subj"].ffill()
+    elided = cl["subj"].isna()
+    cl.loc[elided, "subj"] = "it"
+    # subjects that still carry a leading article ("the xenorat implant"
+    # never appears in the grammar; "the malware" does) are matched
+    # against the generic table as-is, lowercased.
+    cl["subj_is_generic"] = cl["subj"].str.lower().isin(V.GENERIC_ACTORS)
+    cl["obj"] = cl["obj"].map(_clean_obj)
+    cl = cl[cl["obj"].str.len() > 0]
+    cl["ord"] = (
+        cl["chunk_id"].astype(np.int64) * 1_000_000
+        + cl["sent_idx"].astype(np.int64) * 1_000
+        + cl["clause_idx"].astype(np.int64)
+    )
+    cl["fileless"] = cl["sent"].str.contains(_FILELESS, regex=True)
+
+    is_dl = cl["surface"].isin(V.DOWNLOAD_SURFACES)
+    plain = cl[~is_dl].copy()
+    plain["pred"] = plain["surface"].map(V.SURFACE_TO_VERB)
+
+    dl = cl[is_dl]
+    parts = [plain[["url", "chunk_id", "ord", "subj", "subj_is_generic", "pred", "obj"]]]
+    if len(dl):
+        is_http = dl["obj"].str.match(r"https?://", case=False)
+        req = dl.assign(pred=np.where(is_http, "http_request", "network_request"))
+        parts.append(req[["url", "chunk_id", "ord", "subj", "subj_is_generic", "pred", "obj"]])
+        # second atom: create basename(endpoint) — or inject in memory
+        second = dl.copy()
+        second["pred"] = np.where(second["fileless"], "inject", "create")
+        second["obj"] = np.where(
+            second["fileless"],
+            "in memory",
+            second["obj"].map(_endpoint_basename),
+        )
+        second["ord"] = second["ord"] + 500  # orders after the request atom
+        second = second[second["obj"].str.len() > 0]
+        parts.append(second[["url", "chunk_id", "ord", "subj", "subj_is_generic", "pred", "obj"]])
+
+    out = pd.concat(parts, ignore_index=True)
+    out["subj_type"] = out["subj"].map(lambda s: _etype(s, "Process"))
+    out["obj_type"] = out["obj"].map(lambda s: _etype(s, "Entity"))
+    out = out.rename(columns={"url": "doc_url"})
+    return out[TRIPLE_COLUMNS].astype(_DTYPES)
+
+
+def _endpoint_basename(endpoint: str) -> str:
+    """Local filename implied by a download endpoint: the URL basename
+    (deterministic; prompt.py:83-91 requires a create <local path> atom
+    even when the report names no path)."""
+    path = endpoint.split("?", 1)[0].split("#", 1)[0]
+    if "://" in path:
+        path = path.split("://", 1)[1]
+    base = posixpath.basename(path.rstrip("/"))
+    return base
+
+
+_DTYPES = {
+    "doc_url": "object", "chunk_id": "int64", "ord": "int64",
+    "subj": "object", "subj_is_generic": "bool", "pred": "object",
+    "obj": "object", "subj_type": "object", "obj_type": "object",
+}
+
+
+def resolve_generic_actors(group: pd.DataFrame) -> pd.DataFrame:
+    """V3 actor resolution for one document (one ``doc_url`` group):
+    generic subjects become the document's FIRST named actor (min
+    ``ord``); documents with no named actor drop their generic rows
+    entirely (generic actors are banned, prompt.py:60-67)."""
+    named = group.loc[~group["subj_is_generic"]]
+    if named.empty:
+        return group.loc[~group["subj_is_generic"]]
+    first = named.loc[named["ord"].idxmin()]
+    out = group.copy()
+    mask = out["subj_is_generic"]
+    out.loc[mask, "subj"] = first["subj"]
+    out.loc[mask, "subj_type"] = first["subj_type"]
+    return out
