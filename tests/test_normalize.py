@@ -20,7 +20,7 @@ def test_defang_reversal():
 def test_edge_type_sanitizer_lucene_chars():
     col = pa.array(['net+work:con\\nect*', 'a  &&  b', 'plain'])
     out = N.sanitize_edge_type(col).to_pylist()
-    assert out == ["network connect", "a b", "plain"]
+    assert out == ["net work con nect", "a b", "plain"]
 
 
 def test_lowercase_text():
