@@ -176,6 +176,11 @@ def event_rows(i: int, seed: int = SEED) -> dict:
     hot = _mix(seed, i, 26) % 100 < 35
     pproc = "explorer.exe" if hot else f"proc_{user % 23}.exe"
     parent = f"{pproc}@PROCESS@LAUNCH@NOT_ACTOR"
+    r = _mix(seed, i, 34) % 100
+    if r < 2:
+        parent = "badparent@NOTATYPE@LAUNCH@NOT_ACTOR"  # whole event quarantined
+    elif r < 4:
+        parent = None  # provenance null but span id present → no parent sequence
     singleton = _mix(seed, i, 27) % 25 == 0
     trace = f"trace_{i}_solo" if singleton else f"trace_{user}_{_mix(seed, i, 28) % 4}"
     return {

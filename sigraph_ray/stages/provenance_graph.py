@@ -1,0 +1,484 @@
+"""The construction path: provenance events → graph tables (SURVEY.md §3.1).
+
+The reference ingests one event per HTTP POST and maintains graph state
+via per-event read-modify-write against Neo4j
+(src/graph/graph_element/element_behavior.py:260-521: ≥2 point reads +
+up to 8 MERGE writes per event). This module is the architectural
+inversion: the same get-or-create / merge semantics expressed as
+groupby-aggregate shuffles over the full event stream, producing the
+identical final graph in one resumable batch pass.
+
+Reproduced merge semantics (all deterministic under a defined event
+order ``ord = (timestamp, span_id)`` — the batch replacement for the
+reference's HTTP arrival order):
+
+- U1 node merge (element_behavior.py:316-347): per ``artifact`` key,
+  ``related_span_ids`` / ``related_trace_ids`` are append-if-absent in
+  first-seen order; ``image`` is the LAST non-null ``process_name`` in
+  event order (incoming non-null overwrites; incoming null keeps the
+  existing value, :339-340). Parent artifacts contribute existence +
+  label only (:402-408 creates a bare node).
+- U2 trace aggregate (element_behavior.py:350-381): ``start_time`` =
+  min timestamp; ``representative_process_name`` = process of the
+  min-``ord`` event (strictly-earlier update rule :368-371; ties beyond
+  the reference's arrival order are broken by span_id);
+  ``span_count`` = event count.
+- U3 edge merge (graph_client/client.py:213-232 ``MERGE … SET r +=``):
+  one edge per (src, type, dst); props (start_time, weight) from the
+  max-``ord`` (last-writer) event.
+- U4 CONTAINS set (element_behavior.py:378-381, 409-413, 477-485):
+  every distinct (trace, current-artifact) pair, PLUS a parent-CONTAINS
+  pair only when the artifact's FIRST appearance (by ``ord``) in the
+  whole stream is as a parent — the batch equivalent of "create the
+  trace edge only for a newly created parent node" (:404-413).
+- U5 MATCHES set (element_behavior.py:490-515): distinct
+  (rule_id, artifact) per related_rule_ids entry. Nodes are written
+  with label ``SigmaRule`` (the reference's read path queries label
+  ``Rule`` — a documented reference inconsistency; we match the
+  *written* graph, SURVEY.md §7.3).
+- G1 orphan cleanup (schema.py:112-125 FLUSH_SINGLE_ENTITIES_WITH_TRACE):
+  DETACH DELETE of (t)-[:CONTAINS]->(n) pairs where the trace has
+  exactly one CONTAINS edge and the node has total degree 1.
+
+Skew handling: every aggregation runs a per-batch COMBINER inside
+``map_batches`` first (≤1 row per key per batch reaches the shuffle),
+so the hot parent artifact (``explorer.exe@PROCESS``-style, ≥30% of
+events in the fixture) never concentrates raw rows on one reducer.
+
+Malformed provenance rows are quarantined (counted + preserved), never
+raised — the reference swallows per-event exceptions at
+graph_session.py:128-132; a trillion-row job must do better than both.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Count
+
+from sigraph_ray.functions import provenance as P
+
+# ---------------------------------------------------------------------------
+# parsing / quarantine (M1-M5)
+# ---------------------------------------------------------------------------
+
+
+def parse_events_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized M1-M5: parse actor + parent provenance, build node
+    keys, apply the §1.4 direction rule, attach the deterministic event
+    order key ``ord`` and a ``valid`` quarantine mask."""
+    actor = P.parse_actor(batch.column("system_provenance"))
+    parent = P.parse_parent(batch.column("parent_system_provenance"))
+    artifact = P.artifact_key(actor["name"], actor["artifact_type"])
+    parent_key = P.artifact_key(parent["name"], parent["artifact_type"])
+    ep = P.edge_endpoints(artifact, parent_key, actor["actor_type"])
+
+    ts = batch.column("timestamp")
+    ts_us = pc.cast(pc.cast(ts, pa.int64()), pa.string())
+    ts_pad = pc.utf8_lpad(ts_us, 20, "0")
+    ord_key = pc.binary_join_element_wise(ts_pad, batch.column("span_id"), "|")
+
+    # weight >= 1 validation (element_behavior.py:307-308)
+    w_ok = pc.greater_equal(
+        pc.fill_null(batch.column("weight"), 0), 1)
+    # the parent sequence runs only when BOTH parent_id and
+    # parent_system_provenance are present (element_behavior.py:392);
+    # an invalid parent provenance raises inside the per-event try and
+    # the WHOLE event is lost (graph_session.py:128-132 swallows), so
+    # such rows are quarantined entirely.
+    attempt_parent = pc.and_(
+        pc.is_valid(batch.column("parent_span_id")),
+        pc.is_valid(batch.column("parent_system_provenance")))
+    parent_bad = pc.and_(attempt_parent, pc.invert(parent["valid"]))
+    valid = pc.and_(pc.and_(actor["valid"], w_ok), pc.invert(parent_bad))
+    has_parent = pc.and_(attempt_parent, parent["valid"])
+
+    out = batch.drop_columns(["system_provenance", "parent_system_provenance"])
+    for name, col in [
+        ("artifact", artifact),
+        ("artifact_type", actor["artifact_type"]),
+        ("action_type", actor["action_type"]),
+        ("actor_type", actor["actor_type"]),
+        ("parent_key", parent_key),
+        ("parent_type", parent["artifact_type"]),
+        ("has_parent", has_parent),
+        ("src", ep["src"]),
+        ("dst", ep["dst"]),
+        ("ord", ord_key),
+        ("valid", valid),
+    ]:
+        out = out.append_column(name, _arr(col))
+    return out
+
+
+def _arr(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def split_quarantine(parsed):
+    """valid rows forward; invalid rows preserved for audit (the batch
+    answer to the reference's swallowed exceptions)."""
+    ok = parsed.filter(expr="valid == True")
+    bad = parsed.filter(expr="valid == False")
+    return ok, bad
+
+
+# ---------------------------------------------------------------------------
+# U1 — node merge (two-phase: combiner + final groupby)
+# ---------------------------------------------------------------------------
+
+
+def _node_partials(batch: pa.Table) -> pa.Table:
+    """Combiner: one partial row per artifact per batch, carrying
+    order-keyed span/trace lists and the last non-null process."""
+    df = batch.select(
+        ["artifact", "artifact_type", "span_id", "trace_id",
+         "process_name", "ord"]).to_pandas()
+    pdf = batch.select(
+        ["parent_key", "parent_type", "has_parent"]).to_pandas()
+
+    parts: list[dict] = []
+    for key, g in df.sort_values("ord", kind="stable").groupby(
+            "artifact", sort=False):
+        spans = g.drop_duplicates("span_id")
+        traces = g.drop_duplicates("trace_id")
+        nn = g["process_name"].dropna()
+        parts.append({
+            "artifact": key,
+            "artifact_type": g["artifact_type"].iloc[0],
+            "span_ids": spans["span_id"].tolist(),
+            "span_ords": spans["ord"].tolist(),
+            "trace_ids": traces["trace_id"].tolist(),
+            "trace_ords": traces["ord"].tolist(),
+            "image": nn.iloc[-1] if len(nn) else None,
+            "image_ord": g.loc[nn.index[-1], "ord"] if len(nn) else "",
+        })
+    par = pdf[pdf["has_parent"]]
+    for key, g in par.groupby("parent_key", sort=False):
+        parts.append({
+            "artifact": key, "artifact_type": g["parent_type"].iloc[0],
+            "span_ids": [], "span_ords": [], "trace_ids": [],
+            "trace_ords": [], "image": None, "image_ord": "",
+        })
+    return pa.Table.from_pylist(parts, schema=_PARTIAL_SCHEMA)
+
+
+_PARTIAL_SCHEMA = pa.schema([
+    ("artifact", pa.string()),
+    ("artifact_type", pa.string()),
+    ("span_ids", pa.list_(pa.string())),
+    ("span_ords", pa.list_(pa.string())),
+    ("trace_ids", pa.list_(pa.string())),
+    ("trace_ords", pa.list_(pa.string())),
+    ("image", pa.string()),
+    ("image_ord", pa.string()),
+])
+
+
+def _merge_ordered_dedup(ids_lists, ord_lists) -> list[str]:
+    """Merge (id, first-seen ord) partial lists: global first-seen-order
+    dedup (element_behavior.py:331-337 append-if-absent semantics)."""
+    best: dict[str, str] = {}
+    for ids, ords in zip(ids_lists, ord_lists):
+        for i, o in zip(ids, ords):
+            if i not in best or o < best[i]:
+                best[i] = o
+    return [k for k, _ in sorted(best.items(), key=lambda kv: kv[1])]
+
+
+def _node_finalize(group: pd.DataFrame) -> pd.DataFrame:
+    span_ids = _merge_ordered_dedup(group["span_ids"], group["span_ords"])
+    trace_ids = _merge_ordered_dedup(group["trace_ids"], group["trace_ords"])
+    imgs = group[group["image"].notna()]
+    image = (imgs.loc[imgs["image_ord"].idxmax(), "image"]
+             if len(imgs) else None)
+    return pd.DataFrame({
+        "artifact": [group["artifact"].iloc[0]],
+        "artifact_type": [group["artifact_type"].iloc[0]],
+        "image": pd.array([image], dtype="object"),
+        "related_span_ids": [span_ids],
+        "related_trace_ids": [trace_ids],
+    })
+
+
+def build_nodes(events):
+    partials = events.map_batches(_node_partials, batch_format="pyarrow")
+    return partials.groupby("artifact").map_groups(
+        _node_finalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# U2 — trace aggregate
+# ---------------------------------------------------------------------------
+
+
+def _trace_partials(batch: pa.Table) -> pa.Table:
+    df = batch.select(["unit_id", "trace_id", "timestamp",
+                       "process_name", "ord"]).to_pandas()
+    idx = df.groupby(["unit_id", "trace_id"], sort=False)["ord"].idxmin()
+    firsts = df.loc[idx.values]
+    n = df.groupby(["unit_id", "trace_id"], sort=False).size()
+    firsts = firsts.set_index(["unit_id", "trace_id"])
+    firsts["n"] = n
+    return pa.Table.from_pandas(firsts.reset_index(), preserve_index=False)
+
+
+def _trace_finalize(group: pd.DataFrame) -> pd.DataFrame:
+    first = group.loc[group["ord"].idxmin()]
+    return pd.DataFrame({
+        "unit_id": [first["unit_id"]],
+        "trace_id": [first["trace_id"]],
+        "start_time": [first["timestamp"]],
+        "representative_process_name": pd.array(
+            [first["process_name"]], dtype="object"),
+        "span_count": [int(group["n"].sum())],
+    })
+
+
+def build_traces(events):
+    partials = events.map_batches(_trace_partials, batch_format="pyarrow")
+    return partials.groupby(["unit_id", "trace_id"]).map_groups(
+        _trace_finalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# U3 — edge merge (last-writer-wins by ord)
+# ---------------------------------------------------------------------------
+
+
+def _edge_partials(batch: pa.Table) -> pa.Table:
+    t = batch.filter(pc.and_(batch.column("has_parent").combine_chunks()
+                             if isinstance(batch.column("has_parent"), pa.ChunkedArray)
+                             else batch.column("has_parent"),
+                             pc.is_valid(batch.column("src"))))
+    df = t.select(["src", "dst", "action_type", "timestamp",
+                   "weight", "ord"]).to_pandas()
+    if len(df) == 0:
+        return pa.Table.from_pandas(df, preserve_index=False)
+    idx = df.groupby(["src", "action_type", "dst"], sort=False)["ord"].idxmax()
+    return pa.Table.from_pandas(df.loc[idx.values], preserve_index=False)
+
+
+def _edge_finalize(group: pd.DataFrame) -> pd.DataFrame:
+    last = group.loc[group["ord"].idxmax()]
+    return pd.DataFrame({
+        "src": [last["src"]],
+        "dst": [last["dst"]],
+        "type": [last["action_type"]],
+        "start_time": [last["timestamp"]],
+        "weight": [int(last["weight"])],
+    })
+
+
+def build_edges(events):
+    partials = events.map_batches(_edge_partials, batch_format="pyarrow")
+    return partials.groupby(["src", "action_type", "dst"]).map_groups(
+        _edge_finalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# U4 — CONTAINS set (+ first-appearance parent rule)
+# ---------------------------------------------------------------------------
+
+
+def _appearance_partials(batch: pa.Table) -> pa.Table:
+    """(artifact, ord, trace_id, unit_id, kind) appearance stream,
+    pre-reduced to the per-batch min-ord appearance per artifact.
+    kind: 0 = current node, 1 = parent."""
+    cur = batch.select(["artifact", "ord", "trace_id", "unit_id"]).to_pandas()
+    cur["kind"] = 0
+    par = batch.filter(_arr(batch.column("has_parent"))).select(
+        ["parent_key", "ord", "trace_id", "unit_id"]).to_pandas()
+    par = par.rename(columns={"parent_key": "artifact"})
+    par["kind"] = 1
+    allap = pd.concat([cur, par], ignore_index=True)
+    idx = allap.groupby("artifact", sort=False)["ord"].idxmin()
+    return pa.Table.from_pandas(allap.loc[idx.values], preserve_index=False)
+
+
+def _first_appearance(group: pd.DataFrame) -> pd.DataFrame:
+    return group.loc[[group["ord"].idxmin()]]
+
+
+def build_contains(events):
+    """Distinct (unit_id, trace_id, artifact) CONTAINS pairs: every
+    current-node pair + the first-appearance-as-parent pairs."""
+    cur_pairs = (events
+                 .map_batches(_distinct_current_pairs, batch_format="pyarrow")
+                 .groupby(["unit_id", "trace_id", "artifact"])
+                 .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    first = (events.map_batches(_appearance_partials, batch_format="pyarrow")
+             .groupby("artifact")
+             .map_groups(_first_appearance, batch_format="pandas"))
+    parent_pairs = first.filter(expr="kind == 1").map_batches(
+        lambda t: t.select(["unit_id", "trace_id", "artifact"]),
+        batch_format="pyarrow")
+    # normalize to Arrow blocks before union (map_groups emits pandas blocks)
+    cur_pairs = cur_pairs.map_batches(
+        lambda t: t.select(["unit_id", "trace_id", "artifact"]),
+        batch_format="pyarrow")
+    return cur_pairs.union(parent_pairs)
+
+
+def _distinct_current_pairs(batch: pa.Table) -> pa.Table:
+    df = batch.select(["unit_id", "trace_id", "artifact"]).to_pandas()
+    return pa.Table.from_pandas(
+        df.drop_duplicates(["unit_id", "trace_id", "artifact"]),
+        preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# U5 — MATCHES set
+# ---------------------------------------------------------------------------
+
+
+def _rule_pairs(batch: pa.Table) -> pa.Table:
+    df = batch.select(["related_rule_ids", "artifact"]).to_pandas()
+    df = df.explode("related_rule_ids").dropna(subset=["related_rule_ids"])
+    df = df.rename(columns={"related_rule_ids": "rule_id"})
+    return pa.Table.from_pandas(
+        df.drop_duplicates(["rule_id", "artifact"]), preserve_index=False)
+
+
+def build_matches(events):
+    return (events.map_batches(_rule_pairs, batch_format="pyarrow")
+            .groupby(["rule_id", "artifact"])
+            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# G1 — orphan cleanup (degree-1 pruning) as dataflow
+# ---------------------------------------------------------------------------
+
+
+def prune_orphans(nodes, edges, traces, contains, matches):
+    """FLUSH_SINGLE_ENTITIES_WITH_TRACE (schema.py:112-125): drop
+    (trace, node) CONTAINS pairs where the trace contains exactly one
+    node and that node's total degree is 1, deleting both endpoints.
+
+    The candidate set (single-edge traces) is collected to the driver
+    and broadcast — debris traces are a small fraction of the stream by
+    construction (single-event traces), matching the reference's use of
+    this query as periodic cleanup. Returns pruned
+    (nodes, edges, traces, contains) plus the dropped pair count.
+    """
+    cc = contains.groupby(["unit_id", "trace_id"]).aggregate(
+        Count(alias_name="n_contained"))
+    singles = cc.filter(expr="n_contained == 1").to_pandas()
+    single_traces = set(zip(singles["unit_id"], singles["trace_id"]))
+    if not single_traces:
+        return nodes, edges, traces, contains, 0
+
+    cand_pairs = contains.map_batches(
+        _filter_pairs_factory(single_traces), batch_format="pandas")
+    cand = cand_pairs.to_pandas()
+    cand_nodes = set(cand["artifact"])
+
+    # degree of candidate nodes across ALL relationship tables
+    def count_hits(ds, cols):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            hits = pd.concat(
+                [df[c][df[c].isin(cand_nodes)] for c in cols])
+            vc = hits.value_counts()
+            return pd.DataFrame({"artifact": vc.index.astype(object),
+                                 "deg": vc.values})
+        return ds.map_batches(f, batch_format="pandas").to_pandas()
+
+    deg = pd.concat([
+        count_hits(edges, ["src", "dst"]),
+        count_hits(contains, ["artifact"]),
+        count_hits(matches, ["artifact"]) if matches is not None else
+        pd.DataFrame({"artifact": [], "deg": []}),
+    ], ignore_index=True)
+    total = deg.groupby("artifact")["deg"].sum()
+    doomed_nodes = set(total[total == 1].index) & cand_nodes
+    doomed = cand[cand["artifact"].isin(doomed_nodes)]
+    doomed_traces = set(zip(doomed["unit_id"], doomed["trace_id"]))
+    if not doomed_nodes:
+        return nodes, edges, traces, contains, 0
+
+    nodes2 = nodes.map_batches(
+        lambda df: df[~df["artifact"].isin(doomed_nodes)],
+        batch_format="pandas")
+    traces2 = traces.map_batches(
+        _drop_traces_factory(doomed_traces), batch_format="pandas")
+    contains2 = contains.map_batches(
+        lambda df: df[~df["artifact"].isin(doomed_nodes)],
+        batch_format="pandas")
+    return nodes2, edges, traces2, contains2, len(doomed)
+
+
+def _filter_pairs_factory(trace_set):
+    ref = ray.put(trace_set)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ts = ray.get(ref)
+        mask = [
+            (u, t) in ts for u, t in zip(df["unit_id"], df["trace_id"])]
+        return df[pd.Series(mask, index=df.index)]
+    return f
+
+
+def _drop_traces_factory(trace_set):
+    ref = ray.put(trace_set)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ts = ray.get(ref)
+        mask = [
+            (u, t) not in ts for u, t in zip(df["unit_id"], df["trace_id"])]
+        return df[pd.Series(mask, index=df.index)]
+    return f
+
+
+# ---------------------------------------------------------------------------
+# assembly
+# ---------------------------------------------------------------------------
+
+
+def build_graph(events, *, prune: bool = True) -> dict:
+    """events Dataset (GraphNode schema, FIXTURES.md F2) → graph tables.
+
+    Returns dict of Datasets: nodes, edges, traces, contains, matches,
+    quarantined. All six are lazy; materialize via O5 sorted writes
+    (:func:`sorted_materialize`).
+    """
+    parsed = events.map_batches(parse_events_batch, batch_format="pyarrow")
+    ok, bad = split_quarantine(parsed)
+    nodes = build_nodes(ok)
+    edges = build_edges(ok)
+    traces = build_traces(ok)
+    contains = build_contains(ok)
+    matches = build_matches(ok)
+    if prune:
+        nodes, edges, traces, contains, n_pruned = prune_orphans(
+            nodes, edges, traces, contains, matches)
+    else:
+        n_pruned = 0
+    return {
+        "nodes": nodes, "edges": edges, "traces": traces,
+        "contains": contains, "matches": matches, "quarantined": bad,
+        "n_pruned": n_pruned,
+    }
+
+
+def sorted_materialize(graph: dict, out_dir: str) -> dict:
+    """O5 — deterministic sorted Parquet materialization: nodes by
+    artifact, edges by (src, type, dst) (north rule; the reference
+    relies on Neo4j storage order, SURVEY.md §2.7)."""
+    paths = {}
+    sort_keys = {
+        "nodes": ["artifact"],
+        "edges": ["src", "type", "dst"],
+        "traces": ["unit_id", "trace_id"],
+        "contains": ["unit_id", "trace_id", "artifact"],
+        "matches": ["rule_id", "artifact"],
+    }
+    for name, keys in sort_keys.items():
+        path = f"{out_dir}/{name}"
+        graph[name].sort(keys).write_parquet(path)
+        paths[name] = path
+    return paths
