@@ -1,0 +1,146 @@
+"""The KG-construction pipeline: web pages → knowledge graph
+(SURVEY.md §3.3 Ray-Data restatement, §7.1 P1-P11).
+
+Logical flow (each box one streaming stage, no mid-pipeline
+materialization):
+
+    pages(url, warc_ts, html, text, lang)
+      → P1 extract_text (drop html immediately)
+      → P2 chunk 400/40 (lowercased, E4)
+      → P3/P5 TripleExtractor actor pool (V1-V5 contract)
+      → V3 per-url actor resolution (groupby url)
+      → P6 normalize (E1/E2/E3)
+      → dedup distinct (doc_url, subj, pred, obj)   [U9 IoC dedup]
+      → fork: entity canonicalization (U1/G4 shuffle)
+              edge aggregation by (subj, pred, obj) + §1.4 direction
+              MENTIONS pairs (doc_url, entity)      [ai_agent.py:249-255]
+
+The reference stores this in Neo4j via ``add_graph_documents``
+(__Entity__ merge-by-id + Document/MENTIONS, src/ai/ai_agent.py:243-255);
+here the merge index is the canonicalization shuffle and the output is
+sorted Parquet node/edge tables.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Min, Sum
+
+from sigraph_ray.stages import canonicalize as C
+from sigraph_ray.stages import extract as E
+from sigraph_ray.stages import triples as T
+
+
+def synth_pages(n: int, *, parallelism: int = 0):
+    """Deterministic synthetic pages Dataset (FIXTURES.md F1) —
+    partition-independent, so any parallelism yields identical rows."""
+    import ray.data as rd
+
+    from sigraph_ray.sources import synth
+
+    kw = {"override_num_blocks": parallelism} if parallelism else {}
+    return rd.range(n, **kw).map_batches(
+        lambda b: synth.pages_batch(b["id"]), batch_format="numpy")
+
+
+def extract_triples_pipeline(pages, *, concurrency=4, batch_size: int = 1024):
+    """pages → deduplicated normalized triple Dataset with columns
+    (doc_url, chunk_id, ord, subj, subj_type, pred, obj, obj_type)."""
+    chunks = E.extract_and_chunk(pages)
+    triples = T.extract_triples_stage(
+        chunks, concurrency=concurrency, batch_size=batch_size)
+    # U9/V4 dedup: one triple per (doc_url, subj, pred, obj), keeping the
+    # earliest occurrence (min ord) — "keep the clearest instance"
+    # (prompt.py:94) made deterministic.
+    return dedup_triples(triples)
+
+
+def _triple_dedup_partial(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    idx = df.groupby(["doc_url", "subj", "pred", "obj"], sort=False)[
+        "ord"].idxmin()
+    return pa.Table.from_pandas(df.loc[idx.values], preserve_index=False)
+
+
+def _triple_dedup_final(group: pd.DataFrame) -> pd.DataFrame:
+    return group.loc[[group["ord"].idxmin()]]
+
+
+def dedup_triples(triples):
+    partials = triples.map_batches(_triple_dedup_partial, batch_format="pyarrow")
+    return partials.groupby(["doc_url", "subj", "pred", "obj"]).map_groups(
+        _triple_dedup_final, batch_format="pandas")
+
+
+def _edge_partials(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    part = (df.groupby(["subj", "subj_type", "pred", "obj", "obj_type"],
+                       sort=False)
+            .agg(n_mentions=("ord", "size"), n_docs=("doc_url", "nunique"))
+            .reset_index())
+    return pa.Table.from_pandas(part, preserve_index=False)
+
+
+def build_kg_edges(triples):
+    """Global edge table: one row per (subj, pred, obj) with mention and
+    document counts, behavioral action_type, and §1.4 direction applied
+    (src/dst columns). Two-phase aggregate (combiner first).
+
+    ``n_docs`` is an over-count upper bound when one document's chunks
+    split across batches; exact per-edge doc counts would need a second
+    distinct shuffle — documented trade-off (the triple stream is
+    already deduped per (doc_url, subj, pred, obj), so ``n_mentions``
+    IS exact doc count)."""
+    partials = triples.map_batches(_edge_partials, batch_format="pyarrow")
+    agg = partials.groupby(["subj", "subj_type", "pred", "obj", "obj_type"]) \
+        .aggregate(Sum("n_mentions", alias_name="weight"))
+    return agg.map_batches(T.triples_with_direction, batch_format="pyarrow")
+
+
+def build_kg(pages, *, concurrency=4, batch_size: int = 1024) -> dict:
+    """Full KG build. Returns lazy Datasets:
+    triples (per-doc provenance), entities (canonical node table),
+    edges (global typed edge table), mentions (doc→entity pairs)."""
+    triples = extract_triples_pipeline(
+        pages, concurrency=concurrency, batch_size=batch_size)
+    entities = C.canonicalize_entities(triples)
+    edges = build_kg_edges(triples)
+    mentions = build_mentions(triples)
+    return {"triples": triples, "entities": entities, "edges": edges,
+            "mentions": mentions}
+
+
+def _mention_partial(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    a = df[["doc_url", "subj"]].rename(columns={"subj": "entity"})
+    b = df[["doc_url", "obj"]].rename(columns={"obj": "entity"})
+    return pa.Table.from_pandas(
+        pd.concat([a, b], ignore_index=True).drop_duplicates(),
+        preserve_index=False)
+
+
+def build_mentions(triples):
+    """Document→entity MENTIONS pairs (ai_agent.py:249-255
+    include_source=True)."""
+    return (triples.map_batches(_mention_partial, batch_format="pyarrow")
+            .groupby(["doc_url", "entity"])
+            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+
+
+def sorted_materialize(kg: dict, out_dir: str) -> dict:
+    """O5: deterministic sorted Parquet for every KG table."""
+    plan = {
+        "triples": ["doc_url", "subj", "pred", "obj"],
+        "entities": ["entity"],
+        "edges": ["src", "pred", "dst"],
+        "mentions": ["doc_url", "entity"],
+    }
+    paths = {}
+    for name, keys in plan.items():
+        path = f"{out_dir}/{name}"
+        kg[name].sort(keys).write_parquet(path)
+        paths[name] = path
+    return paths
