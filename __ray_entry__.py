@@ -4,13 +4,10 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library it calls) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -20,25 +17,67 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: KG construction (pages → triples → graph) at sf0.001
+    scale — deterministic synthetic Common-Crawl-style pages
+    (BASELINE.json input_hint shape), full extraction + normalization +
+    canonicalization pipeline; returns the triple Dataset."""
+    from sigraph_ray.pipelines import kg as K
+
+    pages = K.synth_pages(500, parallelism=8)
+    return K.build_kg(pages, concurrency=2)["triples"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from sigraph_ray.pipelines import queries as Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # provenance-graph construction (SURVEY.md §2.5, U1-U4 + M1-M5)
+        "prov_nodes": Q.q_prov_nodes,
+        "prov_traces": Q.q_prov_traces,
+        "prov_edges": Q.q_prov_edges,
+        "prov_contains": Q.q_prov_contains,
+        "prov_quarantine": Q.q_prov_quarantine,
+        # relational coverage (S1, F1, J-family, U-family, O-family)
+        "lineitem_agg": Q.q_lineitem_agg,
+        "top_customers": Q.q_top_customers,
+        "events_hourly": Q.q_events_hourly,
+        "supplier_nation": Q.q_supplier_nation,
+        # text analysis (brief: token counting, quality, fingerprints)
+        "text_stats": Q.q_text_stats,
+        "quality_scores": Q.q_quality_scores,
+        "fingerprints": Q.q_fingerprints,
+        "lang_id": Q.q_lang_id,
+        # dedup family
+        "exact_dedup": Q.q_exact_dedup,
+        "minhash_dedup": Q.q_minhash_dedup,
+        "simhash_pairs": Q.q_simhash_pairs,
+        # similarity search
+        "knn_cosine": Q.q_knn_cosine,
+        "knn_cosine_lsh": Q.q_knn_cosine_lsh,
+        # KG pipeline (oracle = generator intent, enforced in pytest)
+        "kg_triples": Q.q_kg_triples,
+        "kg_entities": Q.q_kg_entities,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sigraph_ray.pipelines import queries as Q
+
+    return {
+        "prov_nodes": Q.SQL_PROV_NODES,
+        "prov_traces": Q.SQL_PROV_TRACES,
+        "prov_edges": Q.SQL_PROV_EDGES,
+        "prov_contains": Q.SQL_PROV_CONTAINS,
+        "prov_quarantine": Q.SQL_PROV_QUARANTINE,
+        "lineitem_agg": Q.SQL_LINEITEM_AGG,
+        "top_customers": Q.SQL_TOP_CUSTOMERS,
+        "events_hourly": Q.SQL_EVENTS_HOURLY,
+        "supplier_nation": Q.SQL_SUPPLIER_NATION,
+        "text_stats": Q.SQL_TEXT_STATS,
+        "quality_scores": Q.SQL_QUALITY_SCORES,
+        "fingerprints": Q.SQL_FINGERPRINTS,
+        "exact_dedup": Q.SQL_EXACT_DEDUP,
+        "knn_cosine": Q.SQL_KNN_COSINE,
+        # lang_id, minhash_dedup, simhash_pairs, knn_cosine_lsh,
+        # kg_triples, kg_entities: not SQL-expressible → rows-only.
+    }

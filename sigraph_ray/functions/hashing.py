@@ -1,0 +1,97 @@
+"""Deterministic hashing kernels for dedup / fingerprinting.
+
+All vectorized numpy; no Python-per-row in hot paths. Hash functions are
+fixed-constant splitmix64 / FNV-1a variants so results are identical
+across processes, nodes and Python versions (PYTHONHASHSEED-independent
+— ``hash()`` is never used).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64."""
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK64
+        x ^= x >> np.uint64(30)
+        x = (x * np.uint64(0xBF58476D1CE4E5B9)) & _MASK64
+        x ^= x >> np.uint64(27)
+        x = (x * np.uint64(0x94D049BB133111EB)) & _MASK64
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def md5_hex(texts) -> list[str]:
+    """md5 hex digest per string (exact-dedup key; SQL-oracle-friendly:
+    DuckDB's md5() matches byte-for-byte on UTF-8 input)."""
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def token_hashes(tokens: list[str]) -> np.ndarray:
+    """Stable 64-bit FNV-1a per token, then splitmix64-mixed."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = np.uint64(0xCBF29CE484222325)
+        with np.errstate(over="ignore"):
+            for b in t.encode("utf-8"):
+                h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3) & _MASK64
+        out[i] = h
+    return splitmix64(out)
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashes of word k-shingles (k consecutive whitespace tokens)."""
+    toks = text.split()
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    return np.unique(token_hashes(shingles)) if shingles else np.empty(0, np.uint64)
+
+
+# MinHash: h_i(x) = splitmix64(x ^ seed_i); signature = min over shingles.
+def minhash_signature(sh: np.ndarray, num_perm: int, seeds: np.ndarray) -> np.ndarray:
+    if len(sh) == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (num_perm, n_shingles) xor then mix then min — vectorized
+    mixed = splitmix64(sh[None, :] ^ seeds[:, None])
+    return mixed.min(axis=1)
+
+
+def make_seeds(num_perm: int, seed: int = 42) -> np.ndarray:
+    base = np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):
+        return splitmix64(np.arange(num_perm, dtype=np.uint64) + base)
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token hashes (unweighted)."""
+    if not tokens:
+        return 0
+    hs = token_hashes(tokens)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for b in np.nonzero(v > 0)[0]:
+        out |= np.uint64(1) << np.uint64(b)
+    return int(out)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    return inter / (len(a) + len(b) - inter)

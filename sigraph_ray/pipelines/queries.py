@@ -1,0 +1,607 @@
+"""Driver-checkable queries: every entry pairs a Ray Data pipeline with
+an ANSI-SQL oracle over the same parquet tables (driver contract in
+``__ray_entry__.py``).
+
+The provenance-graph queries derive a deterministic provenance-event
+stream from the generic ``events`` table (mapping below, implemented
+IDENTICALLY in :func:`_events_to_prov` and in the SQL CTE ``base``) and
+then run the REAL construction operators
+(stages/provenance_graph.py) over it — so U1/U2/U3/U4 semantics are
+checked against DuckDB row-for-row, not just against our own simulator.
+
+Mapping events → GraphNode fields (pure function of event_id/user_id/
+event_type/ts; all expressible in SQL):
+
+    span_id    = 'span_' || lpad(event_id, 12, '0')
+    trace_id   = 'trace_' || user_id
+    unit_id    = 'unit_'  || (user_id % 3)
+    weight     = (event_id % 9) + 1
+    process    = NULL if event_id % 10 == 0 else 'proc_'||(user_id%7)||'.exe'
+    parent     = NULL if event_id % 11 == 0 else that process @PROCESS
+    malformed  = event_id % 37 == 0  → system_provenance 'no_at_sign'
+    artifact   = per event_type:
+      click    → file_{event_id%100}.tmp@FILE,      CREATE,  WRITE_SEND
+      purchase → 10.0.0.{event_id%256}@NETWORK,     CONNECT, WRITE_SEND
+      error    → hklm\\software\\k{event_id%50}@REGISTRY, REG_SET, WRITE_SEND
+      signup   → mod_{event_id%20}.dll@MODULE,      LOAD,    READ_RECV
+      view     → cfg_{event_id%30}.ini@FILE,        MODIFY,  READ_RECV
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SPEC = {
+    "click": ("file_{m100}.tmp", "FILE", "CREATE", "WRITE_SEND"),
+    "purchase": ("10.0.0.{m256}", "NETWORK", "CONNECT", "WRITE_SEND"),
+    "error": ("hklm\\software\\k{m50}", "REGISTRY", "REG_SET", "WRITE_SEND"),
+    "signup": ("mod_{m20}.dll", "MODULE", "LOAD", "READ_RECV"),
+    "view": ("cfg_{m30}.ini", "FILE", "MODIFY", "READ_RECV"),
+}
+
+
+def _events_to_prov(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    eid = df["event_id"].to_numpy()
+    uid = df["user_id"].to_numpy()
+    name = np.empty(len(df), dtype=object)
+    prov = np.empty(len(df), dtype=object)
+    mods = {"m100": eid % 100, "m256": eid % 256, "m50": eid % 50,
+            "m20": eid % 20, "m30": eid % 30}
+    et = df["event_type"].to_numpy()
+    for t, (tpl, atype, action, actor) in _SPEC.items():
+        mask = et == t
+        if not mask.any():
+            continue
+        key = tpl[tpl.find("{") + 1:tpl.find("}")]
+        vals = mods[key][mask]
+        base = np.char.add(
+            np.char.add(tpl.split("{")[0], vals.astype(str)),
+            tpl.split("}")[1])
+        prov[mask] = np.char.add(base, f"@{atype}@{action}@{actor}")
+        name[mask] = base
+    prov[eid % 37 == 0] = "no_at_sign"
+    proc = np.char.add(np.char.add("proc_", (uid % 7).astype(str)), ".exe")
+    out = pd.DataFrame({
+        "trace_id": np.char.add("trace_", uid.astype(str)),
+        "span_id": np.char.add("span_", np.char.zfill(eid.astype(str), 12)),
+        "unit_id": np.char.add("unit_", (uid % 3).astype(str)),
+        "system_provenance": prov,
+        "timestamp": df["ts"],
+        "weight": (eid % 9) + 1,
+        "process_name": pd.Series(proc, dtype="object").mask(eid % 10 == 0),
+        "related_rule_ids": pd.Series(
+            [[f"rule_{e % 12}"] if e % 5 == 0 else [] for e in eid],
+            dtype="object"),
+        "parent_span_id": pd.Series(
+            np.char.add("pspan_", uid.astype(str)), dtype="object"
+        ).mask(eid % 11 == 0),
+        "parent_system_provenance": pd.Series(
+            np.char.add(proc, "@PROCESS@LAUNCH@NOT_ACTOR"), dtype="object"
+        ).mask(eid % 11 == 0),
+    })
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SQL_BASE = """
+base AS (
+  SELECT event_id, ts, user_id, event_type,
+         (event_id % 9) + 1 AS weight,
+         'span_' || lpad(CAST(event_id AS VARCHAR), 12, '0') AS span_id,
+         'trace_' || CAST(user_id AS VARCHAR) AS trace_id,
+         'unit_' || CAST(user_id % 3 AS VARCHAR) AS unit_id,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE 'proc_' || CAST(user_id % 7 AS VARCHAR) || '.exe'
+         END AS process_name,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE 'pspan_' || CAST(user_id AS VARCHAR) END AS parent_span_id,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE 'proc_' || CAST(user_id % 7 AS VARCHAR) || '.exe@PROCESS'
+         END AS parent_key,
+         (event_id % 37 = 0) AS malformed,
+         CASE event_type
+           WHEN 'click'    THEN 'file_' || CAST(event_id % 100 AS VARCHAR) || '.tmp@FILE'
+           WHEN 'purchase' THEN '10.0.0.' || CAST(event_id % 256 AS VARCHAR) || '@NETWORK'
+           WHEN 'error'    THEN 'hklm\\software\\k' || CAST(event_id % 50 AS VARCHAR) || '@REGISTRY'
+           WHEN 'signup'   THEN 'mod_' || CAST(event_id % 20 AS VARCHAR) || '.dll@MODULE'
+           ELSE 'cfg_' || CAST(event_id % 30 AS VARCHAR) || '.ini@FILE'
+         END AS artifact,
+         CASE event_type WHEN 'click' THEN 'CREATE' WHEN 'purchase' THEN 'CONNECT'
+              WHEN 'error' THEN 'REG_SET' WHEN 'signup' THEN 'LOAD'
+              ELSE 'MODIFY' END AS action_type,
+         CASE event_type WHEN 'signup' THEN 'READ_RECV' WHEN 'view' THEN 'READ_RECV'
+              ELSE 'WRITE_SEND' END AS actor_type
+  FROM events
+),
+valid AS (
+  SELECT *, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' || span_id AS ord
+  FROM base WHERE NOT malformed
+)
+"""
+
+
+def derive_prov_events(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    return ds.map_batches(_events_to_prov, batch_format="pyarrow")
+
+
+# --- provenance-graph queries ----------------------------------------------
+
+def q_prov_nodes(sf_dir: str):
+    """U1 node merge, scalar projection (list columns → counts so the
+    value-hash compare is representation-stable)."""
+    from sigraph_ray.stages import provenance_graph as G
+
+    parsed = derive_prov_events(sf_dir).map_batches(
+        G.parse_events_batch, batch_format="pyarrow")
+    ok, _ = G.split_quarantine(parsed)
+    nodes = G.build_nodes(ok)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "artifact": df["artifact"],
+            "artifact_type": df["artifact_type"],
+            "image": df["image"],
+            "n_spans": df["related_span_ids"].map(len).astype("int64"),
+            "n_traces": df["related_trace_ids"].map(len).astype("int64"),
+        })
+    return nodes.map_batches(project, batch_format="pandas")
+
+
+SQL_PROV_NODES = f"""
+WITH {_SQL_BASE},
+from_events AS (
+  SELECT artifact,
+         count(DISTINCT span_id) AS n_spans,
+         count(DISTINCT trace_id) AS n_traces,
+         arg_max(process_name, ord) FILTER (process_name IS NOT NULL) AS image
+  FROM valid GROUP BY artifact
+),
+parents AS (
+  SELECT DISTINCT parent_key AS artifact FROM valid
+  WHERE parent_key IS NOT NULL
+),
+allnodes AS (
+  SELECT coalesce(e.artifact, p.artifact) AS artifact,
+         coalesce(e.n_spans, 0) AS n_spans,
+         coalesce(e.n_traces, 0) AS n_traces,
+         e.image AS image
+  FROM from_events e FULL OUTER JOIN parents p ON e.artifact = p.artifact
+)
+SELECT artifact,
+       string_split(artifact, '@')[-1] AS artifact_type,
+       image, n_spans, n_traces
+FROM allnodes ORDER BY artifact
+"""
+
+
+def q_prov_traces(sf_dir: str):
+    from sigraph_ray.stages import provenance_graph as G
+
+    parsed = derive_prov_events(sf_dir).map_batches(
+        G.parse_events_batch, batch_format="pyarrow")
+    ok, _ = G.split_quarantine(parsed)
+    return G.build_traces(ok)
+
+
+SQL_PROV_TRACES = f"""
+WITH {_SQL_BASE}
+SELECT unit_id, trace_id,
+       min(ts) AS start_time,
+       nullif(arg_min(coalesce(process_name, chr(1)), ord), chr(1))
+           AS representative_process_name,
+       count(*) AS span_count
+FROM valid GROUP BY unit_id, trace_id ORDER BY unit_id, trace_id
+"""
+
+
+def q_prov_edges(sf_dir: str):
+    from sigraph_ray.stages import provenance_graph as G
+
+    parsed = derive_prov_events(sf_dir).map_batches(
+        G.parse_events_batch, batch_format="pyarrow")
+    ok, _ = G.split_quarantine(parsed)
+    return G.build_edges(ok)
+
+
+SQL_PROV_EDGES = f"""
+WITH {_SQL_BASE},
+edges_raw AS (
+  SELECT CASE WHEN actor_type = 'READ_RECV' THEN artifact ELSE parent_key END AS src,
+         CASE WHEN actor_type = 'READ_RECV' THEN parent_key ELSE artifact END AS dst,
+         action_type AS type, ts, weight, ord
+  FROM valid WHERE parent_key IS NOT NULL AND parent_span_id IS NOT NULL
+)
+SELECT src, dst, type,
+       arg_max(ts, ord) AS start_time,
+       arg_max(weight, ord) AS weight
+FROM edges_raw GROUP BY src, dst, type ORDER BY src, type, dst
+"""
+
+
+def q_prov_contains(sf_dir: str):
+    from sigraph_ray.stages import provenance_graph as G
+
+    parsed = derive_prov_events(sf_dir).map_batches(
+        G.parse_events_batch, batch_format="pyarrow")
+    ok, _ = G.split_quarantine(parsed)
+    return G.build_contains(ok)
+
+
+SQL_PROV_CONTAINS = f"""
+WITH {_SQL_BASE},
+cur AS (SELECT DISTINCT unit_id, trace_id, artifact FROM valid),
+appearances AS (
+  SELECT artifact, ord, unit_id, trace_id, 0 AS kind FROM valid
+  UNION ALL
+  SELECT parent_key AS artifact, ord, unit_id, trace_id, 1 AS kind
+  FROM valid WHERE parent_key IS NOT NULL
+),
+firsts AS (
+  SELECT artifact, unit_id, trace_id, kind,
+         row_number() OVER (PARTITION BY artifact ORDER BY ord) AS rn
+  FROM appearances
+),
+parent_first AS (
+  SELECT unit_id, trace_id, artifact FROM firsts WHERE rn = 1 AND kind = 1
+)
+SELECT unit_id, trace_id, artifact FROM cur
+UNION ALL
+SELECT unit_id, trace_id, artifact FROM parent_first
+ORDER BY unit_id, trace_id, artifact
+"""
+
+
+def q_prov_quarantine(sf_dir: str):
+    from sigraph_ray.stages import provenance_graph as G
+
+    parsed = derive_prov_events(sf_dir).map_batches(
+        G.parse_events_batch, batch_format="pyarrow")
+    _, bad = G.split_quarantine(parsed)
+    return bad.groupby("unit_id").count().map_batches(
+        lambda df: df.rename(columns={"count()": "n_quarantined"}),
+        batch_format="pandas")
+
+
+SQL_PROV_QUARANTINE = f"""
+WITH {_SQL_BASE}
+SELECT unit_id, count(*) AS n_quarantined
+FROM base WHERE malformed GROUP BY unit_id ORDER BY unit_id
+"""
+
+
+# --- relational coverage (read / filter / agg / join / sort-limit) ---------
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate — read-pruned, vectorized
+    pre-aggregation then a tiny groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("revenue", rev)
+
+    out = (ds.map_batches(revenue, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("revenue", alias_name="sum_revenue"),
+                      Count(alias_name="n_rows")))
+    return out
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_revenue,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(sf_dir: str):
+    """Broadcast hash join (small dimension side via ray.put) + grouped
+    sum + deterministic top-10."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_mktsegment"])
+    ref = ray.put(cust)
+
+    class JoinCustomer:
+        def __init__(self):
+            self.cust = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.cust, left_on="o_custkey",
+                            right_on="c_custkey", how="inner")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(JoinCustomer, batch_format="pandas",
+                                concurrency=2)
+    agg = joined.groupby(["c_custkey", "c_name", "c_mktsegment"]).aggregate(
+        Sum("o_totalprice", alias_name="total_spent"))
+    top = agg.sort(["total_spent", "c_custkey"], descending=[True, False]).limit(10)
+    return top
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, c_mktsegment,
+       sum(o_totalprice) AS total_spent
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY total_spent DESC, c_custkey ASC LIMIT 10
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Event-time tumbling window as a grouped aggregate on a computed
+    window key (streaming-shaped workload, batch form)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "event_type", "value"])
+
+    def window(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        return t.append_column("window_start", hour)
+
+    return (ds.map_batches(window, batch_format="pyarrow")
+            .groupby(["window_start", "event_type"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("value", alias_name="sum_value")))
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, sum(value) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_supplier_nation(sf_dir: str):
+    """Two-level broadcast join through a snowflake dimension chain."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")[["n_nationkey", "n_name", "r_name"]]
+    ref = ray.put(dim)
+
+    class J:
+        def __init__(self):
+            self.dim = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.dim, left_on="s_nationkey",
+                            right_on="n_nationkey")
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    return (supp.map_batches(J, batch_format="pandas", concurrency=2)
+            .groupby(["r_name", "n_name"])
+            .aggregate(Count(alias_name="n_suppliers"),
+                       Sum("s_acctbal", alias_name="sum_acctbal")))
+
+
+SQL_SUPPLIER_NATION = """
+SELECT r_name, n_name, count(*) AS n_suppliers, sum(s_acctbal) AS sum_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+
+
+# --- text analysis / dedup / similarity ------------------------------------
+
+def q_text_stats(sf_dir: str):
+    import ray.data as rd
+
+    from sigraph_ray.stages import textstats as TS
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return TS.text_stats(ds)
+
+
+SQL_TEXT_STATS = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       len(regexp_extract_all(text, '\b(?:the|and|of|a|to|in|is)\b')) AS n_stopwords,
+       CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+         / greatest(len(regexp_extract_all(text, '\S+')), 1) AS mean_token_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_quality_scores(sf_dir: str):
+    import ray.data as rd
+
+    from sigraph_ray.stages import textstats as TS
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return TS.quality_scores(ds)
+
+
+SQL_QUALITY_SCORES = r"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(regexp_extract_all(text, '\b(?:the|and|of|a|to|in|is)\b')) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,
+       (CAST(n_tokens BETWEEN 10 AND 100000 AS DOUBLE)
+        + CAST(n_punct > 0 AS DOUBLE)
+        + CAST(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) >= 0.01 AS DOUBLE)
+       ) / 3.0 AS quality_score
+FROM s ORDER BY doc_id
+"""
+
+
+def q_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from sigraph_ray.stages import textstats as TS
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return TS.fingerprints(ds)
+
+
+SQL_FINGERPRINTS = r"""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from sigraph_ray.stages import dedup as D
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return D.exact_dedup(ds)
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS content_md5, min(doc_id) AS kept_id
+FROM documents GROUP BY md5(text) ORDER BY content_md5
+"""
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language ID — no SQL oracle (rows-only check)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages import textstats as TS
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return TS.lang_id(ds)
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH near-dup clusters — no SQL oracle (rows-only)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages import dedup as D
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return D.minhash_lsh_dedup(ds, concurrency=2)
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup candidate pairs — no SQL oracle (rows-only)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages import dedup as D
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return D.simhash_candidates(ds)
+
+
+def _knn_queries(sf_dir: str, n_queries: int = 8) -> pd.DataFrame:
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    q = emb[emb["vec_id"] < n_queries]
+    return pd.DataFrame({"qid": q["vec_id"].to_numpy(),
+                         "vec": [np.asarray(v) for v in q["embedding"]]})
+
+
+def q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-5 for 8 query vectors (self excluded)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages import similarity as S
+
+    corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    corpus = corpus.filter(expr="vec_id >= 8")
+    out = S.knn_cosine(corpus, _knn_queries(sf_dir), k=5)
+    return out.map_batches(
+        lambda df: df[["qid", "rank", "vec_id"]], batch_format="pandas")
+
+
+SQL_KNN_COSINE = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+scored AS (
+  SELECT q.qid, c.vec_id,
+         round(list_cosine_similarity(
+             CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 9) AS cos
+  FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, rank, vec_id FROM ranked WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
+def q_knn_cosine_lsh(sf_dir: str):
+    """LSH-bucketed ANN — no SQL oracle (approximate by design)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages import similarity as S
+
+    corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    corpus = corpus.filter(expr="vec_id >= 8")
+    return S.knn_cosine_lsh(corpus, _knn_queries(sf_dir), k=5)
+
+
+def q_kg_triples(sf_dir: str):
+    """Flagship KG pipeline over deterministic synthetic pages (the
+    `pages` shape from input_hint has no driver-side table; scale the
+    corpus to the documents table size). Rows-only check — covered by
+    the generator-oracle P/R gate in tests."""
+    import pyarrow.parquet as pq
+
+    from sigraph_ray.pipelines import kg as K
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    pages = K.synth_pages(n_docs * 2)
+    return K.build_kg(pages, concurrency=2)["triples"]
+
+
+def q_kg_entities(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from sigraph_ray.pipelines import kg as K
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    pages = K.synth_pages(n_docs * 2)
+    return K.build_kg(pages, concurrency=2)["entities"]

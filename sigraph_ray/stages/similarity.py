@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — per-batch numpy matmul against a
+broadcast query matrix (``ray.put`` once, ``ray.get`` in actor
+``__init__``), then a two-phase top-k reduce (per-batch partial top-k →
+per-query final top-k). No stage ever materializes the corpus.
+
+Scale path: LSH-bucketed variant — random-hyperplane signatures put
+corpus and queries into buckets; only same-bucket candidates are scored
+(multi-probe over all bit-flips of distance 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from sigraph_ray.functions import hashing as H
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    mat = mat.astype(np.float64)
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+class BruteForceTopK:
+    """Per-batch partial top-k: scores batch rows against every query
+    (queries broadcast once per actor)."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id",
+                 emb_col: str = "embedding"):
+        import ray
+        qdf = ray.get(queries_ref)
+        self.qids = qdf["qid"].to_numpy()
+        self.qmat = _normalize(np.stack(qdf["vec"].to_numpy()))
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[self.id_col].to_numpy()
+        mat = _normalize(np.stack(df[self.emb_col].to_numpy()))
+        sims = self.qmat @ mat.T  # (n_queries, batch)
+        k = min(self.k, sims.shape[1])
+        out = {"qid": [], "vec_id": [], "cosine": []}
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        for qi in range(sims.shape[0]):
+            sel = idx[qi]
+            out["qid"].extend([self.qids[qi]] * len(sel))
+            out["vec_id"].extend(ids[sel])
+            out["cosine"].extend(sims[qi, sel])
+        return pd.DataFrame(out)
+
+
+def _final_topk_factory(k: int):
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        # deterministic: cosine rounded to 9 dp, ties by vec_id asc
+        g = group.copy()
+        g["cosine_r"] = g["cosine"].round(9)
+        g = g.sort_values(["cosine_r", "vec_id"],
+                          ascending=[False, True], kind="stable").head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "rank", "vec_id", "cosine_r"]].rename(
+            columns={"cosine_r": "cosine"})
+    return final
+
+
+def knn_cosine(corpus, queries_df: pd.DataFrame, *, k: int = 5,
+               id_col: str = "vec_id", emb_col: str = "embedding",
+               concurrency: int = 2):
+    """corpus Dataset × small query set → (qid, rank, vec_id, cosine).
+
+    ``queries_df`` needs columns (qid, vec). Two-phase: partial top-k
+    per batch, final top-k per qid. Exclude-self is the caller's choice
+    (filter qid != vec_id afterwards if ids share a namespace).
+    """
+    import ray
+
+    ref = ray.put(queries_df)
+    partial = corpus.map_batches(
+        BruteForceTopK, batch_format="pandas",
+        fn_constructor_kwargs={"queries_ref": ref, "k": k,
+                               "id_col": id_col, "emb_col": emb_col},
+        concurrency=concurrency)
+    return partial.groupby("qid").map_groups(
+        _final_topk_factory(k), batch_format="pandas")
+
+
+# --- LSH-bucketed variant (scale path) -------------------------------------
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from splitmix64 bits
+    (no RNG state; same planes on every node)."""
+    raw = H.splitmix64(np.arange(dim * n_bits, dtype=np.uint64)
+                       + np.uint64(seed) * np.uint64(0x9E3779B9))
+    # map to (-1, 1) floats
+    vals = (raw.astype(np.float64) / 2**64) * 2.0 - 1.0
+    return vals.reshape(n_bits, dim)
+
+
+def _signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0
+    out = np.zeros(len(mat), dtype=np.uint64)
+    for b in range(planes.shape[0]):
+        out |= bits[:, b].astype(np.uint64) << np.uint64(b)
+    return out
+
+
+class LshBucketTopK:
+    """Score only rows whose LSH bucket is within the query's probe set
+    (exact bucket + all 1-bit flips)."""
+
+    def __init__(self, queries_ref, k: int, n_bits: int = 8,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        import ray
+        qdf = ray.get(queries_ref)
+        self.qids = qdf["qid"].to_numpy()
+        self.qmat = _normalize(np.stack(qdf["vec"].to_numpy()))
+        self.planes = _hyperplanes(self.qmat.shape[1], n_bits)
+        qs = _signatures(self.qmat, self.planes)
+        probes = [qs]
+        for b in range(n_bits):
+            probes.append(qs ^ (np.uint64(1) << np.uint64(b)))
+        self.probe = np.stack(probes, axis=1)  # (n_q, n_bits+1)
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[self.id_col].to_numpy()
+        mat = _normalize(np.stack(df[self.emb_col].to_numpy()))
+        sig = _signatures(mat, self.planes)
+        out = {"qid": [], "vec_id": [], "cosine": []}
+        for qi in range(len(self.qids)):
+            mask = np.isin(sig, self.probe[qi])
+            if not mask.any():
+                continue
+            sims = mat[mask] @ self.qmat[qi]
+            sel_ids = ids[mask]
+            k = min(self.k, len(sims))
+            top = np.argpartition(-sims, k - 1)[:k] if len(sims) > k else \
+                np.arange(len(sims))
+            out["qid"].extend([self.qids[qi]] * len(top))
+            out["vec_id"].extend(sel_ids[top])
+            out["cosine"].extend(sims[top])
+        return pd.DataFrame(out)
+
+
+def knn_cosine_lsh(corpus, queries_df: pd.DataFrame, *, k: int = 5,
+                   n_bits: int = 8, concurrency: int = 2, **kw):
+    import ray
+
+    ref = ray.put(queries_df)
+    partial = corpus.map_batches(
+        LshBucketTopK, batch_format="pandas",
+        fn_constructor_kwargs={"queries_ref": ref, "k": k,
+                               "n_bits": n_bits, **kw},
+        concurrency=concurrency)
+    return partial.groupby("qid").map_groups(
+        _final_topk_factory(k), batch_format="pandas")

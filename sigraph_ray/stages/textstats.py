@@ -1,0 +1,153 @@
+"""Text-analysis operators: token counting, quality scoring, language
+identification, document fingerprinting (training-data ops from the
+build brief; the reference has no bulk text analytics — its only text
+path is LLM refinement, so these are scale-path additions).
+
+Token/quality kernels are pure pyarrow.compute (RE2) so the SQL oracle
+can reproduce them exactly; language-ID is a stopword-profile heuristic
+(rows-only check)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sigraph_ray.functions import hashing as H
+
+# token = maximal run of non-whitespace (identical to DuckDB
+# regexp_extract_all(text, '\S+'))
+_TOKEN_RE = r"\S+"
+_PUNCT_RE = r"[.,;:!?]"
+_STOP_RE = r"\b(?:the|and|of|a|to|in|is)\b"
+
+
+def text_stats_batch(batch: pa.Table, *, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    txt = batch.column(text_col)
+    n_chars = pc.utf8_length(txt)
+    n_tokens = pc.count_substring_regex(txt, _TOKEN_RE)
+    n_punct = pc.count_substring_regex(txt, _PUNCT_RE)
+    n_stop = pc.count_substring_regex(txt, _STOP_RE)
+    nt = pc.max_element_wise(n_tokens, pa.scalar(1))
+    token_chars = pc.utf8_length(
+        pc.replace_substring_regex(txt, r"\s", ""))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_chars": pc.cast(n_chars, pa.int64()),
+        "n_tokens": pc.cast(n_tokens, pa.int64()),
+        "n_punct": pc.cast(n_punct, pa.int64()),
+        "n_stopwords": pc.cast(n_stop, pa.int64()),
+        "mean_token_len": pc.divide(pc.cast(token_chars, pa.float64()),
+                                    pc.cast(nt, pa.float64())),
+    })
+
+
+def text_stats(ds, **kw):
+    return ds.map_batches(lambda b: text_stats_batch(b, **kw),
+                          batch_format="pyarrow")
+
+
+def quality_score_batch(batch: pa.Table, *, text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Deterministic quality heuristic in [0,1]: length band +
+    punctuation presence + stopword ratio band (C4-style signals made
+    explicit and exactly reproducible in SQL)."""
+    st = text_stats_batch(batch, text_col=text_col, id_col=id_col)
+    n_tokens = st.column("n_tokens")
+    n_punct = st.column("n_punct")
+    n_stop = st.column("n_stopwords")
+    nt = pc.cast(pc.max_element_wise(n_tokens, pa.scalar(1)), pa.float64())
+    len_ok = pc.cast(pc.and_(pc.greater_equal(n_tokens, pa.scalar(10)),
+                             pc.less_equal(n_tokens, pa.scalar(100000))),
+                     pa.float64())
+    punct_ok = pc.cast(pc.greater(n_punct, pa.scalar(0)), pa.float64())
+    stop_ratio = pc.divide(pc.cast(n_stop, pa.float64()), nt)
+    stop_ok = pc.cast(pc.greater_equal(stop_ratio, pa.scalar(0.01)),
+                      pa.float64())
+    score = pc.divide(pc.add(pc.add(len_ok, punct_ok), stop_ok),
+                      pa.scalar(3.0))
+    return pa.table({
+        id_col: st.column(id_col),
+        "n_tokens": n_tokens,
+        "stop_ratio": stop_ratio,
+        "quality_score": score,
+    })
+
+
+def quality_scores(ds, **kw):
+    return ds.map_batches(lambda b: quality_score_batch(b, **kw),
+                          batch_format="pyarrow")
+
+
+def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text
+    (SQL-reproducible: md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))."""
+    txt = batch.column(text_col)
+    norm = pc.utf8_lower(pc.utf8_trim_whitespace(txt))
+    norm = pc.replace_substring_regex(norm, r"\s+", " ")
+    digests = H.md5_hex(norm.to_pylist())
+    return pa.table({
+        id_col: batch.column(id_col),
+        "fingerprint": pa.array(digests, pa.string()),
+    })
+
+
+def fingerprints(ds, **kw):
+    return ds.map_batches(lambda b: fingerprint_batch(b, **kw),
+                          batch_format="pyarrow")
+
+
+# --- language ID (stopword-profile heuristic; rows-only oracle) ------------
+
+_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is that it for with as was on are this".split()),
+    "de": frozenset("der die das und ist von mit nicht ein eine zu auf für den".split()),
+    "es": frozenset("el la de que y en los se del las por un con una para".split()),
+    "fr": frozenset("le la de et les des en un une du que pour dans est sur".split()),
+    "ko": frozenset(),  # CJK handled by script detection below
+    "zh": frozenset(),
+}
+
+
+class LangId:
+    """Actor-pool language identifier: stopword-profile scores +
+    unicode-script detection for CJK/Hangul; profiles built once per
+    actor."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        import re
+        self.text_col = text_col
+        self.id_col = id_col
+        self.word = re.compile(r"[a-zà-ÿ]+")
+        self.hangul = re.compile(r"[가-힯]")
+        self.cjk = re.compile(r"[一-鿿]")
+        self.profiles = {k: v for k, v in _PROFILES.items() if v}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        langs, scores = [], []
+        for t in df[self.text_col].fillna(""):
+            low = t.lower()
+            if len(self.hangul.findall(low)) * 2 > max(1, len(low)) * 0.1:
+                langs.append("ko"); scores.append(1.0); continue
+            if len(self.cjk.findall(low)) * 2 > max(1, len(low)) * 0.1:
+                langs.append("zh"); scores.append(1.0); continue
+            toks = self.word.findall(low)
+            if not toks:
+                langs.append(""); scores.append(0.0); continue
+            best, best_s = "", 0.0
+            for lang, prof in sorted(self.profiles.items()):
+                s = sum(1 for w in toks if w in prof) / len(toks)
+                if s > best_s:
+                    best, best_s = lang, s
+            langs.append(best if best_s > 0.02 else "")
+            scores.append(round(best_s, 6))
+        return pd.DataFrame({self.id_col: df[self.id_col],
+                             "pred_lang": langs, "lang_score": scores})
+
+
+def lang_id(ds, *, concurrency: int = 2, **kw):
+    return ds.map_batches(LangId, batch_format="pandas",
+                          fn_constructor_kwargs=kw, concurrency=concurrency)
