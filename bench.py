@@ -1,0 +1,198 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "kg_triples_per_sec": ..., "kg_docs_per_sec": ...}
+
+``--scaling`` runs the headline KG pipeline in two fresh processes
+(num_cpus=8 and 32) on the same input and reports both throughputs plus
+scaling efficiency T(4N)/(4·T(N)) (the sandbox stand-in for N vs 4N
+nodes; BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    # bounded object store usage: let the streaming executor backpressure
+    ctx.execution_options.preserve_order = False
+
+
+def _n_pages() -> int:
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    return n_docs * 4
+
+
+def bench_kg(concurrency: int):
+    """Headline: pages → extract → triples → entities/edges (full KG)."""
+    from sigraph_ray.pipelines import kg as K
+    from sigraph_ray.stages import canonicalize as C
+
+    n = _n_pages()
+    pages = K.synth_pages(n, parallelism=max(NUM_CPUS * 2, 8))
+    t0 = time.time()
+    triples = K.extract_triples_pipeline(
+        pages, concurrency=concurrency).materialize()
+    n_triples = triples.count()
+    n_entities = C.canonicalize_entities(triples).count()
+    n_edges = K.build_kg_edges(triples).count()
+    dt = time.time() - t0
+    return dt, {"n_pages": n, "n_triples": n_triples,
+                "n_entities": n_entities, "n_edges": n_edges}
+
+
+def bench_prov_graph():
+    from sigraph_ray.pipelines import queries as Q
+    from sigraph_ray.stages import provenance_graph as G
+
+    t0 = time.time()
+    events = Q.derive_prov_events(SF_DIR)
+    g = G.build_graph(events)
+    counts = {k: g[k].count() for k in ("nodes", "edges", "traces")}
+    return time.time() - t0, counts
+
+
+def bench_relational():
+    from sigraph_ray.pipelines import queries as Q
+
+    t0 = time.time()
+    Q.q_lineitem_agg(SF_DIR).to_pandas()
+    Q.q_events_hourly(SF_DIR).to_pandas()
+    Q.q_top_customers(SF_DIR).to_pandas()
+    return time.time() - t0, {}
+
+
+def bench_text():
+    from sigraph_ray.pipelines import queries as Q
+
+    t0 = time.time()
+    Q.q_text_stats(SF_DIR).to_pandas()
+    Q.q_quality_scores(SF_DIR).to_pandas()
+    Q.q_fingerprints(SF_DIR).to_pandas()
+    return time.time() - t0, {}
+
+
+def bench_dedup():
+    from sigraph_ray.pipelines import queries as Q
+
+    t0 = time.time()
+    Q.q_minhash_dedup(SF_DIR).to_pandas()
+    return time.time() - t0, {}
+
+
+def bench_knn():
+    from sigraph_ray.pipelines import queries as Q
+
+    t0 = time.time()
+    Q.q_knn_cosine(SF_DIR).to_pandas()
+    return time.time() - t0, {}
+
+
+def main():
+    import ray
+
+    _init_ray()
+    concurrency = max(2, NUM_CPUS - 2)
+    # warm the page cache + actor pool path with one small untimed run
+    from sigraph_ray.pipelines import kg as K
+
+    K.extract_triples_pipeline(K.synth_pages(64, parallelism=4),
+                               concurrency=2).count()
+
+    queries: dict[str, float] = {}
+    kg_sec, kg_info = bench_kg(concurrency)
+    queries["kg_build"] = round(kg_sec, 3)
+    for name, fn in [("prov_graph", bench_prov_graph),
+                     ("relational", bench_relational),
+                     ("text_analysis", bench_text),
+                     ("minhash_dedup", bench_dedup),
+                     ("knn_cosine", bench_knn)]:
+        sec, _ = fn()
+        queries[name] = round(sec, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "end-to-end pipeline seconds (headline: KG construction"
+                  " pages→triples→entities/edges)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "kg_pages": kg_info["n_pages"],
+        "kg_triples": kg_info["n_triples"],
+        "kg_docs_per_sec": round(kg_info["n_pages"] / kg_sec, 1),
+        "kg_triples_per_sec": round(kg_info["n_triples"] / kg_sec, 1),
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        res = subprocess.run([sys.executable, __file__, "--kg-only"],
+                             env=env, capture_output=True, text=True,
+                             check=True)
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    thr_lo = r_lo["kg_triples_per_sec"]
+    thr_hi = r_hi["kg_triples_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    print(json.dumps({
+        "headline": "kg_build",
+        "sf": SF_DIR,
+        f"sec_{lo}": r_lo["kg_sec"], f"sec_{hi}": r_hi["kg_sec"],
+        f"triples_per_sec_{lo}": thr_lo, f"triples_per_sec_{hi}": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+def kg_only():
+    import ray
+
+    _init_ray()
+    from sigraph_ray.pipelines import kg as K
+
+    K.extract_triples_pipeline(K.synth_pages(64, parallelism=4),
+                               concurrency=2).count()
+    sec, info = bench_kg(max(2, NUM_CPUS - 2))
+    ray.shutdown()
+    print(json.dumps({"kg_sec": round(sec, 3),
+                      "kg_triples": info["n_triples"],
+                      "kg_triples_per_sec": round(info["n_triples"] / sec, 1),
+                      "num_cpus": NUM_CPUS}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--kg-only" in sys.argv:
+        kg_only()
+    else:
+        main()

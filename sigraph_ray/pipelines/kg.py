@@ -46,9 +46,26 @@ def synth_pages(n: int, *, parallelism: int = 0):
         lambda b: synth.pages_batch(b["id"]), batch_format="numpy")
 
 
-def extract_triples_pipeline(pages, *, concurrency=4, batch_size: int = 1024):
+def extract_triples_pipeline(pages, *, concurrency=4, batch_size: int = 1024,
+                             fused: bool = True):
     """pages → deduplicated normalized triple Dataset with columns
-    (doc_url, chunk_id, ord, subj, subj_type, pred, obj, obj_type)."""
+    (doc_url, chunk_id, ord, subj, subj_type, pred, obj, obj_type).
+
+    ``fused=True`` (default, the throughput path) keeps every doc-local
+    step (chunk → extract → V3 resolve → normalize → per-doc dedup)
+    inside one actor-pool stage, so no shuffle happens before the
+    canonicalization aggregates. ``fused=False`` runs the same steps as
+    separate composable stages (per-url groupby for V3) — identical
+    output, used to cross-check the fusion.
+    """
+    if fused:
+        docs = pages.map_batches(E.extract_text_batch,
+                                 batch_format="pyarrow",
+                                 batch_size=batch_size)
+        return docs.map_batches(T.DocTripleExtractor,
+                                batch_format="pyarrow",
+                                batch_size=batch_size,
+                                concurrency=concurrency)
     chunks = E.extract_and_chunk(pages)
     triples = T.extract_triples_stage(
         chunks, concurrency=concurrency, batch_size=batch_size)
@@ -100,12 +117,13 @@ def build_kg_edges(triples):
     return agg.map_batches(T.triples_with_direction, batch_format="pyarrow")
 
 
-def build_kg(pages, *, concurrency=4, batch_size: int = 1024) -> dict:
+def build_kg(pages, *, concurrency=4, batch_size: int = 1024,
+             fused: bool = True) -> dict:
     """Full KG build. Returns lazy Datasets:
     triples (per-doc provenance), entities (canonical node table),
     edges (global typed edge table), mentions (doc→entity pairs)."""
     triples = extract_triples_pipeline(
-        pages, concurrency=concurrency, batch_size=batch_size)
+        pages, concurrency=concurrency, batch_size=batch_size, fused=fused)
     entities = C.canonicalize_entities(triples)
     edges = build_kg_edges(triples)
     mentions = build_mentions(triples)

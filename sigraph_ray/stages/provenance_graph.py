@@ -369,6 +369,8 @@ def prune_orphans(nodes, edges, traces, contains, matches):
     cc = contains.groupby(["unit_id", "trace_id"]).aggregate(
         Count(alias_name="n_contained"))
     singles = cc.filter(expr="n_contained == 1").to_pandas()
+    if len(singles) == 0 or "unit_id" not in singles.columns:
+        return nodes, edges, traces, contains, 0
     single_traces = set(zip(singles["unit_id"], singles["trace_id"]))
     if not single_traces:
         return nodes, edges, traces, contains, 0
@@ -439,14 +441,25 @@ def _drop_traces_factory(trace_set):
 # ---------------------------------------------------------------------------
 
 
-def build_graph(events, *, prune: bool = True) -> dict:
+def build_graph(events, *, prune: bool = True,
+                materialize_parsed: bool = True) -> dict:
     """events Dataset (GraphNode schema, FIXTURES.md F2) → graph tables.
 
     Returns dict of Datasets: nodes, edges, traces, contains, matches,
     quarantined. All six are lazy; materialize via O5 sorted writes
     (:func:`sorted_materialize`).
+
+    ``materialize_parsed`` pins the parsed/validated event stream in the
+    object store once, since FIVE downstream branches (nodes, edges,
+    traces, contains, matches) consume it — without this each branch
+    re-executes the parse. This is also the pipeline's natural
+    stage/manifest boundary (SURVEY.md §4.2 resume layout); at 100 TB
+    the same boundary is a partitioned Parquet stage directory instead
+    of the object store (state/manifest.py).
     """
     parsed = events.map_batches(parse_events_batch, batch_format="pyarrow")
+    if materialize_parsed:
+        parsed = parsed.materialize()
     ok, bad = split_quarantine(parsed)
     nodes = build_nodes(ok)
     edges = build_edges(ok)

@@ -73,6 +73,54 @@ def extract_triples_stage(chunks, *, concurrency: int | tuple[int, int] = 4,
     return resolved.map_batches(normalize_batch, batch_format="pyarrow")
 
 
+class DocTripleExtractor:
+    """Fused doc-local stage: chunk (400/40) → extract (V1-V5) →
+    resolve generic actors (V3) → normalize (E1/E2/E3) → per-doc dedup,
+    all inside one actor-pool ``map_batches`` over DOCUMENT rows.
+
+    Every one of those steps is document-local (V3 resolves within one
+    report, dedup is per (doc_url, subj, pred, obj)), so keeping a
+    document's chunks inside one batch eliminates the per-url groupby
+    shuffle entirely — the only remaining wide exchanges in the KG
+    pipeline are the real canonicalization/edge aggregations. This is
+    the throughput path; the unfused stages above exist for
+    composability and are semantics-identical (tested).
+    """
+
+    def __init__(self) -> None:
+        from sigraph_ray.functions import text as TXT
+        self._chunk = TXT.chunk_text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        urls = batch.column("url").to_pylist()
+        texts = pc.utf8_lower(batch.column("text")).to_pylist()
+        rows_url: list[str] = []
+        rows_cid: list[int] = []
+        rows_text: list[str] = []
+        for u, t in zip(urls, texts):
+            for ci, ch in enumerate(self._chunk(t)):
+                rows_url.append(u)
+                rows_cid.append(ci)
+                rows_text.append(ch)
+        cdf = pd.DataFrame({"url": rows_url, "chunk_id": rows_cid,
+                            "text": rows_text})
+        tr = X.extract_triples(cdf)
+        if len(tr):
+            tr = tr.groupby("doc_url", group_keys=False, sort=False)[
+                tr.columns.tolist()].apply(X.resolve_generic_actors)
+        out = pa.Table.from_pandas(tr, preserve_index=False)
+        out = normalize_batch(out)
+        # per-doc dedup (doc never spans batches here): keep min ord
+        df = out.to_pandas()
+        if len(df):
+            idx = df.groupby(["doc_url", "subj", "pred", "obj"],
+                             sort=False)["ord"].idxmin()
+            df = df.loc[idx.values]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def triples_with_direction(batch: pa.Table) -> pa.Table:
     """Apply sigraph's behavioral-pattern edge typing to the triple
     stream (SURVEY.md §1.4; element.py:192-226): read-like verbs behave

@@ -76,3 +76,18 @@ def test_scale_invariance(ray_session, tmp_path):
         t = t.sort_values(["doc_url", "subj", "pred", "obj"]).reset_index(drop=True)
         frames.append(t[["doc_url", "subj", "pred", "obj", "subj_type", "obj_type"]])
     pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+def test_fused_equals_unfused(ray_session):
+    """The fused doc-local extraction stage must be semantics-identical
+    to the composable chunk→extract→resolve→dedup chain."""
+    from sigraph_ray.pipelines import kg as K
+
+    cols = ["doc_url", "subj", "pred", "obj", "subj_type", "obj_type"]
+    a = K.build_kg(K.synth_pages(100, parallelism=3), concurrency=2,
+                   fused=True)["triples"].to_pandas()
+    b = K.build_kg(K.synth_pages(100, parallelism=3), concurrency=2,
+                   fused=False)["triples"].to_pandas()
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True))
