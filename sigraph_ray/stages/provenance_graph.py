@@ -467,6 +467,15 @@ def build_graph(events, *, prune: bool = True,
     contains = build_contains(ok)
     matches = build_matches(ok)
     if prune:
+        # prune consults contains/edges/matches several times (counts,
+        # candidate filters, degree sums) and the caller reads every
+        # output; pin the aggregated tables (post-shuffle, small
+        # relative to the event stream) so no branch re-runs upstream.
+        nodes = nodes.materialize()
+        edges = edges.materialize()
+        traces = traces.materialize()
+        contains = contains.materialize()
+        matches = matches.materialize()
         nodes, edges, traces, contains, n_pruned = prune_orphans(
             nodes, edges, traces, contains, matches)
     else:
