@@ -460,6 +460,13 @@ def build_graph(events, *, prune: bool = True,
     parsed = events.map_batches(parse_events_batch, batch_format="pyarrow")
     if materialize_parsed:
         parsed = parsed.materialize()
+    return build_graph_from_parsed(parsed, prune=prune)
+
+
+def build_graph_from_parsed(parsed, *, prune: bool = True) -> dict:
+    """Graph tables from an already-parsed event stream — the entry
+    point used when resuming from a persisted parse stage
+    (state/manifest.read_stage)."""
     ok, bad = split_quarantine(parsed)
     nodes = build_nodes(ok)
     edges = build_edges(ok)

@@ -1,0 +1,151 @@
+"""Per-partition lineage manifest + resumable stage output (SURVEY.md
+§4.2 "Checkpoint / resume").
+
+The reference has NO checkpointing — durability is delegated to
+Neo4j/OpenSearch and a failed request is simply lost (exceptions
+swallowed at src/graph/graph_session.py:128-132). The north rule
+requires the opposite: every partition emits a lineage record and a
+restarted job skips completed partitions.
+
+Layout (one directory per stage):
+
+    out/<stage>/part-<idx>/…parquet       (atomic: tmp dir + rename)
+    out/<stage>/_manifest/part-<idx>.json (lineage record, written last)
+
+A partition is complete iff its manifest record exists — the record is
+written only after the data rename succeeds, so a crash mid-write
+leaves either nothing or an orphan tmp dir (ignored and overwritten on
+retry). Lineage record fields: partition id, input description, row
+count, byte size, wall seconds, content hash (order-insensitive
+row-hash xor — stable across block orders), engine version.
+
+Resume = rerun the same ``write_stage``: completed partitions are
+skipped by manifest lookup; only missing partitions execute
+(stage-granular resume; mid-shuffle resume works by materializing the
+pre-shuffle stage through this writer, then re-running the shuffle over
+the completed stage directory — SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from sigraph_ray import __version__
+
+
+def _content_hash(table: pa.Table) -> str:
+    """Order-insensitive 64-bit content hash: xor of per-row hashes of
+    the column-sorted table (identical for any row/block order)."""
+    import numpy as np
+
+    df = table.select(sorted(table.column_names)).to_pandas()
+    h = pd.util.hash_pandas_object(df.astype(str), index=False).to_numpy()
+    return format(int(np.bitwise_xor.reduce(h.astype(np.uint64))), "016x") \
+        if len(h) else "0" * 16
+
+
+def partition_done(stage_dir: str, part: int) -> bool:
+    return os.path.exists(os.path.join(stage_dir, "_manifest",
+                                       f"part-{part:05d}.json"))
+
+
+def write_partition(stage_dir: str, part: int, table: pa.Table,
+                    input_desc: str = "") -> dict:
+    """Atomically write one partition + its lineage record.
+    Returns the record. Skips (returning the existing record) if the
+    partition is already complete."""
+    man_dir = os.path.join(stage_dir, "_manifest")
+    os.makedirs(man_dir, exist_ok=True)
+    man_path = os.path.join(man_dir, f"part-{part:05d}.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            return json.load(f)
+
+    final_dir = os.path.join(stage_dir, f"part-{part:05d}")
+    tmp_dir = final_dir + ".tmp"
+    t0 = time.time()
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
+    pq.write_table(table, os.path.join(tmp_dir, "data.parquet"))
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.rename(tmp_dir, final_dir)
+
+    record = {
+        "partition": part,
+        "input": input_desc,
+        "rows": table.num_rows,
+        "bytes": table.nbytes,
+        "wall_s": round(time.time() - t0, 4),
+        "content_hash": _content_hash(table),
+        "engine_version": __version__,
+        "completed_at_unix": int(time.time()),
+    }
+    tmp_man = man_path + ".tmp"
+    with open(tmp_man, "w") as f:
+        json.dump(record, f)
+    os.rename(tmp_man, man_path)
+    return record
+
+
+def write_stage(ds, stage_dir: str, *, input_desc: str = "") -> list[dict]:
+    """Write a Dataset as a resumable stage: one partition per block
+    batch, skipping partitions already recorded in the manifest.
+
+    Partition indices follow the dataset's block order under
+    ``preserve_order`` semantics of ``iter_batches`` — for a
+    deterministic pipeline the same partition index always holds the
+    same rows, which is what makes skip-on-resume sound. Returns all
+    lineage records (existing + new)."""
+    os.makedirs(stage_dir, exist_ok=True)
+    records = []
+    for part, batch in enumerate(
+            ds.iter_batches(batch_format="pyarrow", batch_size=None)):
+        if partition_done(stage_dir, part):
+            records.append(read_record(stage_dir, part))
+            continue
+        records.append(write_partition(stage_dir, part, batch, input_desc))
+    return records
+
+
+def read_record(stage_dir: str, part: int) -> dict:
+    with open(os.path.join(stage_dir, "_manifest",
+                           f"part-{part:05d}.json")) as f:
+        return json.load(f)
+
+
+def read_stage(stage_dir: str):
+    """Load a completed stage directory as a Dataset (only partitions
+    with manifest records)."""
+    import ray.data as rd
+
+    parts = sorted(
+        p for p in os.listdir(os.path.join(stage_dir, "_manifest"))
+        if p.endswith(".json"))
+    paths = [os.path.join(stage_dir, p[:-5], "data.parquet") for p in parts]
+    return rd.read_parquet(paths)
+
+
+def stage_summary(stage_dir: str) -> dict:
+    """Aggregate counters across partition records (the batch analog of
+    the reference's SigraphSummary, element.py:442-455 / U6)."""
+    man_dir = os.path.join(stage_dir, "_manifest")
+    total = {"partitions": 0, "rows": 0, "bytes": 0, "wall_s": 0.0}
+    for p in sorted(os.listdir(man_dir)):
+        if not p.endswith(".json"):
+            continue
+        with open(os.path.join(man_dir, p)) as f:
+            r = json.load(f)
+        total["partitions"] += 1
+        total["rows"] += r["rows"]
+        total["bytes"] += r["bytes"]
+        total["wall_s"] += r["wall_s"]
+    return total
