@@ -72,9 +72,11 @@ class MinHashSignatures:
                 ids.append(i)
                 bands.append(b)
                 bhashes.append(bh)
-        return pd.DataFrame({"doc_id": ids, "band": bands,
-                             "band_hash": np.array(bhashes, dtype=np.uint64)
-                             .astype(np.int64)})
+        out = pd.DataFrame({"doc_id": ids, "band": bands,
+                            "band_hash": np.array(bhashes, dtype=np.uint64)
+                            .astype(np.int64)})
+        # Arrow out — the band groupby shuffles these blocks
+        return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -220,9 +222,10 @@ class SimHashStage:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         sh = [H.simhash64(t.split()) for t in df[self.text_col].fillna("")]
-        return pd.DataFrame({"doc_id": df[self.id_col],
-                             "simhash": np.array(sh, dtype=np.uint64)
-                             .astype(np.int64)})
+        out = pd.DataFrame({"doc_id": df[self.id_col],
+                            "simhash": np.array(sh, dtype=np.uint64)
+                            .astype(np.int64)})
+        return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def simhash_candidates(ds, *, max_hamming: int = 3, **kw):
@@ -241,7 +244,8 @@ def simhash_candidates(ds, *, max_hamming: int = 3, **kw):
             rows["seg"].extend([s] * len(df))
             rows["seg_val"].extend(seg.astype(np.int64))
             rows["simhash"].extend(df["simhash"])
-        return pd.DataFrame(rows)
+        return pa.Table.from_pandas(pd.DataFrame(rows),
+                                    preserve_index=False)
 
     def bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates("doc_id").sort_values("doc_id")
