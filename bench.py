@@ -47,18 +47,22 @@ def _n_pages() -> int:
 
 
 def bench_kg(concurrency: int):
-    """Headline: pages → extract → triples → entities/edges (full KG)."""
+    """Headline: pages → extract → triples → edges → entities (full KG).
+
+    One streaming pass: extraction feeds the edge-aggregate shuffle
+    directly (no mid-pipeline triple materialization); the entity table
+    derives from the small materialized edge table."""
     from sigraph_ray.pipelines import kg as K
-    from sigraph_ray.stages import canonicalize as C
 
     n = _n_pages()
     pages = K.synth_pages(n, parallelism=max(NUM_CPUS * 2, 8))
     t0 = time.time()
     triples = K.extract_triples_pipeline(
-        pages, concurrency=concurrency).materialize()
-    n_triples = triples.count()
-    n_entities = C.canonicalize_entities(triples).count()
-    n_edges = K.build_kg_edges(triples).count()
+        pages, concurrency=concurrency, batch_size=256)
+    edges = K.build_kg_edges(triples).materialize()
+    n_edges = edges.count()
+    n_triples = int(edges.sum("weight"))
+    n_entities = K.entities_from_edges(edges).count()
     dt = time.time() - t0
     return dt, {"n_pages": n, "n_triples": n_triples,
                 "n_entities": n_entities, "n_edges": n_edges}

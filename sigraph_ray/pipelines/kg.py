@@ -117,6 +117,35 @@ def build_kg_edges(triples):
     return agg.map_batches(T.triples_with_direction, batch_format="pyarrow")
 
 
+def _entity_from_edge_partials(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    a = df[["subj", "subj_type", "weight"]].rename(
+        columns={"subj": "entity", "subj_type": "entity_type"})
+    b = df[["obj", "obj_type", "weight"]].rename(
+        columns={"obj": "entity", "obj_type": "entity_type"})
+    allm = pd.concat([a, b], ignore_index=True)
+    part = (allm.groupby(["entity", "entity_type"], sort=False)["weight"]
+            .sum().rename("n").reset_index())
+    return pa.Table.from_pandas(part, preserve_index=False)
+
+
+def entities_from_edges(edges):
+    """Canonical entity table derived from the (already aggregated, much
+    smaller) edge table — identical to
+    :func:`~sigraph_ray.stages.canonicalize.canonicalize_entities` over
+    the triple stream (each deduped triple row contributes exactly one
+    subj and one obj mention, and edge ``weight`` counts those rows),
+    but the big shuffle happens once: entity aggregation reuses it.
+    Equivalence is tested (test_kg_e2e.test_entities_from_edges_equal).
+    """
+    from sigraph_ray.stages.canonicalize import _entity_finalize
+
+    partials = edges.map_batches(_entity_from_edge_partials,
+                                 batch_format="pyarrow")
+    return partials.groupby("entity").map_groups(
+        _entity_finalize, batch_format="pandas")
+
+
 def build_kg(pages, *, concurrency=4, batch_size: int = 1024,
              fused: bool = True) -> dict:
     """Full KG build. Returns lazy Datasets:

@@ -91,3 +91,19 @@ def test_fused_equals_unfused(ray_session):
     pd.testing.assert_frame_equal(
         a[cols].sort_values(cols).reset_index(drop=True),
         b[cols].sort_values(cols).reset_index(drop=True))
+
+
+def test_entities_from_edges_equal(ray_session):
+    """entities_from_edges(build_kg_edges(t)) must equal
+    canonicalize_entities(t) — same rows, types, mention counts."""
+    from sigraph_ray.pipelines import kg as K
+    from sigraph_ray.stages import canonicalize as C
+
+    triples = K.extract_triples_pipeline(
+        K.synth_pages(120, parallelism=3), concurrency=2).materialize()
+    a = C.canonicalize_entities(triples).to_pandas()
+    b = K.entities_from_edges(K.build_kg_edges(triples)).to_pandas()
+    cols = ["entity", "entity_type", "n_mentions"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values("entity").reset_index(drop=True),
+        b[cols].sort_values("entity").reset_index(drop=True))
