@@ -138,12 +138,11 @@ def entities_from_edges(edges):
     but the big shuffle happens once: entity aggregation reuses it.
     Equivalence is tested (test_kg_e2e.test_entities_from_edges_equal).
     """
-    from sigraph_ray.stages.canonicalize import _entity_finalize
+    from sigraph_ray.stages.canonicalize import finalize_entity_partials
 
     partials = edges.map_batches(_entity_from_edge_partials,
                                  batch_format="pyarrow")
-    return partials.groupby("entity").map_groups(
-        _entity_finalize, batch_format="pandas")
+    return finalize_entity_partials(partials)
 
 
 def build_kg(pages, *, concurrency=4, batch_size: int = 1024,

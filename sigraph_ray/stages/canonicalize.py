@@ -65,8 +65,61 @@ def canonicalize_entities(triples):
     is one row per normalized entity key.
     """
     partials = triples.map_batches(_entity_partials, batch_format="pyarrow")
-    return partials.groupby("entity").map_groups(
-        _entity_finalize, batch_format="pandas")
+    return finalize_entity_partials(partials)
+
+
+# Closed entity-type vocabulary (functions/verbs.TYPE_RULES targets +
+# defaults), lexicographically sorted — the argmax encoding below relies
+# on it. Types outside the vocabulary get code 0 (sorts last on ties).
+ENTITY_TYPE_VOCAB = ("Entity", "File", "Network", "Process", "Registry")
+_TYPE_TO_CODE = {t: len(ENTITY_TYPE_VOCAB) - i
+                 for i, t in enumerate(ENTITY_TYPE_VOCAB)}
+_CODE_TO_TYPE = {c: t for t, c in _TYPE_TO_CODE.items()}
+_ENC_BASE = 16  # > len(vocab)
+
+
+def finalize_entity_partials(partials):
+    """(entity, entity_type, n) partials → (entity, entity_type,
+    n_mentions), fully vectorized (no per-group Python):
+
+    1. groupby(entity, entity_type) Sum(n)  — global per-type counts;
+    2. encode ``enc = n * 16 + code(type)`` where code is descending in
+       lexicographic type order, so ``max(enc)`` picks the
+       most-mentioned type with ties broken lexicographically —
+       identical to :func:`_entity_finalize`;
+    3. groupby(entity) Max(enc) + Sum(n).
+    """
+    bytype = partials.groupby(["entity", "entity_type"]).aggregate(
+        Sum("n", alias_name="n"))
+
+    def encode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        codes = pa.array([_TYPE_TO_CODE.get(v, 0)
+                          for v in t.column("entity_type").to_pylist()],
+                         pa.int64())
+        enc = pc.add(pc.multiply(pc.cast(t.column("n"), pa.int64()),
+                                 pa.scalar(_ENC_BASE)), codes)
+        return pa.table({"entity": t.column("entity"),
+                         "enc": enc, "n": t.column("n")})
+
+    agg = (bytype.map_batches(encode, batch_format="pyarrow")
+           .groupby("entity")
+           .aggregate(Max("enc", alias_name="enc"),
+                      Sum("n", alias_name="n_mentions")))
+
+    def decode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        enc = t.column("enc").to_pylist()
+        types = [_CODE_TO_TYPE.get(e % _ENC_BASE, "Entity") for e in enc]
+        return pa.table({
+            "entity": t.column("entity"),
+            "entity_type": pa.array(types, pa.string()),
+            "n_mentions": pc.cast(t.column("n_mentions"), pa.int64()),
+        })
+
+    return agg.map_batches(decode, batch_format="pyarrow")
 
 
 # --- G4: connected components (alias merge) --------------------------------
