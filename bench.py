@@ -42,8 +42,9 @@ def _init_ray():
 def _n_pages() -> int:
     import pyarrow.parquet as pq
 
+    mult = int(os.environ.get("GRAFT_KG_PAGES_MULT", "4"))
     n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
-    return n_docs * 4
+    return n_docs * mult
 
 
 def bench_kg(concurrency: int):
@@ -157,7 +158,11 @@ def main():
 
 def scaling():
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling uses a larger corpus so the parallel phases dominate
+        # the fixed shuffle/scheduling cost (same input at both levels)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_KG_PAGES_MULT=os.environ.get(
+                       "GRAFT_KG_PAGES_MULT", "20"))
         res = subprocess.run([sys.executable, __file__, "--kg-only"],
                              env=env, capture_output=True, text=True,
                              check=True)

@@ -92,29 +92,46 @@ def dedup_triples(triples):
         _triple_dedup_final, batch_format="pandas")
 
 
+_SEP = "\x1f"  # unit separator — cannot occur in normalized entities
+
+
 def _edge_partials(batch: pa.Table) -> pa.Table:
-    df = batch.to_pandas()
-    part = (df.groupby(["subj", "subj_type", "pred", "obj", "obj_type"],
-                       sort=False)
-            .agg(n_mentions=("ord", "size"), n_docs=("doc_url", "nunique"))
-            .reset_index())
-    return pa.Table.from_pandas(part, preserve_index=False)
+    """Combiner: per-batch mention counts keyed by ONE composite string
+    (subj␟subj_type␟pred␟obj␟obj_type) — the shuffle sorts a single
+    key column instead of five, and the count is a vectorized Arrow
+    value_counts (no pandas groupby)."""
+    key = pc.binary_join_element_wise(
+        batch.column("subj"), batch.column("subj_type"),
+        batch.column("pred"), batch.column("obj"),
+        batch.column("obj_type"), _SEP)
+    vc = pc.value_counts(key.combine_chunks()
+                         if isinstance(key, pa.ChunkedArray) else key)
+    return pa.table({"edge_key": vc.field("values"),
+                     "n_mentions": pc.cast(vc.field("counts"), pa.int64())})
+
+
+def _edge_decode(batch: pa.Table) -> pa.Table:
+    parts = pc.split_pattern(batch.column("edge_key"), _SEP)
+    cols = {}
+    for i, name in enumerate(
+            ["subj", "subj_type", "pred", "obj", "obj_type"]):
+        cols[name] = pc.list_element(parts, i)
+    cols["weight"] = batch.column("weight")
+    return pa.table(cols)
 
 
 def build_kg_edges(triples):
-    """Global edge table: one row per (subj, pred, obj) with mention and
-    document counts, behavioral action_type, and §1.4 direction applied
-    (src/dst columns). Two-phase aggregate (combiner first).
-
-    ``n_docs`` is an over-count upper bound when one document's chunks
-    split across batches; exact per-edge doc counts would need a second
-    distinct shuffle — documented trade-off (the triple stream is
-    already deduped per (doc_url, subj, pred, obj), so ``n_mentions``
-    IS exact doc count)."""
+    """Global edge table: one row per (subj, pred, obj) with mention
+    count (= document count: the triple stream is already deduped per
+    (doc_url, subj, pred, obj)), behavioral action_type, and §1.4
+    direction applied (src/dst columns). Two-phase aggregate: the
+    per-batch combiner shrinks the shuffle to one partial row per key
+    per batch, keyed by a single composite string."""
     partials = triples.map_batches(_edge_partials, batch_format="pyarrow")
-    agg = partials.groupby(["subj", "subj_type", "pred", "obj", "obj_type"]) \
-        .aggregate(Sum("n_mentions", alias_name="weight"))
-    return agg.map_batches(T.triples_with_direction, batch_format="pyarrow")
+    agg = partials.groupby("edge_key").aggregate(
+        Sum("n_mentions", alias_name="weight"))
+    decoded = agg.map_batches(_edge_decode, batch_format="pyarrow")
+    return decoded.map_batches(T.triples_with_direction, batch_format="pyarrow")
 
 
 def _entity_from_edge_partials(batch: pa.Table) -> pa.Table:
