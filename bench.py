@@ -162,7 +162,7 @@ def scaling():
         # the fixed shuffle/scheduling cost (same input at both levels)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_KG_PAGES_MULT=os.environ.get(
-                       "GRAFT_KG_PAGES_MULT", "20"))
+                       "GRAFT_KG_PAGES_MULT", "80"))
         res = subprocess.run([sys.executable, __file__, "--kg-only"],
                              env=env, capture_output=True, text=True,
                              check=True)
