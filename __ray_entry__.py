@@ -37,6 +37,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prov_edges": Q.q_prov_edges,
         "prov_contains": Q.q_prov_contains,
         "prov_quarantine": Q.q_prov_quarantine,
+        "related_traces": Q.q_related_traces,
+        "distinct_units": Q.q_distinct_units,
+        "rule_match": Q.q_rule_match,
+        "doc_page": Q.q_doc_page,
+        "prov_subgraph": Q.q_prov_subgraph,
         # relational coverage (S1, F1, J-family, U-family, O-family)
         "lineitem_agg": Q.q_lineitem_agg,
         "top_customers": Q.q_top_customers,
@@ -69,6 +74,10 @@ def oracle_sql() -> dict[str, str]:
         "prov_edges": Q.SQL_PROV_EDGES,
         "prov_contains": Q.SQL_PROV_CONTAINS,
         "prov_quarantine": Q.SQL_PROV_QUARANTINE,
+        "related_traces": Q.SQL_RELATED_TRACES,
+        "distinct_units": Q.SQL_DISTINCT_UNITS,
+        "rule_match": Q.SQL_RULE_MATCH,
+        "doc_page": Q.SQL_DOC_PAGE,
         "lineitem_agg": Q.SQL_LINEITEM_AGG,
         "top_customers": Q.SQL_TOP_CUSTOMERS,
         "events_hourly": Q.SQL_EVENTS_HOURLY,

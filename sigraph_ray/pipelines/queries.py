@@ -619,3 +619,175 @@ def q_kg_entities(sf_dir: str):
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     pages = K.synth_pages(n_docs * 2)
     return K.build_kg(pages, concurrency=2)["entities"]
+
+
+# --- traversal / rule-match / pagination coverage --------------------------
+
+def q_related_traces(sf_dir: str):
+    """G2 k-hop related traces (schema.py:89-110) over the derived
+    provenance graph, max_hop=3, unpruned; oracle is a DuckDB recursive
+    CTE over the identical adjacency."""
+    from sigraph_ray.stages import provenance_graph as G
+    from sigraph_ray.stages import traversal as TV
+
+    parsed = derive_prov_events(sf_dir).map_batches(
+        G.parse_events_batch, batch_format="pyarrow").materialize()
+    g = G.build_graph_from_parsed(parsed, prune=False)
+    return TV.related_traces(g, max_hop=3)
+
+
+SQL_RELATED_TRACES = f"""
+WITH RECURSIVE {_SQL_BASE},
+edges_raw AS (
+  SELECT CASE WHEN actor_type = 'READ_RECV' THEN artifact ELSE parent_key END AS src,
+         CASE WHEN actor_type = 'READ_RECV' THEN parent_key ELSE artifact END AS dst
+  FROM valid WHERE parent_key IS NOT NULL AND parent_span_id IS NOT NULL
+),
+cur AS (SELECT DISTINCT unit_id, trace_id, artifact FROM valid),
+appearances AS (
+  SELECT artifact, ord, unit_id, trace_id, 0 AS kind FROM valid
+  UNION ALL
+  SELECT parent_key AS artifact, ord, unit_id, trace_id, 1 AS kind
+  FROM valid WHERE parent_key IS NOT NULL
+),
+firsts AS (
+  SELECT artifact, unit_id, trace_id, kind,
+         row_number() OVER (PARTITION BY artifact ORDER BY ord) AS rn
+  FROM appearances
+),
+contains_all AS (
+  SELECT unit_id, trace_id, artifact FROM cur
+  UNION
+  SELECT unit_id, trace_id, artifact FROM firsts WHERE rn = 1 AND kind = 1
+),
+matches_all AS (
+  SELECT DISTINCT 'rule_' || CAST(event_id % 12 AS VARCHAR) AS rule_id, artifact
+  FROM valid WHERE event_id % 5 = 0
+),
+undirected AS (
+  SELECT src AS u, dst AS v FROM edges_raw
+  UNION SELECT dst, src FROM edges_raw
+  UNION SELECT 'trace:' || unit_id || ':' || trace_id, artifact FROM contains_all
+  UNION SELECT artifact, 'trace:' || unit_id || ':' || trace_id FROM contains_all
+  UNION SELECT 'rule:' || rule_id, artifact FROM matches_all
+  UNION SELECT artifact, 'rule:' || rule_id FROM matches_all
+),
+seeds AS (SELECT DISTINCT unit_id, trace_id FROM valid),
+walk(unit_id, trace_id, node, d) AS (
+  SELECT unit_id, trace_id, 'trace:' || unit_id || ':' || trace_id, 0 FROM seeds
+  UNION
+  SELECT w.unit_id, w.trace_id, a.v, w.d + 1
+  FROM walk w JOIN undirected a ON w.node = a.u
+  WHERE w.d < 3
+),
+reach AS (
+  SELECT unit_id, trace_id, node, min(d) AS hops
+  FROM walk GROUP BY unit_id, trace_id, node
+)
+SELECT unit_id, trace_id AS trace_a,
+       substr(node, length('trace:' || unit_id || ':') + 1) AS trace_b,
+       hops
+FROM reach
+WHERE hops > 0
+  AND node LIKE 'trace:' || unit_id || ':%'
+  AND trace_id < substr(node, length('trace:' || unit_id || ':') + 1)
+ORDER BY unit_id, trace_a, trace_b
+"""
+
+
+# Fixed sigma-style rules: (rule_id, RE2 pattern over document text).
+# The reference compiles uploaded Sigma YAML to Lucene queries at
+# runtime (src/rule/session.py:24-94, J7 match at db_session.py:233-345);
+# here rules are compiled once per actor and broadcast as a table.
+TEXT_RULES: tuple[tuple[str, str], ...] = (
+    ("r_sortmerge", "sort .* merge"),
+    ("r_window", "window (?:scan|agg|join)"),
+    ("r_bigjoin", "big .* join"),
+    ("r_sparkrow", "spark row"),
+)
+
+
+def q_rule_match(sf_dir: str):
+    """J7 — rule set broadcast, predicate scan per rule; emits
+    (rule_id, doc_id) match pairs."""
+    import ray.data as rd
+
+    class RuleMatcher:
+        def __init__(self):
+            import re
+
+            self.rules = [(rid, re.compile(pat)) for rid, pat in TEXT_RULES]
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            out_r, out_d = [], []
+            for rid, rx in self.rules:
+                hit = df["text"].str.contains(rx, regex=True)
+                ids = df.loc[hit, "doc_id"]
+                out_r.extend([rid] * len(ids))
+                out_d.extend(ids)
+            return pa.Table.from_pandas(
+                pd.DataFrame({"rule_id": out_r, "doc_id": out_d}),
+                preserve_index=False)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(RuleMatcher, batch_format="pandas", concurrency=2)
+
+
+SQL_RULE_MATCH = """
+WITH rules(rule_id, pat) AS (VALUES
+  ('r_sortmerge', 'sort .* merge'),
+  ('r_window', 'window (?:scan|agg|join)'),
+  ('r_bigjoin', 'big .* join'),
+  ('r_sparkrow', 'spark row'))
+SELECT rule_id, doc_id
+FROM rules JOIN documents ON regexp_matches(text, pat)
+ORDER BY rule_id, doc_id
+"""
+
+
+def q_distinct_units(sf_dir: str):
+    """U7 — distinct unit ids (schema.py:170-180)."""
+    from sigraph_ray.stages import provenance_graph as G
+
+    parsed = derive_prov_events(sf_dir).map_batches(
+        G.parse_events_batch, batch_format="pyarrow")
+    ok, _ = G.split_quarantine(parsed)
+    units = ok.unique("unit_id")
+    return pd.DataFrame({"unit_id": sorted(units)})
+
+
+SQL_DISTINCT_UNITS = f"""
+WITH {_SQL_BASE}
+SELECT DISTINCT unit_id FROM valid ORDER BY unit_id
+"""
+
+
+def q_doc_page(sf_dir: str):
+    """O1 — sorted pagination (timestamp-analog sort key + id tiebreak,
+    db_session.py:170-223): page 3 of size 50 ordered by
+    (n_chars, doc_id)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    page = ds.sort(["n_chars", "doc_id"]).limit(150).to_pandas().tail(50)
+    return page.reset_index(drop=True)
+
+
+SQL_DOC_PAGE = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars, doc_id LIMIT 50 OFFSET 100
+"""
+
+
+def q_prov_subgraph(sf_dir: str):
+    """G3 provenance subgraph export (schema.py:127-152) — rows-only
+    check (path semantics exercised in tests/test_traversal.py)."""
+    from sigraph_ray.stages import provenance_graph as G
+    from sigraph_ray.stages import traversal as TV
+
+    parsed = derive_prov_events(sf_dir).map_batches(
+        G.parse_events_batch, batch_format="pyarrow").materialize()
+    g = G.build_graph_from_parsed(parsed, prune=False)
+    return TV.provenance_subgraph(g, max_hop=5)

@@ -1,0 +1,99 @@
+"""G2/G4 traversal operators: k-hop related traces on a hand-built
+graph, G3 subgraph filters, connected components determinism."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+def _mini_graph(ray_session):
+    """Hand-built graph:
+    unit u: t1 contains a, t2 contains b, a→b action edge (t1~t2 in
+    3 hops); t3 contains c (isolated); t4 shares artifact a with t1
+    (2 hops). Rule r matches a."""
+    import ray.data as rd
+
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": ["a@FILE"], "dst": ["b@FILE"], "type": ["CREATE"]}))
+    contains = rd.from_pandas(pd.DataFrame({
+        "unit_id": ["u"] * 4,
+        "trace_id": ["t1", "t2", "t3", "t4"],
+        "artifact": ["a@FILE", "b@FILE", "c@FILE", "a@FILE"]}))
+    matches = rd.from_pandas(pd.DataFrame({
+        "rule_id": ["r"], "artifact": ["a@FILE"]}))
+    traces = rd.from_pandas(pd.DataFrame({
+        "unit_id": ["u"] * 4, "trace_id": ["t1", "t2", "t3", "t4"]}))
+    nodes = rd.from_pandas(pd.DataFrame({
+        "artifact": ["a@FILE", "b@FILE", "c@FILE"],
+        "artifact_type": ["FILE", "FILE", "FILE"]}))
+    return {"edges": edges, "contains": contains, "matches": matches,
+            "traces": traces, "nodes": nodes}
+
+
+def test_related_traces_hops(ray_session):
+    from sigraph_ray.stages import traversal as TV
+
+    g = _mini_graph(ray_session)
+    out = TV.related_traces(g, max_hop=3).to_pandas()
+    got = {(r.trace_a, r.trace_b): r.hops for r in out.itertuples()}
+    # t1~t4 share artifact a → 2 hops; t1~t2 via a→b edge → 3 hops;
+    # t2~t4 via b→a(undirected)→t4 → 3 hops; t3 isolated.
+    assert got == {("t1", "t4"): 2, ("t1", "t2"): 3, ("t2", "t4"): 3}
+    assert (out["trace_a"] < out["trace_b"]).all()
+
+
+def test_related_traces_hop_limit(ray_session):
+    from sigraph_ray.stages import traversal as TV
+
+    g = _mini_graph(ray_session)
+    out = TV.related_traces(g, max_hop=2).to_pandas()
+    got = set(zip(out["trace_a"], out["trace_b"]))
+    assert got == {("t1", "t4")}
+
+
+def test_subgraph_filters(ray_session):
+    """G3: src not MODULE; not both endpoints PROCESS; dst contained in
+    the same trace (schema.py:141-144)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages import traversal as TV
+
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": ["m@MODULE", "p@PROCESS", "p@PROCESS", "a@FILE"],
+        "dst": ["a@FILE", "q@PROCESS", "a@FILE", "x@FILE"],
+        "type": ["LOAD", "LAUNCH", "ACCESS", "CREATE"]}))
+    contains = rd.from_pandas(pd.DataFrame({
+        "unit_id": ["u"] * 4,
+        "trace_id": ["t"] * 4,
+        "artifact": ["m@MODULE", "p@PROCESS", "q@PROCESS", "a@FILE"]}))
+    g = {
+        "edges": edges, "contains": contains,
+        "matches": rd.from_pandas(pd.DataFrame({"rule_id": [], "artifact": []})),
+        "traces": rd.from_pandas(pd.DataFrame({"unit_id": ["u"], "trace_id": ["t"]})),
+        "nodes": rd.from_pandas(pd.DataFrame({
+            "artifact": ["m@MODULE", "p@PROCESS", "q@PROCESS", "a@FILE", "x@FILE"],
+            "artifact_type": ["MODULE", "PROCESS", "PROCESS", "FILE", "FILE"]})),
+    }
+    out = TV.provenance_subgraph(g, max_hop=5).to_pandas()
+    got = set(zip(out["src"], out["type"], out["dst"]))
+    # m@MODULE source excluded; p→q both PROCESS excluded;
+    # a→x dst not contained excluded; only p→a survives.
+    assert got == {("p@PROCESS", "ACCESS", "a@FILE")}
+
+
+def test_connected_components_deterministic(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.canonicalize import connected_components
+
+    edges = pd.DataFrame({
+        "u": ["a", "b", "x", "y", "m"],
+        "v": ["b", "c", "y", "z", "m"],  # chain abc, chain xyz, self m
+    })
+    for blocks in (1, 3):
+        ds = rd.from_pandas(edges).repartition(blocks)
+        lab = connected_components(ds, num_partitions=4).to_pandas()
+        got = dict(zip(lab["node"], lab["comp"]))
+        assert got == {"a": "a", "b": "a", "c": "a",
+                       "x": "x", "y": "x", "z": "x", "m": "m"}
