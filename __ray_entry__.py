@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rule_match": Q.q_rule_match,
         "doc_page": Q.q_doc_page,
         "prov_subgraph": Q.q_prov_subgraph,
+        "trace_listing": Q.q_trace_listing,
+        "iocs": Q.q_iocs,
         # relational coverage (S1, F1, J-family, U-family, O-family)
         "lineitem_agg": Q.q_lineitem_agg,
         "top_customers": Q.q_top_customers,
@@ -78,6 +80,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_units": Q.SQL_DISTINCT_UNITS,
         "rule_match": Q.SQL_RULE_MATCH,
         "doc_page": Q.SQL_DOC_PAGE,
+        "trace_listing": Q.SQL_TRACE_LISTING,
+        "iocs": Q.SQL_IOCS,
         "lineitem_agg": Q.SQL_LINEITEM_AGG,
         "top_customers": Q.SQL_TOP_CUSTOMERS,
         "events_hourly": Q.SQL_EVENTS_HOURLY,

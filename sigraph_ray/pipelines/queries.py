@@ -791,3 +791,88 @@ def q_prov_subgraph(sf_dir: str):
         G.parse_events_batch, batch_format="pyarrow").materialize()
     g = G.build_graph_from_parsed(parsed, prune=False)
     return TV.provenance_subgraph(g, max_hop=5)
+
+
+def q_trace_listing(sf_dir: str):
+    """F1 — trace listing drops traces with span_count < 2
+    (graph_session.py:221-223)."""
+    from sigraph_ray.stages import provenance_graph as G
+
+    parsed = derive_prov_events(sf_dir).map_batches(
+        G.parse_events_batch, batch_format="pyarrow")
+    ok, _ = G.split_quarantine(parsed)
+    traces = G.build_traces(ok)
+    return traces.filter(expr="span_count >= 2")
+
+
+SQL_TRACE_LISTING = f"""
+WITH {_SQL_BASE}
+SELECT unit_id, trace_id,
+       min(ts) AS start_time,
+       nullif(arg_min(coalesce(process_name, chr(1)), ord), chr(1))
+           AS representative_process_name,
+       count(*) AS span_count
+FROM valid GROUP BY unit_id, trace_id HAVING count(*) >= 2
+ORDER BY unit_id, trace_id
+"""
+
+
+def q_iocs(sf_dir: str):
+    """J5/U8 — SigraphIoC listing for unit_0: non-PROCESS contained
+    artifacts with trace ids semi-joined to the unit's trace set
+    (element_behavior.py:788-851). Scalar projection (trace list →
+    count) for hash-stable compare."""
+    from sigraph_ray.stages import provenance_graph as G
+
+    parsed = derive_prov_events(sf_dir).map_batches(
+        G.parse_events_batch, batch_format="pyarrow").materialize()
+    g = G.build_graph_from_parsed(parsed, prune=False)
+    iocs = G.extract_iocs(g, "unit_0")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "artifact": df["artifact"],
+            "artifact_type": df["artifact_type"],
+            "image": df["image"],
+            "n_unit_traces": df["related_trace_ids"].map(len).astype("int64"),
+        })
+    return iocs.map_batches(project, batch_format="pandas")
+
+
+SQL_IOCS = f"""
+WITH {_SQL_BASE},
+from_events AS (
+  SELECT artifact,
+         count(DISTINCT trace_id) FILTER (unit_id = 'unit_0') AS n_unit_traces,
+         arg_max(process_name, ord) FILTER (process_name IS NOT NULL) AS image
+  FROM valid GROUP BY artifact
+),
+appearances AS (
+  SELECT artifact, ord, unit_id, trace_id, 0 AS kind FROM valid
+  UNION ALL
+  SELECT parent_key AS artifact, ord, unit_id, trace_id, 1 AS kind
+  FROM valid WHERE parent_key IS NOT NULL
+),
+firsts AS (
+  SELECT artifact, unit_id, kind,
+         row_number() OVER (PARTITION BY artifact ORDER BY ord) AS rn
+  FROM appearances
+),
+contained_u0 AS (
+  SELECT DISTINCT artifact FROM valid WHERE unit_id = 'unit_0'
+  UNION
+  SELECT artifact FROM firsts WHERE rn = 1 AND kind = 1 AND unit_id = 'unit_0'
+),
+allnodes AS (
+  SELECT c.artifact,
+         coalesce(e.n_unit_traces, 0) AS n_unit_traces,
+         e.image
+  FROM contained_u0 c LEFT JOIN from_events e ON c.artifact = e.artifact
+)
+SELECT artifact,
+       string_split(artifact, '@')[-1] AS artifact_type,
+       image, n_unit_traces
+FROM allnodes
+WHERE string_split(artifact, '@')[-1] <> 'PROCESS'
+ORDER BY artifact
+"""

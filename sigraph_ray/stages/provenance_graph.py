@@ -511,3 +511,112 @@ def sorted_materialize(graph: dict, out_dir: str) -> dict:
         graph[name].sort(keys).write_parquet(path)
         paths[name] = path
     return paths
+
+
+# ---------------------------------------------------------------------------
+# S7 — constraint assertions; J5/U8 — IoC extraction; D1 — unit flush;
+# S10 — JSON export
+# ---------------------------------------------------------------------------
+
+
+def validate_graph(graph: dict) -> dict:
+    """The batch form of the reference's uniqueness constraints
+    (schema.py:11-21: ``artifact`` unique per label, ``trace_id``
+    unique): post-groupby key-uniqueness assertions
+    (count == count_distinct). Returns the counts; raises AssertionError
+    on violation."""
+    n_nodes = graph["nodes"].count()
+    n_node_keys = len(graph["nodes"].select_columns(["artifact"])
+                      .to_pandas()["artifact"].unique())
+    assert n_nodes == n_node_keys, (n_nodes, n_node_keys)
+    traces = graph["traces"]
+    n_traces = traces.count()
+    keys = traces.map_batches(
+        lambda t: pa.table({"k": pc.binary_join_element_wise(
+            t.column("unit_id"), t.column("trace_id"), "|")}),
+        batch_format="pyarrow")
+    n_trace_keys = len(keys.to_pandas()["k"].unique())
+    assert n_traces == n_trace_keys, (n_traces, n_trace_keys)
+    return {"nodes": n_nodes, "traces": n_traces}
+
+
+def extract_iocs(graph: dict, unit_id: str):
+    """SigraphIoC query (element_behavior.py:788-851 + schema.py:154-168
+    U8): distinct properties of non-PROCESS artifacts contained in the
+    unit's traces, with ``related_trace_ids`` filtered to the unit's own
+    trace set (J5 broadcast semi-join). Output columns:
+    image, artifact, artifact_type, related_trace_ids."""
+    import ray
+
+    tdf = graph["traces"].select_columns(["unit_id", "trace_id"]).to_pandas()
+    unit_traces = set(tdf.loc[tdf["unit_id"] == unit_id, "trace_id"])
+    cdf = graph["contains"].select_columns(
+        ["unit_id", "artifact"]).to_pandas()
+    contained = set(cdf.loc[cdf["unit_id"] == unit_id, "artifact"])
+    traces_ref = ray.put(unit_traces)
+    contained_ref = ray.put(contained)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ts = ray.get(traces_ref)
+        member = ray.get(contained_ref)
+        sel = df[(df["artifact_type"] != "PROCESS")
+                 & df["artifact"].isin(member)].copy()
+        sel["related_trace_ids"] = sel["related_trace_ids"].map(
+            lambda ids: [t for t in ids if t in ts])
+        return sel[["image", "artifact", "artifact_type",
+                    "related_trace_ids"]]
+
+    return graph["nodes"].map_batches(f, batch_format="pandas")
+
+
+def write_unit_partitioned(ds, out_dir: str, *, table: str) -> None:
+    """Write a unit-keyed table as one directory per unit
+    (``out_dir/<table>/unit_id=<u>/``) so a unit can be flushed by
+    dropping its directory — the batch equivalent of the reference's
+    DETACH DELETE / delete_by_query flush (D1/D2,
+    schema.py:182-193, db_session.py:448-481)."""
+    ds.write_parquet(f"{out_dir}/{table}", partition_cols=["unit_id"])
+
+
+def flush_unit(out_dir: str, unit_id: str, *, tables=("traces", "contains",
+                                                      "documents")) -> list[str]:
+    """D1/D2 — drop every partition directory of one unit. Returns the
+    removed paths."""
+    import glob
+    import shutil
+
+    removed = []
+    for table in tables:
+        for path in glob.glob(f"{out_dir}/{table}/unit_id={unit_id}"):
+            shutil.rmtree(path)
+            removed.append(path)
+    return removed
+
+
+def export_json(graph: dict, path: str, *, max_rows: int = 100_000) -> dict:
+    """S10 — small-result JSON export ``{"nodes": [...], "rels": [...]}``
+    (element_behavior.py:639-699 / helper.py:10-52 serializers). Guarded
+    by ``max_rows``: this is a query-path sink, not a bulk sink."""
+    import json
+
+    nodes = graph["nodes"].limit(max_rows).to_pandas()
+    edges = graph["edges"].limit(max_rows).to_pandas()
+    doc = {
+        "nodes": [
+            {"elementId": r["artifact"],
+             "labels": [r["artifact_type"]],
+             "properties": {
+                 "artifact": r["artifact"], "image": r["image"],
+                 "related_span_ids": list(r["related_span_ids"]),
+                 "related_trace_ids": list(r["related_trace_ids"])}}
+            for _, r in nodes.iterrows()],
+        "rels": [
+            {"startNodeElementId": r["src"], "endNodeElementId": r["dst"],
+             "type": r["type"],
+             "properties": {"start_time": str(r["start_time"]),
+                            "weight": int(r["weight"])}}
+            for _, r in edges.iterrows()],
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, sort_keys=True)
+    return {"nodes": len(doc["nodes"]), "rels": len(doc["rels"])}
