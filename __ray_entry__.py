@@ -12,8 +12,23 @@ here (or in the library it calls) calls ``ray.init`` / ``ray.shutdown``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# Make the repo importable regardless of the caller's cwd. Note: Ray
+# WORKER processes inherit sys.path from the raylet environment, which
+# is fixed at ray.init time — so a driver whose cwd is outside the repo
+# must export PYTHONPATH=/root/repo (or chdir here) before ray.init for
+# worker-side imports of `sigraph_ray` to resolve. The standard driver
+# runs from the repo root, where Python's cwd-on-sys.path covers both.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    if os.environ.get("PYTHONPATH") else _REPO)
 
 
 def entry() -> Any:

@@ -69,6 +69,10 @@ def bench_kg(concurrency: int):
                 "n_entities": n_entities, "n_edges": n_edges}
 
 
+def _collect(x):
+    return x.to_pandas() if hasattr(x, "to_pandas") else x
+
+
 def bench_prov_graph():
     from sigraph_ray.pipelines import queries as Q
     from sigraph_ray.stages import provenance_graph as G
@@ -84,9 +88,9 @@ def bench_relational():
     from sigraph_ray.pipelines import queries as Q
 
     t0 = time.time()
-    Q.q_lineitem_agg(SF_DIR).to_pandas()
-    Q.q_events_hourly(SF_DIR).to_pandas()
-    Q.q_top_customers(SF_DIR).to_pandas()
+    _collect(Q.q_lineitem_agg(SF_DIR))
+    _collect(Q.q_events_hourly(SF_DIR))
+    _collect(Q.q_top_customers(SF_DIR))
     return time.time() - t0, {}
 
 
@@ -94,9 +98,9 @@ def bench_text():
     from sigraph_ray.pipelines import queries as Q
 
     t0 = time.time()
-    Q.q_text_stats(SF_DIR).to_pandas()
-    Q.q_quality_scores(SF_DIR).to_pandas()
-    Q.q_fingerprints(SF_DIR).to_pandas()
+    _collect(Q.q_text_stats(SF_DIR))
+    _collect(Q.q_quality_scores(SF_DIR))
+    _collect(Q.q_fingerprints(SF_DIR))
     return time.time() - t0, {}
 
 
@@ -104,7 +108,7 @@ def bench_dedup():
     from sigraph_ray.pipelines import queries as Q
 
     t0 = time.time()
-    Q.q_minhash_dedup(SF_DIR).to_pandas()
+    _collect(Q.q_minhash_dedup(SF_DIR))
     return time.time() - t0, {}
 
 
@@ -112,7 +116,7 @@ def bench_knn():
     from sigraph_ray.pipelines import queries as Q
 
     t0 = time.time()
-    Q.q_knn_cosine(SF_DIR).to_pandas()
+    _collect(Q.q_knn_cosine(SF_DIR))
     return time.time() - t0, {}
 
 
