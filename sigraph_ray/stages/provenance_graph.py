@@ -216,33 +216,55 @@ def build_nodes(events):
 # ---------------------------------------------------------------------------
 
 
+# Encoded arg-min/arg-max aggregation: the deterministic order key
+# ``ord`` (fixed-layout, no \x1f) is prefixed to a \x1f-joined payload,
+# so a plain vectorized Min/Max over ONE string column is an
+# arg-min/arg-max over ``ord`` — no per-group Python in the finalizer
+# (\x1f sorts below every character that can appear in ``ord``, so
+# prefix-ordering is preserved).
+_SEP = "\x1f"
+
+
 def _trace_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: one row per (unit, trace) with the encoded
+    min-ord payload and a partial count."""
     df = batch.select(["unit_id", "trace_id", "timestamp",
                        "process_name", "ord"]).to_pandas()
-    idx = df.groupby(["unit_id", "trace_id"], sort=False)["ord"].idxmin()
-    firsts = df.loc[idx.values]
-    n = df.groupby(["unit_id", "trace_id"], sort=False).size()
-    firsts = firsts.set_index(["unit_id", "trace_id"])
-    firsts["n"] = n
-    return pa.Table.from_pandas(firsts.reset_index(), preserve_index=False)
+    ts_us = df["timestamp"].astype("int64").astype(str)
+    proc = df["process_name"]
+    payload = (df["ord"] + _SEP + ts_us + _SEP
+               + np.where(proc.isna(), "0", "1" + proc.fillna("")))
+    enc = pd.DataFrame({
+        "k": df["unit_id"] + _SEP + df["trace_id"], "v": payload})
+    g = enc.groupby("k", sort=False)["v"]
+    part = g.min().rename("v").reset_index()
+    part["n"] = g.size().values
+    return pa.Table.from_pandas(part, preserve_index=False)
 
 
-def _trace_finalize(group: pd.DataFrame) -> pd.DataFrame:
-    first = group.loc[group["ord"].idxmin()]
-    return pd.DataFrame({
-        "unit_id": [first["unit_id"]],
-        "trace_id": [first["trace_id"]],
-        "start_time": [first["timestamp"]],
-        "representative_process_name": pd.array(
-            [first["process_name"]], dtype="object"),
-        "span_count": [int(group["n"].sum())],
-    })
+def _trace_decode(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    keys = df["k"].str.split(_SEP, n=1, expand=True)
+    vals = df["v"].str.split(_SEP, n=2, expand=True)
+    proc = vals[2]
+    rep = proc.str.slice(1).where(proc.str.slice(0, 1) == "1", None)
+    return pa.Table.from_pandas(pd.DataFrame({
+        "unit_id": keys[0],
+        "trace_id": keys[1],
+        "start_time": pd.to_datetime(vals[1].astype("int64"), unit="us"),
+        "representative_process_name": rep.astype(object),
+        "span_count": df["span_count"].astype("int64"),
+    }), preserve_index=False)
 
 
 def build_traces(events):
+    from ray.data.aggregate import Min as AggMin
+    from ray.data.aggregate import Sum as AggSum
+
     partials = events.map_batches(_trace_partials, batch_format="pyarrow")
-    return partials.groupby(["unit_id", "trace_id"]).map_groups(
-        _trace_finalize, batch_format="pandas")
+    agg = partials.groupby("k").aggregate(
+        AggMin("v", alias_name="v"), AggSum("n", alias_name="span_count"))
+    return agg.map_batches(_trace_decode, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -251,33 +273,42 @@ def build_traces(events):
 
 
 def _edge_partials(batch: pa.Table) -> pa.Table:
-    t = batch.filter(pc.and_(batch.column("has_parent").combine_chunks()
-                             if isinstance(batch.column("has_parent"), pa.ChunkedArray)
-                             else batch.column("has_parent"),
+    """Per-batch combiner: one row per (src, type, dst) carrying the
+    encoded max-ord (last-writer) payload."""
+    t = batch.filter(pc.and_(_arr(batch.column("has_parent")),
                              pc.is_valid(batch.column("src"))))
     df = t.select(["src", "dst", "action_type", "timestamp",
                    "weight", "ord"]).to_pandas()
     if len(df) == 0:
-        return pa.Table.from_pandas(df, preserve_index=False)
-    idx = df.groupby(["src", "action_type", "dst"], sort=False)["ord"].idxmax()
-    return pa.Table.from_pandas(df.loc[idx.values], preserve_index=False)
+        return pa.table({"k": pa.array([], pa.string()),
+                         "v": pa.array([], pa.string())})
+    k = df["src"] + _SEP + df["action_type"] + _SEP + df["dst"]
+    v = (df["ord"] + _SEP + df["timestamp"].astype("int64").astype(str)
+         + _SEP + df["weight"].astype(str))
+    part = pd.DataFrame({"k": k, "v": v}).groupby(
+        "k", sort=False)["v"].max().reset_index()
+    return pa.Table.from_pandas(part, preserve_index=False)
 
 
-def _edge_finalize(group: pd.DataFrame) -> pd.DataFrame:
-    last = group.loc[group["ord"].idxmax()]
-    return pd.DataFrame({
-        "src": [last["src"]],
-        "dst": [last["dst"]],
-        "type": [last["action_type"]],
-        "start_time": [last["timestamp"]],
-        "weight": [int(last["weight"])],
-    })
+def _edge_decode(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    keys = df["k"].str.split(_SEP, n=2, expand=True)
+    vals = df["v"].str.split(_SEP, n=2, expand=True)
+    return pa.Table.from_pandas(pd.DataFrame({
+        "src": keys[0],
+        "dst": keys[2],
+        "type": keys[1],
+        "start_time": pd.to_datetime(vals[1].astype("int64"), unit="us"),
+        "weight": vals[2].astype("int64"),
+    }), preserve_index=False)
 
 
 def build_edges(events):
+    from ray.data.aggregate import Max as AggMax
+
     partials = events.map_batches(_edge_partials, batch_format="pyarrow")
-    return partials.groupby(["src", "action_type", "dst"]).map_groups(
-        _edge_finalize, batch_format="pandas")
+    agg = partials.groupby("k").aggregate(AggMax("v", alias_name="v"))
+    return agg.map_batches(_edge_decode, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -286,41 +317,54 @@ def build_edges(events):
 
 
 def _appearance_partials(batch: pa.Table) -> pa.Table:
-    """(artifact, ord, trace_id, unit_id, kind) appearance stream,
-    pre-reduced to the per-batch min-ord appearance per artifact.
-    kind: 0 = current node, 1 = parent."""
+    """Per-batch combiner: encoded min-ord appearance per artifact.
+    Payload ``ord␟kind␟unit␟trace`` — ord ties cannot occur across the
+    two kinds of one event because kind=0 (current) sorts before kind=1
+    (parent) at equal ord, matching the reference's within-event
+    sequence (node before parent, element_behavior.py:316-424)."""
     cur = batch.select(["artifact", "ord", "trace_id", "unit_id"]).to_pandas()
-    cur["kind"] = 0
+    cur_v = cur["ord"] + _SEP + "0" + _SEP + cur["unit_id"] + _SEP + cur["trace_id"]
     par = batch.filter(_arr(batch.column("has_parent"))).select(
         ["parent_key", "ord", "trace_id", "unit_id"]).to_pandas()
-    par = par.rename(columns={"parent_key": "artifact"})
-    par["kind"] = 1
-    allap = pd.concat([cur, par], ignore_index=True)
-    idx = allap.groupby("artifact", sort=False)["ord"].idxmin()
-    return pa.Table.from_pandas(allap.loc[idx.values], preserve_index=False)
-
-
-def _first_appearance(group: pd.DataFrame) -> pd.DataFrame:
-    return group.loc[[group["ord"].idxmin()]]
+    par_v = par["ord"] + _SEP + "1" + _SEP + par["unit_id"] + _SEP + par["trace_id"]
+    enc = pd.concat([
+        pd.DataFrame({"artifact": cur["artifact"], "v": cur_v}),
+        pd.DataFrame({"artifact": par["parent_key"], "v": par_v}),
+    ], ignore_index=True)
+    part = enc.groupby("artifact", sort=False)["v"].min().reset_index()
+    return pa.Table.from_pandas(part, preserve_index=False)
 
 
 def build_contains(events):
     """Distinct (unit_id, trace_id, artifact) CONTAINS pairs: every
-    current-node pair + the first-appearance-as-parent pairs."""
+    current-node pair + the first-appearance-as-parent pairs. Both legs
+    are vectorized aggregates (Count for distinct, encoded Min for the
+    arg-min)."""
+    from ray.data.aggregate import Count as AggCount
+    from ray.data.aggregate import Min as AggMin
+
     cur_pairs = (events
                  .map_batches(_distinct_current_pairs, batch_format="pyarrow")
                  .groupby(["unit_id", "trace_id", "artifact"])
-                 .map_groups(lambda g: g.head(1), batch_format="pandas"))
+                 .aggregate(AggCount(alias_name="_n"))
+                 .map_batches(
+                     lambda t: t.select(["unit_id", "trace_id", "artifact"]),
+                     batch_format="pyarrow"))
     first = (events.map_batches(_appearance_partials, batch_format="pyarrow")
-             .groupby("artifact")
-             .map_groups(_first_appearance, batch_format="pandas"))
-    parent_pairs = first.filter(expr="kind == 1").map_batches(
-        lambda t: t.select(["unit_id", "trace_id", "artifact"]),
-        batch_format="pyarrow")
-    # normalize to Arrow blocks before union (map_groups emits pandas blocks)
-    cur_pairs = cur_pairs.map_batches(
-        lambda t: t.select(["unit_id", "trace_id", "artifact"]),
-        batch_format="pyarrow")
+             .groupby("artifact").aggregate(AggMin("v", alias_name="v")))
+
+    def decode_parent_first(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        vals = df["v"].str.split(_SEP, n=3, expand=True)
+        sel = vals[1] == "1"
+        return pa.Table.from_pandas(pd.DataFrame({
+            "unit_id": vals.loc[sel, 2],
+            "trace_id": vals.loc[sel, 3],
+            "artifact": df.loc[sel, "artifact"],
+        }), preserve_index=False)
+
+    parent_pairs = first.map_batches(decode_parent_first,
+                                     batch_format="pyarrow")
     return cur_pairs.union(parent_pairs)
 
 
@@ -345,9 +389,13 @@ def _rule_pairs(batch: pa.Table) -> pa.Table:
 
 
 def build_matches(events):
+    from ray.data.aggregate import Count as AggCount
+
     return (events.map_batches(_rule_pairs, batch_format="pyarrow")
             .groupby(["rule_id", "artifact"])
-            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+            .aggregate(AggCount(alias_name="_n"))
+            .map_batches(lambda t: t.select(["rule_id", "artifact"]),
+                         batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
