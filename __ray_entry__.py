@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prov_subgraph": Q.q_prov_subgraph,
         "trace_listing": Q.q_trace_listing,
         "iocs": Q.q_iocs,
+        "drift_sequence": Q.q_drift_sequence,
         # relational coverage (S1, F1, J-family, U-family, O-family)
         "lineitem_agg": Q.q_lineitem_agg,
         "top_customers": Q.q_top_customers,
@@ -97,6 +98,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_page": Q.SQL_DOC_PAGE,
         "trace_listing": Q.SQL_TRACE_LISTING,
         "iocs": Q.SQL_IOCS,
+        "drift_sequence": Q.SQL_DRIFT_SEQUENCE,
         "lineitem_agg": Q.SQL_LINEITEM_AGG,
         "top_customers": Q.SQL_TOP_CUSTOMERS,
         "events_hourly": Q.SQL_EVENTS_HOURLY,

@@ -876,3 +876,80 @@ FROM allnodes
 WHERE string_split(artifact, '@')[-1] <> 'PROCESS'
 ORDER BY artifact
 """
+
+
+def q_drift_sequence(sf_dir: str):
+    """J6 — drift sequence for seed (unit_0, trace_0): seed trace's
+    event-docs unioned with those of all traces within 3 undirected
+    hops, sorted by (timestamp, span_id). Scalar projection."""
+    from sigraph_ray.stages import provenance_graph as G
+    from sigraph_ray.stages import traversal as TV
+
+    parsed = derive_prov_events(sf_dir).map_batches(
+        G.parse_events_batch, batch_format="pyarrow").materialize()
+    g = G.build_graph_from_parsed(parsed, prune=False)
+    ok, _ = G.split_quarantine(parsed)
+    docs = ok.select_columns(
+        ["unit_id", "trace_id", "span_id", "timestamp", "ord"])
+    seq = TV.drift_sequence(g, docs, "unit_0", "trace_0", max_hop=3,
+                            sort_cols=("ord",))
+    return seq.map_batches(
+        lambda t: t.select(["unit_id", "trace_id", "span_id", "timestamp"]),
+        batch_format="pyarrow")
+
+
+SQL_DRIFT_SEQUENCE = f"""
+WITH RECURSIVE {_SQL_BASE},
+edges_raw AS (
+  SELECT CASE WHEN actor_type = 'READ_RECV' THEN artifact ELSE parent_key END AS src,
+         CASE WHEN actor_type = 'READ_RECV' THEN parent_key ELSE artifact END AS dst
+  FROM valid WHERE parent_key IS NOT NULL AND parent_span_id IS NOT NULL
+),
+cur AS (SELECT DISTINCT unit_id, trace_id, artifact FROM valid),
+appearances AS (
+  SELECT artifact, ord, unit_id, trace_id, 0 AS kind FROM valid
+  UNION ALL
+  SELECT parent_key AS artifact, ord, unit_id, trace_id, 1 AS kind
+  FROM valid WHERE parent_key IS NOT NULL
+),
+firsts AS (
+  SELECT artifact, unit_id, trace_id, kind,
+         row_number() OVER (PARTITION BY artifact ORDER BY ord) AS rn
+  FROM appearances
+),
+contains_all AS (
+  SELECT unit_id, trace_id, artifact FROM cur
+  UNION
+  SELECT unit_id, trace_id, artifact FROM firsts WHERE rn = 1 AND kind = 1
+),
+matches_all AS (
+  SELECT DISTINCT 'rule_' || CAST(event_id % 12 AS VARCHAR) AS rule_id, artifact
+  FROM valid WHERE event_id % 5 = 0
+),
+undirected AS (
+  SELECT src AS u, dst AS v FROM edges_raw
+  UNION SELECT dst, src FROM edges_raw
+  UNION SELECT 'trace:' || unit_id || ':' || trace_id, artifact FROM contains_all
+  UNION SELECT artifact, 'trace:' || unit_id || ':' || trace_id FROM contains_all
+  UNION SELECT 'rule:' || rule_id, artifact FROM matches_all
+  UNION SELECT artifact, 'rule:' || rule_id FROM matches_all
+),
+walk(node, d) AS (
+  SELECT 'trace:unit_0:trace_0', 0
+  UNION
+  SELECT a.v, w.d + 1 FROM walk w JOIN undirected a ON w.node = a.u
+  WHERE w.d < 3
+),
+drift_traces AS (
+  SELECT DISTINCT trace_id FROM (
+    SELECT 'trace_0' AS trace_id
+    UNION ALL
+    SELECT substr(node, length('trace:unit_0:') + 1) AS trace_id FROM walk
+    WHERE node LIKE 'trace:unit_0:%'
+  ) u
+)
+SELECT v.unit_id, v.trace_id, v.span_id, v.ts AS timestamp
+FROM valid v JOIN drift_traces d ON v.trace_id = d.trace_id
+WHERE v.unit_id = 'unit_0'
+ORDER BY v.ord
+"""

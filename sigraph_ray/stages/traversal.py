@@ -189,3 +189,48 @@ def provenance_subgraph(graph: dict, *, max_hop: int = 5):
             "fwd_ref": ray.put(fwd), "contained_ref": ray.put(contained),
             "types_ref": ray.put(types), "max_hop": max_hop},
         concurrency=2)
+
+
+def drift_trace_set(graph: dict, unit_id: str, trace_id: str,
+                    *, max_hop: int = 5) -> set[str]:
+    """The trace set of a drift query: the seed trace plus every
+    same-unit trace within ``max_hop`` undirected hops (J6,
+    src/app/backend/v1/api.py:177-208 unions the seed's syslog sequence
+    with the sequences of all graph-related traces)."""
+    adj = _build_adjacency(graph)
+    start = f"trace:{unit_id}:{trace_id}"
+    out = {trace_id}
+    if start not in adj:
+        return out
+    dist = {start: 0}
+    frontier = [start]
+    for d in range(max_hop):
+        nxt = []
+        for cur in frontier:
+            for n in adj.get(cur, ()):
+                if n not in dist:
+                    dist[n] = d + 1
+                    nxt.append(n)
+        frontier = nxt
+    prefix = f"trace:{unit_id}:"
+    out |= {n[len(prefix):] for n in dist if n.startswith(prefix)}
+    return out
+
+
+def drift_sequence(graph: dict, docs, unit_id: str, trace_id: str,
+                   *, max_hop: int = 5, sort_cols=("timestamp", "span_id")):
+    """J6 — union of the seed trace's document sequence with the
+    sequences of all graph-related traces, re-sorted by timestamp
+    (api.py:177-208 + O2 final sort, db_session.py:211-214). ``docs``
+    is any Dataset with unit_id/trace_id plus the sort columns; the
+    trace set is broadcast (semi-join, no shuffle)."""
+    import ray
+
+    traces = drift_trace_set(graph, unit_id, trace_id, max_hop=max_hop)
+    ref = ray.put(traces)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ts = ray.get(ref)
+        return df[(df["unit_id"] == unit_id) & df["trace_id"].isin(ts)]
+
+    return docs.map_batches(f, batch_format="pandas").sort(list(sort_cols))
