@@ -35,15 +35,16 @@ def md5_hex(texts) -> list[str]:
 
 
 def token_hashes(tokens: list[str]) -> np.ndarray:
-    """Stable 64-bit FNV-1a per token, then splitmix64-mixed."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = np.uint64(0xCBF29CE484222325)
-        with np.errstate(over="ignore"):
-            for b in t.encode("utf-8"):
-                h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3) & _MASK64
-        out[i] = h
-    return splitmix64(out)
+    """Stable 64-bit hash per token: pandas' vectorized string hash
+    (fixed-key siphash — C speed, PYTHONHASHSEED-independent,
+    identical across processes), splitmix64-mixed."""
+    import pandas as pd
+
+    if not tokens:
+        return np.empty(0, np.uint64)
+    h = pd.util.hash_pandas_object(
+        pd.Series(tokens, dtype="object"), index=False).to_numpy()
+    return splitmix64(h.astype(np.uint64))
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:

@@ -1,0 +1,81 @@
+"""Dedup family: exact, MinHash-LSH, SimHash — planted-duplicate corpus
+(the driver's documents table is mostly unique, so we plant our own)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+BASE = ("the quick brown fox jumps over the lazy dog while the "
+        "spark engine shuffles blocks across the cluster nodes "
+        "and the reducer merges sorted runs into one output file")
+
+
+def _corpus() -> pd.DataFrame:
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": f"unique document {i} " + " ".join(
+            f"tok{i}_{j}" for j in range(30))})
+    # exact dupes of doc 100
+    rows.append({"doc_id": 100, "text": BASE})
+    rows.append({"doc_id": 101, "text": BASE})
+    # near-dup: one word changed
+    rows.append({"doc_id": 102, "text": BASE.replace("lazy", "sleepy")})
+    # near-dup: small suffix added
+    rows.append({"doc_id": 103, "text": BASE + " extra trailing words"})
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    import ray.data as rd
+
+    return rd.from_pandas(_corpus()).repartition(3)
+
+
+def test_exact_dedup(corpus):
+    from sigraph_ray.stages.dedup import exact_dedup
+
+    kept = exact_dedup(corpus).to_pandas()
+    ids = set(kept["kept_id"])
+    assert 100 in ids and 101 not in ids  # min doc_id kept per text
+    assert len(kept) == 43  # 44 docs - 1 exact dupe
+
+
+def test_minhash_lsh_clusters(corpus):
+    from sigraph_ray.stages.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(corpus, threshold=0.6, concurrency=2).to_pandas()
+    lab = dict(zip(out["doc_id"], out["cluster_id"]))
+    # the whole planted family collapses to min id 100
+    assert lab[100] == lab[101] == lab[102] == lab[103] == 100
+    # unique docs map to themselves
+    assert all(lab[i] == i for i in range(40))
+
+
+def test_simhash_candidates(corpus):
+    from sigraph_ray.stages.dedup import simhash_candidates
+
+    pairs = simhash_candidates(corpus, max_hamming=6).to_pandas()
+    got = set(map(tuple, pairs[["u", "v"]].values))
+    assert any({100, 101} <= {u, v} for u, v in got)  # exact dupes found
+    assert all(p["hamming"] <= 6 for _, p in pairs.iterrows())
+
+
+def test_hashing_stable_across_processes():
+    """Signatures must be identical across worker processes
+    (PYTHONHASHSEED-independent)."""
+    import subprocess
+    import sys
+
+    code = ("from sigraph_ray.functions.hashing import shingle_hashes;"
+            "print(shingle_hashes('a b c d e').tolist())")
+    outs = {
+        subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
+                       env={"PYTHONHASHSEED": str(seed), "PATH": "/usr/bin:/bin",
+                            "HOME": "/root"},
+                       capture_output=True, text=True).stdout
+        for seed in ("0", "42")
+    }
+    assert len(outs) == 1 and next(iter(outs)).strip()
