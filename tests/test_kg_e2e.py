@@ -107,3 +107,20 @@ def test_entities_from_edges_equal(ray_session):
     pd.testing.assert_frame_equal(
         a[cols].sort_values("entity").reset_index(drop=True),
         b[cols].sort_values("entity").reset_index(drop=True))
+
+
+def test_sorted_materialize_roundtrip(ray_session, tmp_path):
+    """O5: sorted Parquet materialization of both pipelines — files are
+    written, sorted by the declared keys, and read back identical."""
+    import ray.data as rd
+
+    from sigraph_ray.pipelines import kg as K
+
+    out = K.build_kg(K.synth_pages(60, parallelism=2), concurrency=2)
+    paths = K.sorted_materialize(out, str(tmp_path / "kg"))
+    tri = rd.read_parquet(paths["triples"]).to_pandas()
+    key = tri[["doc_url", "subj", "pred", "obj"]].apply(tuple, axis=1)
+    assert list(key) == sorted(key)
+    ents = rd.read_parquet(paths["entities"]).to_pandas()
+    assert list(ents["entity"]) == sorted(ents["entity"])
+    assert len(tri) > 0 and len(ents) > 0

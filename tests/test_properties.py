@@ -1,0 +1,89 @@
+"""Property-based checks (hypothesis): the vectorized Arrow parsers
+agree with a direct per-row Python implementation of the reference's
+parse rules on arbitrary inputs, and the chunker never loses content."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sigraph_ray.functions import provenance as prov
+from sigraph_ray.functions import text as T
+
+# building blocks that stress the '@' grammar
+_tok = st.text(alphabet="ab@._- ", min_size=0, max_size=8)
+_enum = st.sampled_from(
+    list(prov.ARTIFACT_TYPES) + list(prov.ACTION_TYPES)
+    + list(prov.ACTOR_TYPES) + ["BOGUS", ""])
+_piece = st.one_of(_tok, _enum)
+provenance_strings = st.lists(_piece, min_size=0, max_size=6).map("@".join)
+
+
+def _ref_artifact(s):
+    if not s or "@" not in s or "@@" in s or s.startswith("@") \
+            or s.endswith("@"):
+        return None
+    toks = s.split("@")
+    name, atype = "@".join(toks[:-1]), toks[-1]
+    if not name or atype not in prov.ARTIFACT_TYPES:
+        return None
+    return name, atype
+
+
+def _ref_actor(s):
+    if not s or "@" not in s or "@@" in s or s.startswith("@") \
+            or s.endswith("@"):
+        return None
+    toks = s.split("@")
+    if len(toks) < 4:
+        return None
+    art = _ref_artifact("@".join(toks[:-2]))
+    if art is None or toks[-2] not in prov.ACTION_TYPES \
+            or toks[-1] not in prov.ACTOR_TYPES:
+        return None
+    return art[0], art[1], toks[-2], toks[-1]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(provenance_strings, min_size=1, max_size=20))
+def test_artifact_parser_agrees_with_reference(strings):
+    out = prov.parse_artifact(pa.array(strings, pa.string()))
+    for i, s in enumerate(strings):
+        ref = _ref_artifact(s)
+        assert out["valid"][i].as_py() is (ref is not None), s
+        if ref:
+            assert out["name"][i].as_py() == ref[0]
+            assert out["artifact_type"][i].as_py() == ref[1]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(provenance_strings, min_size=1, max_size=20))
+def test_actor_parser_agrees_with_reference(strings):
+    out = prov.parse_actor(pa.array(strings, pa.string()))
+    for i, s in enumerate(strings):
+        ref = _ref_actor(s)
+        assert out["valid"][i].as_py() is (ref is not None), s
+        if ref:
+            assert out["name"][i].as_py() == ref[0]
+            assert out["action_type"][i].as_py() == ref[2]
+            assert out["actor_type"][i].as_py() == ref[3]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abcde .\n", min_size=0, max_size=2000))
+def test_chunker_covers_all_content(text):
+    chunks = T.chunk_text(text)
+    # deterministic
+    assert chunks == T.chunk_text(text)
+    # budget respected
+    assert all(0 < len(c) <= T.CHUNK_SIZE for c in chunks)
+    # no content lost: every non-whitespace char count preserved or
+    # exceeded (overlap duplicates, never drops)
+    stripped = "".join(text.split())
+    joined = "".join("".join(c.split()) for c in chunks)
+    assert len(joined) >= len(stripped)
+    if stripped:
+        # first and last payload survive
+        assert stripped[:10] in joined
+        assert stripped[-10:] in joined
