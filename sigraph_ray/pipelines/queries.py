@@ -330,8 +330,11 @@ def q_top_customers(sf_dir: str):
         def __call__(self, df: pd.DataFrame) -> pa.Table:
             out = df.merge(self.cust, left_on="o_custkey",
                            right_on="c_custkey", how="inner")
-            # Arrow out: groupby over pandas blocks is ~4x slower
-            return pa.Table.from_pandas(out, preserve_index=False)
+            # combiner: partial sums per batch — only one row per
+            # customer per batch reaches the shuffle (Arrow out)
+            part = (out.groupby("c_custkey", sort=False)["o_totalprice"]
+                    .sum().rename("o_totalprice").reset_index())
+            return pa.Table.from_pandas(part, preserve_index=False)
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
