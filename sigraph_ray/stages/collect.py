@@ -1,0 +1,82 @@
+"""``sorted_collect`` — a custom wide operator Ray Data lacks: grouped,
+ORDER-PRESERVING list collection (``collect_list(... ORDER BY ...)``)
+without per-group Python.
+
+Why: ``groupby(key).map_groups(fn)`` invokes Python once per group
+(~0.5-1 ms each — measured; see BASELINE.md notes), which dominates when
+groups are numerous. This operator instead:
+
+1. globally sorts by ``(key, order_col)`` (one range shuffle — after the
+   sort, a key's rows are contiguous; only a block's FIRST and LAST key
+   can continue into a neighboring block);
+2. collects lists per key inside each block with one vectorized pandas
+   pass per block;
+3. fixes up the O(#blocks) boundary keys on the driver (collected rows
+   for interior keys never leave the workers). Fragments carry their
+   first ``order_col`` value so the stitch is order-correct even when
+   the streaming executor delivers blocks out of order
+   (``preserve_order`` stays False).
+
+Partitioning assumption (documented per the build brief): the rows of
+one key fit in one worker's block plus boundary fragments — true
+whenever per-key list sizes are bounded (related-span lists, per-doc
+sequences). For unbounded keys use the two-phase groupby combiners in
+provenance_graph.py instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _collect_block_factory(key: str, order_col: str, value: str):
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series(dtype="object"),
+                                 "values": pd.Series(dtype="object"),
+                                 "head_ord": pd.Series(dtype="object"),
+                                 "boundary": pd.Series(dtype="bool")})
+        g = df.groupby(key, sort=False)
+        lists = g[value].agg(list)
+        heads = g[order_col].first()
+        out = pd.DataFrame({key: lists.index.to_numpy(),
+                            "values": lists.to_numpy(),
+                            "head_ord": heads.to_numpy()})
+        boundary = np.zeros(len(out), dtype=bool)
+        boundary[0] = True
+        boundary[-1] = True
+        out["boundary"] = boundary
+        return out
+    return f
+
+
+def sorted_collect(ds, *, key: str, order_col: str, value: str):
+    """Dataset → Dataset of ``(key, values: list)`` with ``values``
+    ordered by ``order_col`` (make ``order_col`` unique per key for full
+    determinism)."""
+    import ray.data as rd
+
+    hydrated = ds.sort([key, order_col])
+    collected = hydrated.map_batches(
+        _collect_block_factory(key, order_col, value),
+        batch_format="pandas",
+        batch_size=None)  # one batch per block — blockwise contiguity
+    # pin: both branches below consume `collected`, and re-executing the
+    # sort can pick different range boundaries, which would let one key
+    # be "interior" in one execution and "boundary" in the other
+    collected = collected.materialize()
+    interior = collected.filter(expr="boundary == False").map_batches(
+        lambda df: df[[key, "values"]], batch_format="pandas")
+    bdf = collected.filter(expr="boundary == True").to_pandas()
+    if len(bdf):
+        bdf = bdf.sort_values([key, "head_ord"], kind="stable")
+        merged = (bdf.groupby(key, sort=False)["values"]
+                  .agg(lambda ls: [x for sub in ls for x in sub])
+                  .reset_index())
+    else:
+        merged = pd.DataFrame({key: pd.Series(dtype="object"),
+                               "values": pd.Series(dtype="object")})
+    return interior.union(
+        rd.from_pandas(merged).map_batches(lambda df: df,
+                                           batch_format="pandas"))

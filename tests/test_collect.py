@@ -1,0 +1,56 @@
+"""sorted_collect — ordered grouped list collection across block
+boundaries, at multiple block counts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sigraph_ray.stages.collect import sorted_collect
+
+
+def _data(n_keys: int, per_key: int, seed: int = 3) -> pd.DataFrame:
+    from sigraph_ray.functions.hashing import splitmix64
+
+    n = n_keys * per_key
+    keys = [f"k{i % n_keys:04d}" for i in range(n)]
+    ordv = splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(seed))
+    return pd.DataFrame({
+        "key": keys,
+        "ord": [f"{v:020d}" for v in ordv],  # unique order values
+        "val": [f"v{i}" for i in range(n)],
+    })
+
+
+@pytest.mark.parametrize("blocks", [1, 3, 8])
+def test_sorted_collect_matches_pandas(ray_session, blocks):
+    import ray.data as rd
+
+    df = _data(40, 7)
+    want = (df.sort_values(["key", "ord"]).groupby("key")["val"]
+            .agg(list).to_dict())
+    ds = rd.from_pandas(df.sample(frac=1, random_state=0)).repartition(blocks)
+    out = sorted_collect(ds, key="key", order_col="ord", value="val").to_pandas()
+    got = dict(zip(out["key"], (list(v) for v in out["values"])))
+    assert got == want
+
+
+def test_sorted_collect_single_hot_key(ray_session):
+    """One key spanning every block (worst-case boundary stitch)."""
+    import ray.data as rd
+
+    df = _data(1, 200)
+    want = df.sort_values("ord")["val"].tolist()
+    ds = rd.from_pandas(df.sample(frac=1, random_state=1)).repartition(6)
+    out = sorted_collect(ds, key="key", order_col="ord", value="val").to_pandas()
+    assert len(out) == 1
+    assert list(out["values"][0]) == want
+
+
+def test_sorted_collect_empty(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({"key": [], "ord": [], "val": []}))
+    out = sorted_collect(ds, key="key", order_col="ord", value="val").to_pandas()
+    assert len(out) == 0
