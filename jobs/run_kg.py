@@ -1,0 +1,103 @@
+"""KG-construction job entry point — the ``ray job submit`` target.
+
+    ray job submit --working-dir . -- python jobs/run_kg.py \
+        --pages <parquet dir or 'synth:N'> --out /data/kg-run-1
+
+Also runs standalone (``python jobs/run_kg.py ...``): it owns a Ray
+session (guarded init), streams pages → triples → edges/entities, and
+writes every output through the resumable manifest layout
+(state/manifest.py) — re-submitting the SAME command after a failure
+skips completed partitions and finishes the rest (ops gate: per-
+partition lineage + counters, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# script lives in <repo>/jobs/ — make the repo importable for the driver
+# AND for Ray workers (PYTHONPATH is exported before ray.init below)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH") else _REPO)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pages", required=True,
+                    help="parquet path/dir of pages, or synth:N")
+    ap.add_argument("--out", required=True, help="output root directory")
+    ap.add_argument("--concurrency", type=int, default=8)
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="only used when this process owns ray.init")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = False
+
+    import ray.data as rd
+
+    from sigraph_ray.pipelines import kg as K
+    from sigraph_ray.state import manifest as M
+
+    t0 = time.time()
+    if args.pages.startswith("synth:"):
+        pages = K.synth_pages(int(args.pages.split(":", 1)[1]),
+                              parallelism=max(args.concurrency * 2, 8))
+        input_desc = args.pages
+    else:
+        pages = rd.read_parquet(args.pages)
+        input_desc = args.pages
+
+    triples = K.extract_triples_pipeline(
+        pages, concurrency=args.concurrency, batch_size=args.batch_size)
+    # stage 1: triples (resumable partition layout + lineage records)
+    trip_recs = M.write_stage(triples, f"{args.out}/triples",
+                              input_desc=input_desc)
+    triples_ds = M.read_stage(f"{args.out}/triples")
+    # stage 2: edge aggregate from the persisted stage
+    edges = K.build_kg_edges(triples_ds)
+    edge_recs = M.write_stage(edges, f"{args.out}/edges",
+                              input_desc=f"{args.out}/triples")
+    # stage 3: entities from the persisted edge stage
+    entities = K.entities_from_edges(M.read_stage(f"{args.out}/edges"))
+    ent_recs = M.write_stage(entities, f"{args.out}/entities",
+                             input_desc=f"{args.out}/edges")
+
+    summary = {
+        "input": input_desc,
+        "out": args.out,
+        "wall_s": round(time.time() - t0, 2),
+        "stages": {
+            "triples": M.stage_summary(f"{args.out}/triples"),
+            "edges": M.stage_summary(f"{args.out}/edges"),
+            "entities": M.stage_summary(f"{args.out}/entities"),
+        },
+        "partitions_written_this_run": {
+            "triples": len(trip_recs), "edges": len(edge_recs),
+            "entities": len(ent_recs),
+        },
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
