@@ -50,6 +50,20 @@ _VERB_ALT = "|".join(re.escape(s) for s in _ALL_SURFACES)
 _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+|\n+")  # newline = hard boundary
 _CLAUSE_SPLIT = re.compile(r"\s*(?:;|,?\s+and\s+then\s+|,?\s+then\s+|,?\s+and\s+)\s*")
 _SPECULATION = re.compile(V.SPECULATION_RE)
+
+# A3 ensemble variants (deterministic stand-in for the AICourt debate
+# ensemble, src/ai/ai_court.py:16-89: 3 debaters — 1 "flexible" + 2
+# "solid"): each variant perturbs the grammar the way a debater's
+# temperature perturbs the LLM. Variant 0 is the canonical grammar
+# (the reference returns debater[1]'s final answer; our tie-break
+# equivalently prefers variant 0's fields).
+VARIANTS: tuple[dict, ...] = (
+    {},  # canonical
+    {"clause_split": re.compile(        # aggressive: also split commas
+        r"\s*(?:;|,|\s+and\s+then\s+|\s+then\s+|\s+and\s+)\s*")},
+    {"speculation": re.compile(         # strict: also drop hedged verbs
+        V.SPECULATION_RE + r"|\b(?:reportedly|allegedly|suspected)\b")},
+)
 _MASTER = re.compile(
     rf"^(?P<subj>.+?)\s+(?P<surface>{_VERB_ALT})\b"
     rf"(?:\s+(?:to|from|into|at|via|with|on)\b)?\s+(?P<obj>.+)$"
@@ -87,13 +101,18 @@ def _etype(value: str, default: str) -> str:
     return default
 
 
-def extract_triples(df: pd.DataFrame) -> pd.DataFrame:
+def extract_triples(df: pd.DataFrame, *, clause_split=None,
+                    speculation=None) -> pd.DataFrame:
     """(url, chunk_id, text) rows → raw triple rows (TRIPLE_COLUMNS).
 
     ``ord`` is a deterministic within-document order key
     ``chunk_id * 10^6 + sentence_idx * 10^3 + clause_idx`` used for
     first-named-actor resolution and last-writer tie-breaks.
+    ``clause_split`` / ``speculation`` override the canonical grammar
+    (the A3 ensemble's perturbation hooks, see :data:`VARIANTS`).
     """
+    clause_split = clause_split or _CLAUSE_SPLIT
+    speculation = speculation or _SPECULATION
     if len(df) == 0:
         return pd.DataFrame({c: pd.Series(dtype=_DTYPES[c]) for c in TRIPLE_COLUMNS})
 
@@ -103,10 +122,10 @@ def extract_triples(df: pd.DataFrame) -> pd.DataFrame:
     sents["sent_idx"] = sents.groupby(["url", "chunk_id"]).cumcount()
     sents = sents[sents["sent"].str.len() > 0]
     # V4 speculation filter
-    sents = sents[~sents["sent"].str.contains(_SPECULATION, regex=True)]
+    sents = sents[~sents["sent"].str.contains(speculation, regex=True)]
 
     cl = sents.copy()
-    cl["clause"] = cl["sent"].str.split(_CLAUSE_SPLIT)
+    cl["clause"] = cl["sent"].str.split(clause_split)
     cl = cl.explode("clause", ignore_index=True)
     cl["clause_idx"] = cl.groupby(["url", "chunk_id", "sent_idx"]).cumcount()
     cl = cl[cl["clause"].str.len() > 0]
@@ -204,3 +223,30 @@ def resolve_generic_actors(group: pd.DataFrame) -> pd.DataFrame:
     out.loc[mask, "subj"] = first["subj"]
     out.loc[mask, "subj_type"] = first["subj_type"]
     return out
+
+
+def extract_triples_ensemble(df: pd.DataFrame, *, min_votes: int = 2) -> pd.DataFrame:
+    """A3 — deterministic debate-ensemble extraction: run every grammar
+    variant (:data:`VARIANTS`), keep triples endorsed by ≥ ``min_votes``
+    variants (majority of 3), with field values taken from the lowest-
+    index endorsing variant (the reference's "return debater[1]'s
+    answer", ai_court.py:89, made order-free).
+
+    Higher precision than single-grammar extraction on adversarial text
+    (a clause only one perturbation parses is dropped); identical output
+    on text where the variants agree."""
+    outs = []
+    for vi, cfg in enumerate(VARIANTS):
+        out = extract_triples(df, **cfg)
+        out = out.assign(_variant=vi)
+        outs.append(out)
+    allv = pd.concat(outs, ignore_index=True)
+    if len(allv) == 0:
+        return allv.drop(columns=["_variant"])
+    key = ["doc_url", "subj", "pred", "obj"]
+    votes = allv.drop_duplicates(key + ["_variant"]).groupby(
+        key, sort=False).size()
+    winners = votes[votes >= min_votes].index
+    kept = allv.set_index(key).loc[winners].reset_index()
+    kept = kept.sort_values("_variant", kind="stable").drop_duplicates(key)
+    return kept.drop(columns=["_variant"]).reset_index(drop=True)[TRIPLE_COLUMNS]

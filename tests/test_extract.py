@@ -143,3 +143,53 @@ def test_verb_action_bridge_total():
             "CREATE", "RENAME", "DELETE", "MODIFY", "RAW_ACCESS_READ",
             "REG_SET",
         }
+
+
+def test_ensemble_agrees_on_clean_grammar():
+    """A3 ensemble == canonical grammar when variants agree."""
+    df = pd.DataFrame({"url": ["u"], "chunk_id": [0], "text": [
+        "xenorat executes cmd.exe. xenorat beacons to evil.com."]})
+    single = X.extract_triples(df)
+    ens = X.extract_triples_ensemble(df)
+    cols = ["doc_url", "subj", "pred", "obj"]
+    assert sorted(map(tuple, ens[cols].values)) == \
+        sorted(map(tuple, single[cols].values))
+
+
+def test_ensemble_majority_filters_disputed():
+    """A clause only the strict-speculation variant drops survives the
+    vote (2 of 3 endorse); a hedged sentence all variants except one
+    keep... the 'reportedly' hedge is endorsed by variants 0+1 only —
+    still majority — while true speculation dies in all variants."""
+    df = pd.DataFrame({"url": ["u"], "chunk_id": [0], "text": [
+        "xenorat reportedly beacons to evil.com. "
+        "xenorat may connect to backup.com."]})
+    ens = X.extract_triples_ensemble(df)
+    got = set(map(tuple, ens[["pred", "obj"]].values))
+    assert ("network_connect", "evil.com") in got         # 2 of 3 votes
+    assert not any(o == "backup.com" for _, o in got)     # 0 votes
+
+
+def test_ensemble_full_corpus_pr():
+    """Ensemble mode keeps P/R = 1.0 on the oracle corpus."""
+    from sigraph_ray.functions import text as T
+    from sigraph_ray.sources import synth
+
+    n = 80
+    tbl = synth.pages_batch(range(n))
+    txt = T.html_to_text(tbl["html"].combine_chunks())
+    rows = []
+    for u, t in zip(tbl["url"].to_pylist(), txt.to_pylist()):
+        for ci, ch in enumerate(T.chunk_text(t.lower())):
+            rows.append({"url": u, "chunk_id": ci, "text": ch})
+    tr = X.extract_triples_ensemble(pd.DataFrame(rows))
+    tr = tr.groupby("doc_url", group_keys=False)[tr.columns.tolist()].apply(
+        X.resolve_generic_actors)
+    tr["subj"] = N.normalize_entity_id(pa.array(tr["subj"], pa.string())).to_pylist()
+    tr["obj"] = N.normalize_entity_id(pa.array(tr["obj"], pa.string())).to_pylist()
+    got = set(map(tuple, tr[["doc_url", "subj", "pred", "obj"]].drop_duplicates().values))
+    exp = synth.expected_triples(n)
+    want = set(map(tuple, exp[["doc_url", "subj", "pred", "obj"]].values))
+    tp = len(got & want)
+    assert tp / max(1, len(got)) >= 0.95
+    assert tp / max(1, len(want)) >= 0.95
