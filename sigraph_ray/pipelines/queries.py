@@ -133,13 +133,30 @@ def derive_prov_events(sf_dir: str):
 
 # --- provenance-graph queries ----------------------------------------------
 
+_PARSED_CACHE: dict[str, object] = {}
+
+
+def _parsed_events(sf_dir: str):
+    """Materialized parsed event stream, cached per sf_dir — the driver
+    calls many provenance queries in one process and every one consumes
+    the same parse; pinning it once turns nine re-parses into one."""
+    ds = _PARSED_CACHE.get(sf_dir)
+    if ds is None:
+        from sigraph_ray.stages import provenance_graph as G
+
+        ds = derive_prov_events(sf_dir).map_batches(
+            G.parse_events_batch, batch_format="pyarrow").materialize()
+        _PARSED_CACHE[sf_dir] = ds
+    return ds
+
+
+
 def q_prov_nodes(sf_dir: str):
     """U1 node merge, scalar projection (list columns → counts so the
     value-hash compare is representation-stable)."""
     from sigraph_ray.stages import provenance_graph as G
 
-    parsed = derive_prov_events(sf_dir).map_batches(
-        G.parse_events_batch, batch_format="pyarrow")
+    parsed = _parsed_events(sf_dir)
     ok, _ = G.split_quarantine(parsed)
     nodes = G.build_nodes(ok)
 
@@ -184,8 +201,7 @@ FROM allnodes ORDER BY artifact
 def q_prov_traces(sf_dir: str):
     from sigraph_ray.stages import provenance_graph as G
 
-    parsed = derive_prov_events(sf_dir).map_batches(
-        G.parse_events_batch, batch_format="pyarrow")
+    parsed = _parsed_events(sf_dir)
     ok, _ = G.split_quarantine(parsed)
     return G.build_traces(ok)
 
@@ -204,8 +220,7 @@ FROM valid GROUP BY unit_id, trace_id ORDER BY unit_id, trace_id
 def q_prov_edges(sf_dir: str):
     from sigraph_ray.stages import provenance_graph as G
 
-    parsed = derive_prov_events(sf_dir).map_batches(
-        G.parse_events_batch, batch_format="pyarrow")
+    parsed = _parsed_events(sf_dir)
     ok, _ = G.split_quarantine(parsed)
     return G.build_edges(ok)
 
@@ -228,8 +243,7 @@ FROM edges_raw GROUP BY src, dst, type ORDER BY src, type, dst
 def q_prov_contains(sf_dir: str):
     from sigraph_ray.stages import provenance_graph as G
 
-    parsed = derive_prov_events(sf_dir).map_batches(
-        G.parse_events_batch, batch_format="pyarrow")
+    parsed = _parsed_events(sf_dir)
     ok, _ = G.split_quarantine(parsed)
     return G.build_contains(ok)
 
@@ -261,8 +275,7 @@ ORDER BY unit_id, trace_id, artifact
 def q_prov_quarantine(sf_dir: str):
     from sigraph_ray.stages import provenance_graph as G
 
-    parsed = derive_prov_events(sf_dir).map_batches(
-        G.parse_events_batch, batch_format="pyarrow")
+    parsed = _parsed_events(sf_dir)
     _, bad = G.split_quarantine(parsed)
     return bad.groupby("unit_id").count().map_batches(
         lambda df: df.rename(columns={"count()": "n_quarantined"}),
@@ -633,8 +646,7 @@ def q_related_traces(sf_dir: str):
     from sigraph_ray.stages import provenance_graph as G
     from sigraph_ray.stages import traversal as TV
 
-    parsed = derive_prov_events(sf_dir).map_batches(
-        G.parse_events_batch, batch_format="pyarrow").materialize()
+    parsed = _parsed_events(sf_dir)
     g = G.build_graph_from_parsed(parsed, prune=False)
     return TV.related_traces(g, max_hop=3)
 
@@ -753,8 +765,7 @@ def q_distinct_units(sf_dir: str):
     """U7 — distinct unit ids (schema.py:170-180)."""
     from sigraph_ray.stages import provenance_graph as G
 
-    parsed = derive_prov_events(sf_dir).map_batches(
-        G.parse_events_batch, batch_format="pyarrow")
+    parsed = _parsed_events(sf_dir)
     ok, _ = G.split_quarantine(parsed)
     units = ok.unique("unit_id")
     return pd.DataFrame({"unit_id": sorted(units)})
@@ -790,8 +801,7 @@ def q_prov_subgraph(sf_dir: str):
     from sigraph_ray.stages import provenance_graph as G
     from sigraph_ray.stages import traversal as TV
 
-    parsed = derive_prov_events(sf_dir).map_batches(
-        G.parse_events_batch, batch_format="pyarrow").materialize()
+    parsed = _parsed_events(sf_dir)
     g = G.build_graph_from_parsed(parsed, prune=False)
     return TV.provenance_subgraph(g, max_hop=5)
 
@@ -801,8 +811,7 @@ def q_trace_listing(sf_dir: str):
     (graph_session.py:221-223)."""
     from sigraph_ray.stages import provenance_graph as G
 
-    parsed = derive_prov_events(sf_dir).map_batches(
-        G.parse_events_batch, batch_format="pyarrow")
+    parsed = _parsed_events(sf_dir)
     ok, _ = G.split_quarantine(parsed)
     traces = G.build_traces(ok)
     return traces.filter(expr="span_count >= 2")
@@ -827,8 +836,7 @@ def q_iocs(sf_dir: str):
     count) for hash-stable compare."""
     from sigraph_ray.stages import provenance_graph as G
 
-    parsed = derive_prov_events(sf_dir).map_batches(
-        G.parse_events_batch, batch_format="pyarrow").materialize()
+    parsed = _parsed_events(sf_dir)
     g = G.build_graph_from_parsed(parsed, prune=False)
     iocs = G.extract_iocs(g, "unit_0")
 
@@ -888,8 +896,7 @@ def q_drift_sequence(sf_dir: str):
     from sigraph_ray.stages import provenance_graph as G
     from sigraph_ray.stages import traversal as TV
 
-    parsed = derive_prov_events(sf_dir).map_batches(
-        G.parse_events_batch, batch_format="pyarrow").materialize()
+    parsed = _parsed_events(sf_dir)
     g = G.build_graph_from_parsed(parsed, prune=False)
     ok, _ = G.split_quarantine(parsed)
     docs = ok.select_columns(
