@@ -87,8 +87,16 @@ def simhash64(tokens: list[str]) -> int:
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit hamming distance (SWAR popcount — no Python
+    per element)."""
     x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
-    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = ((x & np.uint64(0x3333333333333333))
+             + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    return x.astype(np.int64)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

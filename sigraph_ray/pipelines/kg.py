@@ -23,6 +23,7 @@ sorted Parquet node/edge tables.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -75,21 +76,46 @@ def extract_triples_pipeline(pages, *, concurrency=4, batch_size: int = 1024,
     return dedup_triples(triples)
 
 
+_DEDUP_KEY = ["doc_url", "subj", "pred", "obj"]
+
+
 def _triple_dedup_partial(batch: pa.Table) -> pa.Table:
+    """Combiner: per-batch min-ord row per key, with the non-key payload
+    encoded behind a fixed-width ord prefix so the global arg-min is a
+    vectorized string ``Min`` (no per-group Python finalizer)."""
     df = batch.to_pandas()
-    idx = df.groupby(["doc_url", "subj", "pred", "obj"], sort=False)[
-        "ord"].idxmin()
-    return pa.Table.from_pandas(df.loc[idx.values], preserve_index=False)
+    idx = df.groupby(_DEDUP_KEY, sort=False)["ord"].idxmin()
+    df = df.loc[idx.values]
+    v = (df["ord"].astype("int64").astype(str).str.zfill(14) + _SEP
+         + df["chunk_id"].astype("int64").astype(str) + _SEP
+         + np.where(df["subj_is_generic"], "1", "0") + _SEP
+         + df["subj_type"].astype(str) + _SEP + df["obj_type"].astype(str))
+    out = df[_DEDUP_KEY].copy()
+    out["v"] = v
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _triple_dedup_final(group: pd.DataFrame) -> pd.DataFrame:
-    return group.loc[[group["ord"].idxmin()]]
+def _triple_dedup_decode(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    vals = df["v"].str.split(_SEP, n=4, expand=True)
+    return pa.Table.from_pandas(pd.DataFrame({
+        "doc_url": df["doc_url"],
+        "chunk_id": vals[1].astype("int64"),
+        "ord": vals[0].astype("int64"),
+        "subj": df["subj"],
+        "subj_is_generic": vals[2] == "1",
+        "pred": df["pred"],
+        "obj": df["obj"],
+        "subj_type": vals[3],
+        "obj_type": vals[4],
+    }), preserve_index=False)
 
 
 def dedup_triples(triples):
-    partials = triples.map_batches(_triple_dedup_partial, batch_format="pyarrow")
-    return partials.groupby(["doc_url", "subj", "pred", "obj"]).map_groups(
-        _triple_dedup_final, batch_format="pandas")
+    partials = triples.map_batches(_triple_dedup_partial,
+                                   batch_format="pyarrow")
+    agg = partials.groupby(_DEDUP_KEY).aggregate(Min("v", alias_name="v"))
+    return agg.map_batches(_triple_dedup_decode, batch_format="pyarrow")
 
 
 _SEP = "\x1f"  # unit separator — cannot occur in normalized entities
@@ -187,10 +213,14 @@ def _mention_partial(batch: pa.Table) -> pa.Table:
 
 def build_mentions(triples):
     """Document→entity MENTIONS pairs (ai_agent.py:249-255
-    include_source=True)."""
+    include_source=True). Distinct = Count aggregate + projection —
+    ``map_groups(head(1))`` over millions of tiny groups costs ~0.5-1 ms
+    of Python per group (measured, BASELINE.md)."""
     return (triples.map_batches(_mention_partial, batch_format="pyarrow")
             .groupby(["doc_url", "entity"])
-            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+            .aggregate(Count(alias_name="_n"))
+            .map_batches(lambda t: t.select(["doc_url", "entity"]),
+                         batch_format="pyarrow"))
 
 
 def sorted_materialize(kg: dict, out_dir: str) -> dict:

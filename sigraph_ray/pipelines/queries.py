@@ -266,7 +266,7 @@ parent_first AS (
   SELECT unit_id, trace_id, artifact FROM firsts WHERE rn = 1 AND kind = 1
 )
 SELECT unit_id, trace_id, artifact FROM cur
-UNION ALL
+UNION
 SELECT unit_id, trace_id, artifact FROM parent_first
 ORDER BY unit_id, trace_id, artifact
 """
@@ -293,33 +293,56 @@ FROM base WHERE malformed GROUP BY unit_id ORDER BY unit_id
 
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-style grouped aggregate — read-pruned, vectorized
-    pre-aggregation then a tiny groupby."""
+    pre-aggregation then a tiny groupby.
+
+    Revenue is summed in exact integer units (price-cents × discount
+    basis points): TPC-H prices/discounts are 2-dp decimals, so
+    round(p*100) * round((1-d)*100) is the exact revenue in 10^-4
+    units.  Integer addition is order-independent, making the float
+    emitted by the final /1e4 projection deterministic across block
+    orders and bit-identical to the same integer sum computed by the
+    SQL oracle (a float Sum("revenue") varies in the last ulps with
+    the streaming executor's addition order).  int64 headroom: row
+    revenue < 1e13 units, so a group overflows only past ~9e5 billion
+    rows; at that scale aggregate into decimal128 instead."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Count, Sum
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"])
 
-    def revenue(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t.column("l_extendedprice"),
-                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        return t.append_column("revenue", rev)
+    def revenue_units(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+        disc_bp = pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            pa.scalar(100.0))), pa.int64())
+        return t.append_column("revenue_units", pc.multiply(cents, disc_bp))
 
-    out = (ds.map_batches(revenue, batch_format="pyarrow")
+    agg = (ds.map_batches(revenue_units, batch_format="pyarrow")
            .groupby(["l_returnflag", "l_linestatus"])
            .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("revenue", alias_name="sum_revenue"),
+                      Sum("revenue_units", alias_name="sum_revenue_units"),
                       Count(alias_name="n_rows")))
-    return out
+
+    def finish(t: pa.Table) -> pa.Table:
+        rev = pc.divide(pc.cast(t.column("sum_revenue_units"), pa.float64()),
+                        pa.scalar(1e4))
+        return (t.append_column("sum_revenue", rev)
+                .drop_columns(["sum_revenue_units"]))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_LINEITEM_AGG = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice * (1 - l_discount)) AS sum_revenue,
-       count(*) AS n_rows
+       count(*) AS n_rows,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0
+         AS sum_revenue
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """

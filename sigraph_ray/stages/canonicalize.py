@@ -138,55 +138,104 @@ def _comb(arr):
     return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
 
 
-def connected_components(edges, *, max_rounds: int = 12, num_partitions: int = 64):
-    """Undirected connected components over an edge Dataset with string
+def connected_components(edges, *, max_rounds: int = 12,
+                         num_partitions: int = 16, node_type=None):
+    """Undirected connected components over an edge Dataset with
     columns (u, v) → Dataset of (node, comp) where ``comp`` is the
-    lexicographic minimum member of the node's component.
+    minimum member of the node's component (lexicographic for string
+    ids, numeric for integer ids). ``node_type`` (pyarrow DataType,
+    default string) schema-normalizes every join input so sparse/empty
+    partitions cannot reach the Acero kernel untyped (stages/joins.py).
 
     Deterministic hash-min label propagation: each round joins current
     labels onto the edge list and takes the per-node minimum label;
-    terminates early when a round changes nothing. Each round is two
-    hash shuffles over (edges + labels) — at web scale the alias edge
-    set is small relative to triples (SURVEY.md §4.2), and rounds are
-    bounded by the component diameter ≤ O(log n) under hash-min.
+    terminates early when a round changes nothing. Convergence needs
+    O(component diameter) rounds; when the budget is exhausted without
+    convergence a WARNING is logged (labels may then be split across
+    multiple clusters of one true component) — raise ``max_rounds``
+    for chain-shaped components. (A pointer-doubling shortcut join
+    would give O(log diameter) but triples the per-round hash-pool
+    churn; two concurrent join pools per round is already the
+    scheduling limit at small CPU counts, see stages/joins.py.)
     """
+    import logging
+
+    from sigraph_ray.stages.joins import safe_join
+
+    nt = node_type if node_type is not None else pa.string()
+    edge_schema = pa.schema([("u", nt), ("v", nt)])
+    label_schema = pa.schema([("node", nt), ("comp", nt)])
+
     labels = (edges.map_batches(_cc_seed, batch_format="pyarrow")
               .groupby("node").aggregate(Min("comp", alias_name="comp")))
 
+    converged = False
+    prev_sig = _label_signature(labels.materialize())
+    labels = labels.materialize()
     for _ in range(max_rounds):
         # propagate: for each edge (u,v): candidate label for v is
         # label(u) and vice versa
-        lab_u = labels.join(edges, join_type="inner",
-                            num_partitions=num_partitions,
-                            on=("node",), right_on=("u",))
+        lab_u = safe_join(labels, edges, "inner", num_partitions,
+                          ("node",), right_on=("u",),
+                          left_schema=label_schema, right_schema=edge_schema)
         msgs_v = lab_u.map_batches(
             lambda t: pa.table({"node": t.column("v"), "comp": t.column("comp")}),
             batch_format="pyarrow")
-        lab_v = labels.join(edges, join_type="inner",
-                            num_partitions=num_partitions,
-                            on=("node",), right_on=("v",))
+        lab_v = safe_join(labels, edges, "inner", num_partitions,
+                          ("node",), right_on=("v",),
+                          left_schema=label_schema, right_schema=edge_schema)
         msgs_u = lab_v.map_batches(
             lambda t: pa.table({"node": t.column("u"), "comp": t.column("comp")}),
             batch_format="pyarrow")
         new_labels = (labels.union(msgs_v).union(msgs_u)
-                      .groupby("node").aggregate(Min("comp", alias_name="comp")))
-        new_labels = new_labels.materialize()
-        # convergence check: any node whose label shrank this round?
-        changed = (labels.union(new_labels)
-                   .groupby("node")
-                   .aggregate(Count(alias_name="c"), Min("comp", alias_name="lo"),
-                              Max("comp", alias_name="hi")))
-        n_changed = changed.map_batches(
-            _count_changed, batch_format="pyarrow").sum("n")
+                      .groupby("node")
+                      .aggregate(Min("comp", alias_name="comp"))
+                      .materialize())
+        # convergence check: labels shrink monotonically, so the label
+        # multiset is unchanged iff its (count, 2×independent-hash-sum)
+        # signature is unchanged — ONE map pass over the materialized
+        # label table (the previous union+groupby comparison cost a
+        # full extra shuffle per round)
+        sig = _label_signature(new_labels)
         labels = new_labels
-        if not n_changed:
+        if sig == prev_sig:
+            converged = True
             break
+        prev_sig = sig
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "connected_components: round budget (%d) exhausted without "
+            "convergence — components wider than the budget may be split",
+            max_rounds)
     return labels
 
 
-def _count_changed(t: pa.Table) -> pa.Table:
-    import pyarrow.compute as pc
+def _sig_partial(t: pa.Table) -> pa.Table:
+    """Per-block (count, hash-sum, hash-sum') partial of the label
+    multiset — order-insensitive, so any block layout yields the same
+    global signature."""
+    import numpy as np
 
-    neq = pc.not_equal(t.column("lo"), t.column("hi"))
-    return pa.table({"n": pa.array([pc.sum(pc.cast(neq, pa.int64())).as_py() or 0],
-                                   pa.int64())})
+    from sigraph_ray.functions.hashing import splitmix64
+
+    df = t.to_pandas()
+    if len(df) == 0:
+        return pa.table({"n": pa.array([0], pa.int64()),
+                         "s1": pa.array([0], pa.int64()),
+                         "s2": pa.array([0], pa.int64())})
+    keys = df["node"].astype(str).str.cat(df["comp"].astype(str), sep="\x1f")
+    h = pd.util.hash_pandas_object(keys, index=False).to_numpy().astype(np.uint64)
+    h2 = splitmix64(h ^ np.uint64(0xDEADBEEF12345678))
+    return pa.table({
+        "n": pa.array([len(df)], pa.int64()),
+        "s1": pa.array([int((h & np.uint64(0x7FFFFFFF)).sum())], pa.int64()),
+        "s2": pa.array([int((h2 & np.uint64(0x7FFFFFFF)).sum())], pa.int64()),
+    })
+
+
+def _label_signature(labels) -> tuple:
+    """Order-insensitive multiset signature of a (node, comp) table;
+    one map pass, one tiny per-block row pulled to the driver."""
+    parts = labels.map_batches(_sig_partial, batch_format="pyarrow").to_pandas()
+    return (int(parts["n"].sum()), int(parts["s1"].sum()),
+            int(parts["s2"].sum()))

@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Min
 
 from sigraph_ray.functions import hashing as H
 from sigraph_ray.stages.canonicalize import connected_components
@@ -79,137 +79,147 @@ class MinHashSignatures:
         return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one (band, band_hash) bucket — capped
-    pairing against the bucket minimum to stay linear in bucket size
-    (a bucket of identical docs yields a star, which connected
-    components collapses anyway)."""
-    ids = np.sort(group["doc_id"].unique())
-    if len(ids) < 2:
-        return pd.DataFrame({"u": pd.Series(dtype="int64"),
-                             "v": pd.Series(dtype="int64")})
-    return pd.DataFrame({"u": np.full(len(ids) - 1, ids[0]), "v": ids[1:]})
-
-
 class VerifyJaccard:
-    """Recompute true shingle Jaccard for candidate pairs. The documents
-    needed per batch are looked up from a broadcast id→text map (small
-    candidate universe assumption: only docs that shared a bucket)."""
+    """Recompute true shingle Jaccard per candidate pair. The texts
+    arrive ON the pair rows (attached upstream by two distributed hash
+    joins), so no driver-side corpus scan or broadcast text dict; a
+    per-actor shingle cache exploits the star shape of the candidate
+    set (anchor docs repeat across pairs)."""
 
-    def __init__(self, texts_ref, threshold: float, k: int):
-        import ray
-        self.texts = ray.get(texts_ref)
+    def __init__(self, threshold: float, k: int):
         self.threshold = threshold
         self.k = k
         self._cache: dict[int, np.ndarray] = {}
 
-    def _sh(self, i: int) -> np.ndarray:
+    def _sh(self, i: int, text: str) -> np.ndarray:
         if i not in self._cache:
-            self._cache[i] = H.shingle_hashes(self.texts.get(i, ""), self.k)
+            if len(self._cache) > 50_000:
+                self._cache.clear()
+            self._cache[i] = H.shingle_hashes(text or "", self.k)
         return self._cache[i]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        keep = [H.jaccard(self._sh(u), self._sh(v)) >= self.threshold
-                for u, v in zip(df["u"], df["v"])]
-        return df[pd.Series(keep, index=df.index)]
+        keep = [H.jaccard(self._sh(u, tu), self._sh(v, tv)) >= self.threshold
+                for u, tu, v, tv in zip(df["u"], df["text_u"],
+                                        df["v"], df["text_v"])]
+        return df.loc[pd.Series(keep, index=df.index), ["u", "v"]]
+
+
+def _identity_clusters(ds, id_col: str):
+    return ds.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df[id_col],
+                                 "cluster_id": df[id_col]}),
+        batch_format="pandas")
+
+
+def _star_pairs(t: pa.Table) -> pa.Table:
+    """Bucket members joined to their bucket-min anchor → (u, v) star
+    pairs (a bucket of n docs yields n-1 pairs, which connected
+    components collapses to one cluster)."""
+    import pyarrow.compute as pc
+
+    keep = t.filter(pc.not_equal(t.column("doc_id"), t.column("u")))
+    return pa.table({"u": keep.column("u"), "v": keep.column("doc_id")})
 
 
 def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
                       threshold: float = 0.8, k: int = 3,
-                      concurrency: int = 4):
+                      concurrency: int = 4, num_partitions: int = 16):
     """Near-duplicate clusters via shingle→minhash→band→bucket-groupby
     (the brief's scale path). Returns a Dataset (doc_id, cluster_id)
     where cluster_id = min doc_id of the near-dup component; docs
     without near-dups map to themselves.
 
-    Scale notes: the band groupby is the only wide exchange over the
-    full corpus; candidate verification touches only bucket-sharing
-    docs (broadcast of their texts — bounded by the near-dup universe,
-    not corpus size). At 100 TB the verify step would read candidate
-    texts via a keyed side store instead of one broadcast dict; the
-    dataflow shape is unchanged.
+    Every step is dataflow — nothing corpus-sized touches the driver:
+
+    1. signatures (actor pool) → band rows;
+    2. bucket-min anchors via a vectorized ``Min`` aggregate, members
+       re-attached with a hash join (no per-bucket Python);
+    3. candidate-pair texts attached by two hash joins against the
+       (id, text) projection — the 100 TB-safe replacement for a
+       broadcast id→text dict;
+    4. Jaccard verification in an actor pool over the pair rows;
+    5. components via the distributed ``connected_components`` operator
+       (min-id labels), assignment via one left join.
+
+    Only the tiny candidate/verified pair tables are materialized (to
+    guard the empty cases and to pin the connected-components input).
     """
-    import ray
+    from sigraph_ray.stages.joins import column_type, safe_join
+
+    idt = column_type(ds, id_col)
+    txt = column_type(ds, text_col)
 
     sigs = ds.map_batches(
         MinHashSignatures, batch_format="pandas",
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "k": k},
-        concurrency=concurrency)
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas")
-    # distinct candidate pairs
-    pairs = pairs.groupby(["u", "v"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
-    cand = pairs.to_pandas()
-    if len(cand) == 0:
-        return ds.map_batches(
-            lambda df: pd.DataFrame({"doc_id": df[id_col],
-                                     "cluster_id": df[id_col]}),
-            batch_format="pandas")
-    need = set(cand["u"]) | set(cand["v"])
-    texts = {}
-    for df in ds.map_batches(
-            lambda d: d[[id_col, text_col]], batch_format="pandas"
-            ).iter_batches(batch_format="pandas"):
-        sel = df[df[id_col].isin(need)]
-        texts.update(dict(zip(sel[id_col], sel[text_col])))
-    ref = ray.put(texts)
-    import ray.data as rd
-    verified = rd.from_pandas(cand).map_batches(
+        concurrency=concurrency).materialize()  # consumed twice below
+    anchors = sigs.groupby(["band", "band_hash"]).aggregate(
+        Min("doc_id", alias_name="u"))
+    sig_schema = pa.schema([("doc_id", idt), ("band", pa.int64()),
+                            ("band_hash", pa.int64())])
+    anchor_schema = pa.schema([("band", pa.int64()),
+                               ("band_hash", pa.int64()), ("u", idt)])
+    joined = safe_join(sigs, anchors, "inner", num_partitions,
+                       ("band", "band_hash"),
+                       left_schema=sig_schema, right_schema=anchor_schema)
+    pairs = (joined.map_batches(_star_pairs, batch_format="pyarrow")
+             .groupby(["u", "v"]).aggregate(Count(alias_name="_n"))
+             .map_batches(lambda t: t.select(["u", "v"]),
+                          batch_format="pyarrow")
+             .materialize())
+    if pairs.count() == 0:
+        return _identity_clusters(ds, id_col)
+
+    pair_schema = pa.schema([("u", idt), ("v", idt)])
+    docs_schema = pa.schema([("side_id", idt), ("side_text", txt)])
+    docs = ds.map_batches(
+        lambda df: df[[id_col, text_col]].rename(
+            columns={id_col: "side_id", text_col: "side_text"}),
+        batch_format="pandas")
+    with_u = (safe_join(pairs, docs, "inner", num_partitions, ("u",),
+                        right_on=("side_id",),
+                        left_schema=pair_schema, right_schema=docs_schema)
+              .map_batches(
+                  lambda df: df[["u", "v", "side_text"]].rename(
+                      columns={"side_text": "text_u"}),
+                  batch_format="pandas")
+              .materialize())  # pair-sized; keeps one join in flight
+    withu_schema = pair_schema.append(pa.field("text_u", txt))
+    with_uv = (safe_join(with_u, docs, "inner", num_partitions, ("v",),
+                         right_on=("side_id",),
+                         left_schema=withu_schema, right_schema=docs_schema)
+               .map_batches(
+                   lambda df: df[["u", "v", "text_u", "side_text"]].rename(
+                       columns={"side_text": "text_v"}),
+                   batch_format="pandas"))
+    # num_cpus=0.5: this pool runs CONCURRENTLY with the with_uv join,
+    # whose aggregator actors already reserve half the session CPUs
+    # (hash_shuffle.py: CPU/2 budget); a full-CPU pool here would leave
+    # zero slots for the upstream map tasks and deadlock the pipeline.
+    verified = with_uv.map_batches(
         VerifyJaccard, batch_format="pandas",
-        fn_constructor_kwargs={"texts_ref": ref, "threshold": threshold,
-                               "k": k},
-        concurrency=2)
-    vdf = verified.to_pandas()
+        fn_constructor_kwargs={"threshold": threshold, "k": k},
+        concurrency=2, num_cpus=0.5).materialize()
+    if verified.count() == 0:
+        return _identity_clusters(ds, id_col)
 
-    if len(vdf) == 0:
-        return ds.map_batches(
-            lambda df: pd.DataFrame({"doc_id": df[id_col],
-                                     "cluster_id": df[id_col]}),
-            batch_format="pandas")
-    # The verified pair set is already driver-resident (it is bounded by
-    # the near-dup universe, not the corpus); union-find here is exact
-    # and cheap. When the pair set is itself huge, switch to the
-    # distributed stages/canonicalize.connected_components operator —
-    # same labels, pure dataflow.
-    if len(vdf) > 2_000_000:
-        import ray.data as rd2
-        comp_edges = rd2.from_pandas(pd.DataFrame({
-            "u": vdf["u"].astype(str), "v": vdf["v"].astype(str)}))
-        labels = connected_components(comp_edges).to_pandas()
-        lab = dict(zip(labels["node"].astype(np.int64),
-                       labels["comp"].astype(np.int64)))
-    else:
-        lab = _union_find(vdf["u"].to_numpy(), vdf["v"].to_numpy())
-    labref = ray.put(lab)
+    labels = connected_components(verified, node_type=idt).materialize()
+    ids = ds.map_batches(lambda df: pd.DataFrame({"doc_id": df[id_col]}),
+                         batch_format="pandas")
+    out = safe_join(ids, labels, "left_outer", num_partitions, ("doc_id",),
+                    right_on=("node",),
+                    left_schema=pa.schema([("doc_id", idt)]),
+                    right_schema=pa.schema([("node", idt), ("comp", idt)]))
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(labref)
-        return pd.DataFrame({
-            "doc_id": df[id_col],
-            "cluster_id": [m.get(i, i) for i in df[id_col]],
-        })
-    return ds.map_batches(assign, batch_format="pandas")
+    def assign(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
+        doc = t.column("doc_id")
+        return pa.table({"doc_id": doc,
+                         "cluster_id": pc.coalesce(t.column("comp"), doc)})
 
-def _union_find(us, vs) -> dict[int, int]:
-    """Driver-side union-find; canonical root = min member id."""
-    parent: dict[int, int] = {}
-
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
-    for u, v in zip(us, vs):
-        ru, rv = find(int(u)), find(int(v))
-        if ru != rv:
-            lo, hi = (ru, rv) if ru < rv else (rv, ru)
-            parent[hi] = lo
-    return {x: find(x) for x in list(parent)}
+    return out.map_batches(assign, batch_format="pyarrow")
 
 
 # --- SimHash near-dedup ----------------------------------------------------
@@ -228,39 +238,58 @@ class SimHashStage:
         return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def simhash_candidates(ds, *, max_hamming: int = 3, **kw):
+_SEP = "\x1f"
+
+
+def simhash_candidates(ds, *, max_hamming: int = 3,
+                       num_partitions: int = 16, **kw):
     """SimHash near-dup candidate pairs: 4-segment banding (two 16-bit
     segments must match for hamming ≤ 3 by pigeonhole over 4 segments —
-    we emit per-segment buckets and verify hamming exactly)."""
+    we emit per-segment buckets and verify hamming exactly).
+
+    Per-bucket anchors come from an encoded ``Min`` aggregate (the
+    zero-padded min doc id carries its own simhash behind a separator),
+    members re-attach with a hash join and hamming is one vectorized
+    SWAR pass — no per-bucket or per-pair Python groups anywhere."""
     sigs = ds.map_batches(SimHashStage, batch_format="pandas",
                           fn_constructor_kwargs=kw, concurrency=2)
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": [], "seg": [], "seg_val": [], "simhash": []}
+    def explode(df: pd.DataFrame) -> pa.Table:
         h = df["simhash"].to_numpy().astype(np.uint64)
-        for s in range(4):
-            seg = (h >> np.uint64(16 * s)) & np.uint64(0xFFFF)
-            rows["doc_id"].extend(df["doc_id"])
-            rows["seg"].extend([s] * len(df))
-            rows["seg_val"].extend(seg.astype(np.int64))
-            rows["simhash"].extend(df["simhash"])
-        return pa.Table.from_pandas(pd.DataFrame(rows),
+        n = len(df)
+        doc = np.tile(df["doc_id"].to_numpy(), 4)
+        seg = np.repeat(np.arange(4, dtype=np.int64), n)
+        seg_val = np.concatenate(
+            [((h >> np.uint64(16 * s)) & np.uint64(0xFFFF)).astype(np.int64)
+             for s in range(4)])
+        sim = np.tile(df["simhash"].to_numpy(), 4)
+        mv = (pd.Series(doc).astype(str).str.zfill(20)
+              + _SEP + pd.Series(np.tile(h, 4)).astype(str))
+        return pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": doc, "seg": seg, "seg_val": seg_val,
+                          "simhash": sim, "mv": mv}),
+            preserve_index=False)
+
+    ex = sigs.map_batches(explode, batch_format="pandas").materialize()
+    anchors = ex.groupby(["seg", "seg_val"]).aggregate(
+        Min("mv", alias_name="mv"))
+    members = ex.map_batches(
+        lambda t: t.select(["doc_id", "seg", "seg_val", "simhash"]),
+        batch_format="pyarrow")
+    joined = members.join(anchors, "inner", num_partitions,
+                          on=("seg", "seg_val"))
+
+    def hpairs(df: pd.DataFrame) -> pa.Table:
+        u = df["mv"].str.slice(0, 20).astype("int64").to_numpy()
+        uh = df["mv"].str.slice(21).astype("uint64").to_numpy()
+        v = df["doc_id"].to_numpy()
+        keep = v != u
+        hd = H.hamming64(df["simhash"].to_numpy()[keep].astype(np.uint64),
+                         uh[keep])
+        out = pd.DataFrame({"u": u[keep], "v": v[keep], "hamming": hd})
+        return pa.Table.from_pandas(out[out["hamming"] <= max_hamming],
                                     preserve_index=False)
 
-    def bucket(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"u": pd.Series(dtype="int64"),
-                                 "v": pd.Series(dtype="int64"),
-                                 "hamming": pd.Series(dtype="int64")})
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        hd = H.hamming64(np.full(len(ids) - 1, hs[0]), hs[1:])
-        out = pd.DataFrame({"u": ids[0], "v": ids[1:], "hamming": hd})
-        return out[out["hamming"] <= max_hamming]
-
-    pairs = (sigs.map_batches(explode, batch_format="pandas")
-             .groupby(["seg", "seg_val"])
-             .map_groups(bucket, batch_format="pandas"))
-    return pairs.groupby(["u", "v"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    pairs = joined.map_batches(hpairs, batch_format="pandas")
+    return pairs.groupby(["u", "v"]).aggregate(
+        Min("hamming", alias_name="hamming"))

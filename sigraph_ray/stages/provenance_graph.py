@@ -132,83 +132,170 @@ def split_quarantine(parsed):
 # ---------------------------------------------------------------------------
 
 
-def _node_partials(batch: pa.Table) -> pa.Table:
-    """Combiner: one partial row per artifact per batch, carrying
-    order-keyed span/trace lists and the last non-null process."""
-    df = batch.select(
-        ["artifact", "artifact_type", "span_id", "trace_id",
-         "process_name", "ord"]).to_pandas()
-    pdf = batch.select(
-        ["parent_key", "parent_type", "has_parent"]).to_pandas()
-
-    parts: list[dict] = []
-    for key, g in df.sort_values("ord", kind="stable").groupby(
-            "artifact", sort=False):
-        spans = g.drop_duplicates("span_id")
-        traces = g.drop_duplicates("trace_id")
-        nn = g["process_name"].dropna()
-        parts.append({
-            "artifact": key,
-            "artifact_type": g["artifact_type"].iloc[0],
-            "span_ids": spans["span_id"].tolist(),
-            "span_ords": spans["ord"].tolist(),
-            "trace_ids": traces["trace_id"].tolist(),
-            "trace_ords": traces["ord"].tolist(),
-            "image": nn.iloc[-1] if len(nn) else None,
-            "image_ord": g.loc[nn.index[-1], "ord"] if len(nn) else "",
-        })
-    par = pdf[pdf["has_parent"]]
-    for key, g in par.groupby("parent_key", sort=False):
-        parts.append({
-            "artifact": key, "artifact_type": g["parent_type"].iloc[0],
-            "span_ids": [], "span_ords": [], "trace_ids": [],
-            "trace_ords": [], "image": None, "image_ord": "",
-        })
-    return pa.Table.from_pylist(parts, schema=_PARTIAL_SCHEMA)
+_SEP_NODE = "\x1f"
 
 
-_PARTIAL_SCHEMA = pa.schema([
-    ("artifact", pa.string()),
-    ("artifact_type", pa.string()),
-    ("span_ids", pa.list_(pa.string())),
-    ("span_ords", pa.list_(pa.string())),
-    ("trace_ids", pa.list_(pa.string())),
-    ("trace_ords", pa.list_(pa.string())),
-    ("image", pa.string()),
-    ("image_ord", pa.string()),
-])
+def _node_item_partials(batch: pa.Table) -> pa.Table:
+    """Combiner: per-batch min-ord per (artifact, kind, member) where
+    kind 's' = span id, 't' = trace id — one (k, v) partial per distinct
+    member per batch, all vectorized pandas groupby-min."""
+    df = batch.select(["artifact", "span_id", "trace_id", "ord"]).to_pandas()
+    ks = (df["artifact"] + _SEP_NODE + "s" + _SEP_NODE + df["span_id"])
+    kt = (df["artifact"] + _SEP_NODE + "t" + _SEP_NODE + df["trace_id"])
+    enc = pd.DataFrame({
+        "k": pd.concat([ks, kt], ignore_index=True),
+        "v": pd.concat([df["ord"], df["ord"]], ignore_index=True)})
+    part = enc.groupby("k", sort=False)["v"].min().reset_index()
+    return pa.Table.from_pandas(part, preserve_index=False)
 
 
-def _merge_ordered_dedup(ids_lists, ord_lists) -> list[str]:
-    """Merge (id, first-seen ord) partial lists: global first-seen-order
-    dedup (element_behavior.py:331-337 append-if-absent semantics)."""
-    best: dict[str, str] = {}
-    for ids, ords in zip(ids_lists, ord_lists):
-        for i, o in zip(ids, ords):
-            if i not in best or o < best[i]:
-                best[i] = o
-    return [k for k, _ in sorted(best.items(), key=lambda kv: kv[1])]
+def _node_image_partials(batch: pa.Table) -> pa.Table:
+    """Combiner: per-batch max-ord non-null process per artifact
+    (element_behavior.py:339-340 — incoming non-null overwrites)."""
+    df = batch.select(["artifact", "process_name", "ord"]).to_pandas()
+    df = df[df["process_name"].notna()]
+    v = df["ord"] + _SEP_NODE + df["process_name"]
+    part = (pd.DataFrame({"artifact": df["artifact"], "v": v})
+            .groupby("artifact", sort=False)["v"].max().reset_index())
+    return pa.Table.from_pandas(part, preserve_index=False)
 
 
-def _node_finalize(group: pd.DataFrame) -> pd.DataFrame:
-    span_ids = _merge_ordered_dedup(group["span_ids"], group["span_ords"])
-    trace_ids = _merge_ordered_dedup(group["trace_ids"], group["trace_ords"])
-    imgs = group[group["image"].notna()]
-    image = (imgs.loc[imgs["image_ord"].idxmax(), "image"]
-             if len(imgs) else None)
-    return pd.DataFrame({
-        "artifact": [group["artifact"].iloc[0]],
-        "artifact_type": [group["artifact_type"].iloc[0]],
-        "image": pd.array([image], dtype="object"),
-        "related_span_ids": [span_ids],
-        "related_trace_ids": [trace_ids],
+def _parent_existence_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch distinct parent keys (bare-node creation,
+    element_behavior.py:402-408)."""
+    df = batch.filter(_arr(batch.column("has_parent"))).select(
+        ["parent_key"]).to_pandas()
+    return pa.table({"artifact": pa.array(
+        df["parent_key"].unique(), pa.string())})
+
+
+def _pivot_rows(artifact, spans=None, traces=None, image=None):
+    n = len(artifact)
+    return pa.table({
+        "artifact": pa.array(artifact, pa.string()),
+        "spans_enc": pa.array(spans if spans is not None else [None] * n,
+                              pa.string()),
+        "traces_enc": pa.array(traces if traces is not None else [None] * n,
+                               pa.string()),
+        "image_enc": pa.array(image if image is not None else [None] * n,
+                              pa.string()),
     })
 
 
+def build_nodes_encoded(events):
+    """U1 node merge as pure vectorized dataflow — no per-group Python.
+
+    Semantics (element_behavior.py:316-347): ``related_span_ids`` /
+    ``related_trace_ids`` are append-if-absent in first-seen event
+    order = members ordered by their min ``ord``; ``image`` is the
+    last non-null process by ``ord``; parent artifacts contribute bare
+    existence. Stages:
+
+    1. (artifact, kind, member) → min ord: per-batch combiner + one
+       vectorized ``Min`` aggregate;
+    2. ordered member lists via :func:`sorted_collect` on key
+       (artifact ␟ kind) ordered by that min ord, joined to ONE
+       ␟-separated string per (artifact, kind) — flat string columns
+       keep the node table Acero-join-safe for G1 pruning
+       (pyarrow joins reject list payloads);
+    3. image via encoded arg-max; parent existence via distinct;
+    4. pivot to one row per artifact with a null-skipping Max groupby.
+
+    Partitioning assumption (documented per the build brief): one
+    artifact's member list fits a worker block (same bound the
+    reference puts on a Neo4j node property array).
+
+    Returns columns (artifact, artifact_type, image, spans_enc,
+    traces_enc); :func:`decode_nodes` restores the list columns.
+    """
+    from ray.data.aggregate import Max as AggMax
+    from ray.data.aggregate import Min as AggMin
+
+    from sigraph_ray.stages.collect import sorted_collect
+
+    items = (events.map_batches(_node_item_partials, batch_format="pyarrow")
+             .groupby("k").aggregate(AggMin("v", alias_name="v")))
+
+    def split_key(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        parts = df["k"].str.split(_SEP_NODE, n=2, expand=True)
+        return pa.Table.from_pandas(pd.DataFrame({
+            "ak": parts[0] + _SEP_NODE + parts[1],
+            "member": parts[2], "ord": df["v"]}), preserve_index=False)
+
+    keyed = items.map_batches(split_key, batch_format="pyarrow")
+    collected = sorted_collect(keyed, key="ak", order_col="ord",
+                               value="member")
+
+    def lists_to_pivot(df: pd.DataFrame) -> pa.Table:
+        ak = df["ak"].str.split(_SEP_NODE, n=1, expand=True)
+        enc = df["values"].map(_SEP_NODE.join)
+        is_span = (ak[1] == "s").to_numpy() if len(df) else np.array([], bool)
+        return _pivot_rows(
+            ak[0].tolist() if len(df) else [],
+            spans=[e if s else None for e, s in zip(enc, is_span)],
+            traces=[None if s else e for e, s in zip(enc, is_span)])
+
+    span_trace_rows = collected.map_batches(lists_to_pivot,
+                                            batch_format="pandas")
+    image_rows = (events.map_batches(_node_image_partials,
+                                     batch_format="pyarrow")
+                  .groupby("artifact").aggregate(AggMax("v", alias_name="v"))
+                  .map_batches(
+                      lambda t: _pivot_rows(
+                          t.column("artifact").to_pylist(),
+                          image=t.column("v").to_pylist()),
+                      batch_format="pyarrow"))
+    parent_rows = (events.map_batches(_parent_existence_partials,
+                                      batch_format="pyarrow")
+                   .map_batches(
+                       lambda t: _pivot_rows(
+                           t.column("artifact").to_pylist()),
+                       batch_format="pyarrow"))
+
+    merged = (span_trace_rows.union(image_rows).union(parent_rows)
+              .groupby("artifact")
+              .aggregate(AggMax("spans_enc", alias_name="spans_enc"),
+                         AggMax("traces_enc", alias_name="traces_enc"),
+                         AggMax("image_enc", alias_name="image_enc")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        img = df["image_enc"].str.split(_SEP_NODE, n=1, expand=True)
+        image = img[1] if 1 in img.columns else pd.Series(
+            [None] * len(df), dtype="object")
+        return pa.Table.from_pandas(pd.DataFrame({
+            "artifact": df["artifact"],
+            # M6 label derivation: type = final @-token of the key
+            # (names may themselves contain '@', db_model M2 semantics)
+            "artifact_type": df["artifact"].str.rsplit("@", n=1).str[-1],
+            "image": image.astype(object).where(image.notna(), None),
+            "spans_enc": df["spans_enc"].fillna(""),
+            "traces_enc": df["traces_enc"].fillna(""),
+        }), preserve_index=False)
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def decode_nodes(encoded):
+    """(spans_enc, traces_enc) strings → related_span_ids /
+    related_trace_ids list columns (the public U1 node schema)."""
+    def f(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(pd.DataFrame({
+            "artifact": df["artifact"],
+            "artifact_type": df["artifact_type"],
+            "image": df["image"],
+            "related_span_ids": [
+                s.split(_SEP_NODE) if s else [] for s in df["spans_enc"]],
+            "related_trace_ids": [
+                s.split(_SEP_NODE) if s else [] for s in df["traces_enc"]],
+        }), preserve_index=False)
+    return encoded.map_batches(f, batch_format="pyarrow")
+
+
 def build_nodes(events):
-    partials = events.map_batches(_node_partials, batch_format="pyarrow")
-    return partials.groupby("artifact").map_groups(
-        _node_finalize, batch_format="pandas")
+    return decode_nodes(build_nodes_encoded(events))
 
 
 # ---------------------------------------------------------------------------
@@ -335,37 +422,41 @@ def _appearance_partials(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(part, preserve_index=False)
 
 
+def _decode_parent_first(t: pa.Table) -> pa.Table:
+    df = t.to_pandas()
+    vals = df["v"].str.split(_SEP, n=3, expand=True)
+    sel = vals[1] == "1"
+    return pa.Table.from_pandas(pd.DataFrame({
+        "unit_id": vals.loc[sel, 2],
+        "trace_id": vals.loc[sel, 3],
+        "artifact": df.loc[sel, "artifact"],
+    }), preserve_index=False)
+
+
 def build_contains(events):
     """Distinct (unit_id, trace_id, artifact) CONTAINS pairs: every
-    current-node pair + the first-appearance-as-parent pairs. Both legs
-    are vectorized aggregates (Count for distinct, encoded Min for the
-    arg-min)."""
+    current-node pair + the first-appearance-as-parent pairs. CONTAINS
+    is a SET (the reference's Neo4j MERGE, element_behavior.py:378-381,
+    409-413): an artifact whose first global appearance is as a parent
+    in trace T and that later occurs as a current artifact in the same
+    trace contributes ONE pair, so both legs flow into a single
+    distinct aggregate (Count-then-project — also one fewer shuffle
+    than deduplicating the current leg separately)."""
     from ray.data.aggregate import Count as AggCount
     from ray.data.aggregate import Min as AggMin
 
-    cur_pairs = (events
-                 .map_batches(_distinct_current_pairs, batch_format="pyarrow")
-                 .groupby(["unit_id", "trace_id", "artifact"])
-                 .aggregate(AggCount(alias_name="_n"))
-                 .map_batches(
-                     lambda t: t.select(["unit_id", "trace_id", "artifact"]),
-                     batch_format="pyarrow"))
+    cur_partials = events.map_batches(_distinct_current_pairs,
+                                      batch_format="pyarrow")
     first = (events.map_batches(_appearance_partials, batch_format="pyarrow")
              .groupby("artifact").aggregate(AggMin("v", alias_name="v")))
-
-    def decode_parent_first(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        vals = df["v"].str.split(_SEP, n=3, expand=True)
-        sel = vals[1] == "1"
-        return pa.Table.from_pandas(pd.DataFrame({
-            "unit_id": vals.loc[sel, 2],
-            "trace_id": vals.loc[sel, 3],
-            "artifact": df.loc[sel, "artifact"],
-        }), preserve_index=False)
-
-    parent_pairs = first.map_batches(decode_parent_first,
+    parent_pairs = first.map_batches(_decode_parent_first,
                                      batch_format="pyarrow")
-    return cur_pairs.union(parent_pairs)
+    return (cur_partials.union(parent_pairs)
+            .groupby(["unit_id", "trace_id", "artifact"])
+            .aggregate(AggCount(alias_name="_n"))
+            .map_batches(
+                lambda t: t.select(["unit_id", "trace_id", "artifact"]),
+                batch_format="pyarrow"))
 
 
 def _distinct_current_pairs(batch: pa.Table) -> pa.Table:
@@ -403,85 +494,102 @@ def build_matches(events):
 # ---------------------------------------------------------------------------
 
 
-def prune_orphans(nodes, edges, traces, contains, matches):
+def _degree_partials_factory(cols):
+    """Per-batch combiner: value_counts of node keys appearing in
+    ``cols`` — one partial row per distinct key per batch."""
+    def f(df: pd.DataFrame) -> pa.Table:
+        hits = pd.concat([df[c] for c in cols], ignore_index=True)
+        vc = hits.value_counts()
+        return pa.Table.from_pandas(pd.DataFrame({
+            "artifact": vc.index.astype(object),
+            "deg": vc.values.astype("int64")}), preserve_index=False)
+    return f
+
+
+def prune_orphans(nodes, edges, traces, contains, matches,
+                  *, num_partitions: int = 8):
     """FLUSH_SINGLE_ENTITIES_WITH_TRACE (schema.py:112-125): drop
     (trace, node) CONTAINS pairs where the trace contains exactly one
     node and that node's total degree is 1, deleting both endpoints.
 
-    The candidate set (single-edge traces) is collected to the driver
-    and broadcast — debris traces are a small fraction of the stream by
-    construction (single-event traces), matching the reference's use of
-    this query as periodic cleanup. Returns pruned
+    Pure dataflow — no driver-side candidate sets: single-node traces
+    come from a Count aggregate, node degrees from per-batch
+    value_counts combiners + a Sum aggregate, and the candidate/doomed
+    narrowing is two hash semi-joins; the three output tables subtract
+    the (small, materialized) doomed set with hash anti-joins. Only the
+    doomed-pair COUNT touches the driver. Returns pruned
     (nodes, edges, traces, contains) plus the dropped pair count.
     """
-    cc = contains.groupby(["unit_id", "trace_id"]).aggregate(
-        Count(alias_name="n_contained"))
-    singles = cc.filter(expr="n_contained == 1").to_pandas()
-    if len(singles) == 0 or "unit_id" not in singles.columns:
+    from ray.data.aggregate import Sum as AggSum
+
+    from sigraph_ray.stages.joins import safe_join
+
+    _pair3 = pa.schema([("unit_id", pa.string()), ("trace_id", pa.string()),
+                        ("artifact", pa.string())])
+    _singles = pa.schema([("unit_id", pa.string()), ("trace_id", pa.string()),
+                          ("n_contained", pa.int64())])
+    _deg = pa.schema([("artifact", pa.string()), ("degree", pa.int64())])
+    _art = pa.schema([("artifact", pa.string())])
+    _ut = pa.schema([("unit_id", pa.string()), ("trace_id", pa.string())])
+
+    # each aggregate/join output below is a SMALL post-aggregation
+    # table; materializing at the step boundaries keeps exactly one
+    # hash-shuffle op in flight, and safe_join normalizes the sparse
+    # sides (empty sort/groupby partitions are otherwise null-typed
+    # when they reach the Acero join kernel — stages/joins.py)
+    # a zero-row join side ships no blocks at all (not even the schema
+    # broadcast), so every narrowing step both early-outs semantically
+    # (nothing to prune) and protects the next join
+    singles = (contains.groupby(["unit_id", "trace_id"])
+               .aggregate(Count(alias_name="n_contained"))
+               .filter(expr="n_contained == 1")).materialize()
+    if singles.count() == 0:
         return nodes, edges, traces, contains, 0
-    single_traces = set(zip(singles["unit_id"], singles["trace_id"]))
-    if not single_traces:
-        return nodes, edges, traces, contains, 0
-
-    cand_pairs = contains.map_batches(
-        _filter_pairs_factory(single_traces), batch_format="pandas")
-    cand = cand_pairs.to_pandas()
-    cand_nodes = set(cand["artifact"])
-
-    # degree of candidate nodes across ALL relationship tables
-    def count_hits(ds, cols):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            hits = pd.concat(
-                [df[c][df[c].isin(cand_nodes)] for c in cols])
-            vc = hits.value_counts()
-            return pd.DataFrame({"artifact": vc.index.astype(object),
-                                 "deg": vc.values})
-        return ds.map_batches(f, batch_format="pandas").to_pandas()
-
-    deg = pd.concat([
-        count_hits(edges, ["src", "dst"]),
-        count_hits(contains, ["artifact"]),
-        count_hits(matches, ["artifact"]) if matches is not None else
-        pd.DataFrame({"artifact": [], "deg": []}),
-    ], ignore_index=True)
-    total = deg.groupby("artifact")["deg"].sum()
-    doomed_nodes = set(total[total == 1].index) & cand_nodes
-    doomed = cand[cand["artifact"].isin(doomed_nodes)]
-    doomed_traces = set(zip(doomed["unit_id"], doomed["trace_id"]))
-    if not doomed_nodes:
+    cand = safe_join(contains, singles, "left_semi", num_partitions,
+                     ("unit_id", "trace_id"),
+                     left_schema=_pair3, right_schema=_singles).materialize()
+    if cand.count() == 0:
         return nodes, edges, traces, contains, 0
 
-    nodes2 = nodes.map_batches(
-        lambda df: df[~df["artifact"].isin(doomed_nodes)],
-        batch_format="pandas")
-    traces2 = traces.map_batches(
-        _drop_traces_factory(doomed_traces), batch_format="pandas")
-    contains2 = contains.map_batches(
-        lambda df: df[~df["artifact"].isin(doomed_nodes)],
-        batch_format="pandas")
-    return nodes2, edges, traces2, contains2, len(doomed)
+    deg = (edges.map_batches(_degree_partials_factory(["src", "dst"]),
+                             batch_format="pandas")
+           .union(contains.map_batches(
+               _degree_partials_factory(["artifact"]), batch_format="pandas"))
+           .union(matches.map_batches(
+               _degree_partials_factory(["artifact"]), batch_format="pandas"))
+           .groupby("artifact").aggregate(AggSum("deg", alias_name="degree"))
+           .filter(expr="degree == 1")).materialize()
+    if deg.count() == 0:
+        return nodes, edges, traces, contains, 0
 
+    # each doomed node has exactly one relationship (its CONTAINS pair),
+    # so artifacts and (unit, trace) keys are both unique in `doomed`
+    doomed = safe_join(cand, deg, "left_semi", num_partitions,
+                       ("artifact",),
+                       left_schema=_pair3, right_schema=_deg).materialize()
+    n_pruned = doomed.count()
+    if n_pruned == 0:
+        return nodes, edges, traces, contains, 0
 
-def _filter_pairs_factory(trace_set):
-    ref = ray.put(trace_set)
-
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        ts = ray.get(ref)
-        mask = [
-            (u, t) in ts for u, t in zip(df["unit_id"], df["trace_id"])]
-        return df[pd.Series(mask, index=df.index)]
-    return f
-
-
-def _drop_traces_factory(trace_set):
-    ref = ray.put(trace_set)
-
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        ts = ray.get(ref)
-        mask = [
-            (u, t) not in ts for u, t in zip(df["unit_id"], df["trace_id"])]
-        return df[pd.Series(mask, index=df.index)]
-    return f
+    _nodes_enc = pa.schema([("artifact", pa.string()),
+                            ("artifact_type", pa.string()),
+                            ("image", pa.string()),
+                            ("spans_enc", pa.string()),
+                            ("traces_enc", pa.string())])
+    _traces = pa.schema([("unit_id", pa.string()), ("trace_id", pa.string()),
+                         ("start_time", pa.timestamp("ns")),
+                         ("representative_process_name", pa.string()),
+                         ("span_count", pa.int64())])
+    nodes2 = safe_join(nodes, doomed.select_columns(["artifact"]),
+                       "left_anti", num_partitions, ("artifact",),
+                       left_schema=_nodes_enc, right_schema=_art)
+    traces2 = safe_join(traces, doomed.select_columns(["unit_id", "trace_id"]),
+                        "left_anti", num_partitions, ("unit_id", "trace_id"),
+                        left_schema=_traces, right_schema=_ut)
+    contains2 = safe_join(contains, doomed.select_columns(["artifact"]),
+                          "left_anti", num_partitions, ("artifact",),
+                          left_schema=_pair3, right_schema=_art)
+    return nodes2, edges, traces2, contains2, n_pruned
 
 
 # ---------------------------------------------------------------------------
@@ -516,7 +624,10 @@ def build_graph_from_parsed(parsed, *, prune: bool = True) -> dict:
     point used when resuming from a persisted parse stage
     (state/manifest.read_stage)."""
     ok, bad = split_quarantine(parsed)
-    nodes = build_nodes(ok)
+    # nodes stay ENCODED (flat string columns) through pruning — the
+    # G1 anti-join runs on the flat table (Acero joins reject list
+    # payloads); list columns are decoded at the API boundary below.
+    nodes = build_nodes_encoded(ok)
     edges = build_edges(ok)
     traces = build_traces(ok)
     contains = build_contains(ok)
@@ -535,6 +646,7 @@ def build_graph_from_parsed(parsed, *, prune: bool = True) -> dict:
             nodes, edges, traces, contains, matches)
     else:
         n_pruned = 0
+    nodes = decode_nodes(nodes)
     return {
         "nodes": nodes, "edges": edges, "traces": traces,
         "contains": contains, "matches": matches, "quarantined": bad,
@@ -574,16 +686,13 @@ def validate_graph(graph: dict) -> dict:
     (count == count_distinct). Returns the counts; raises AssertionError
     on violation."""
     n_nodes = graph["nodes"].count()
-    n_node_keys = len(graph["nodes"].select_columns(["artifact"])
-                      .to_pandas()["artifact"].unique())
+    n_node_keys = (graph["nodes"].select_columns(["artifact"])
+                   .groupby("artifact").count().count())
     assert n_nodes == n_node_keys, (n_nodes, n_node_keys)
     traces = graph["traces"]
     n_traces = traces.count()
-    keys = traces.map_batches(
-        lambda t: pa.table({"k": pc.binary_join_element_wise(
-            t.column("unit_id"), t.column("trace_id"), "|")}),
-        batch_format="pyarrow")
-    n_trace_keys = len(keys.to_pandas()["k"].unique())
+    n_trace_keys = (traces.select_columns(["unit_id", "trace_id"])
+                    .groupby(["unit_id", "trace_id"]).count().count())
     assert n_traces == n_trace_keys, (n_traces, n_trace_keys)
     return {"nodes": n_nodes, "traces": n_traces}
 
@@ -593,14 +702,27 @@ def extract_iocs(graph: dict, unit_id: str):
     U8): distinct properties of non-PROCESS artifacts contained in the
     unit's traces, with ``related_trace_ids`` filtered to the unit's own
     trace set (J5 broadcast semi-join). Output columns:
-    image, artifact, artifact_type, related_trace_ids."""
+    image, artifact, artifact_type, related_trace_ids.
+
+    The broadcast sets are ONE unit's traces / contained artifacts —
+    filtered on the workers before the (bounded, per-unit) pull; the
+    full trace/contains tables never reach the driver."""
     import ray
 
-    tdf = graph["traces"].select_columns(["unit_id", "trace_id"]).to_pandas()
-    unit_traces = set(tdf.loc[tdf["unit_id"] == unit_id, "trace_id"])
-    cdf = graph["contains"].select_columns(
-        ["unit_id", "artifact"]).to_pandas()
-    contained = set(cdf.loc[cdf["unit_id"] == unit_id, "artifact"])
+    def unit_rows(col):
+        def f(t: pa.Table) -> pa.Table:
+            return (t.filter(pc.equal(t.column("unit_id"), unit_id))
+                    .select([col]))
+        return f
+
+    unit_traces = set(
+        graph["traces"].map_batches(unit_rows("trace_id"),
+                                    batch_format="pyarrow")
+        .to_pandas()["trace_id"])
+    contained = set(
+        graph["contains"].map_batches(unit_rows("artifact"),
+                                      batch_format="pyarrow")
+        .to_pandas()["artifact"])
     traces_ref = ray.put(unit_traces)
     contained_ref = ray.put(contained)
 
