@@ -96,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_units": Q.SQL_DISTINCT_UNITS,
         "rule_match": Q.SQL_RULE_MATCH,
         "doc_page": Q.SQL_DOC_PAGE,
+        "prov_subgraph": Q.SQL_PROV_SUBGRAPH,
         "trace_listing": Q.SQL_TRACE_LISTING,
         "iocs": Q.SQL_IOCS,
         "drift_sequence": Q.SQL_DRIFT_SEQUENCE,

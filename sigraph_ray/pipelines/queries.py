@@ -819,14 +819,87 @@ ORDER BY n_chars, doc_id LIMIT 50 OFFSET 100
 
 
 def q_prov_subgraph(sf_dir: str):
-    """G3 provenance subgraph export (schema.py:127-152) — rows-only
-    check (path semantics exercised in tests/test_traversal.py)."""
+    """G3 provenance subgraph export (QUERY_ALL_PROVENANCE,
+    schema.py:127-152): per trace, every directed action edge lying on
+    some path (src)-[*1..5]->(dst) whose ENDPOINTS are contained in the
+    trace, src not MODULE, not both endpoints PROCESS — intermediates
+    unrestricted. Oracle: recursive forward/backward distance CTEs over
+    the identical derived edge set."""
     from sigraph_ray.stages import provenance_graph as G
     from sigraph_ray.stages import traversal as TV
 
     parsed = _parsed_events(sf_dir)
     g = G.build_graph_from_parsed(parsed, prune=False)
     return TV.provenance_subgraph(g, max_hop=5)
+
+
+_SUBGRAPH_K = 5
+
+SQL_PROV_SUBGRAPH = f"""
+WITH RECURSIVE {_SQL_BASE},
+edges_d AS (
+  SELECT DISTINCT
+     CASE WHEN actor_type = 'READ_RECV' THEN artifact ELSE parent_key END AS src,
+     CASE WHEN actor_type = 'READ_RECV' THEN parent_key ELSE artifact END AS dst,
+     action_type AS type
+  FROM valid WHERE parent_key IS NOT NULL AND parent_span_id IS NOT NULL
+),
+cur AS (SELECT DISTINCT unit_id, trace_id, artifact FROM valid),
+appearances AS (
+  SELECT artifact, ord, unit_id, trace_id, 0 AS kind FROM valid
+  UNION ALL
+  SELECT parent_key AS artifact, ord, unit_id, trace_id, 1 AS kind
+  FROM valid WHERE parent_key IS NOT NULL
+),
+firsts AS (
+  SELECT artifact, unit_id, trace_id, kind,
+         row_number() OVER (PARTITION BY artifact ORDER BY ord) AS rn
+  FROM appearances
+),
+contains_all AS (
+  SELECT unit_id, trace_id, artifact FROM cur
+  UNION
+  SELECT unit_id, trace_id, artifact FROM firsts WHERE rn = 1 AND kind = 1
+),
+cont AS (
+  SELECT unit_id, trace_id, artifact,
+         string_split(artifact, '@')[-1] AS atype
+  FROM contains_all
+),
+src_seeds AS (
+  SELECT unit_id, trace_id, artifact AS node,
+         (atype = 'PROCESS') AS is_proc
+  FROM cont WHERE atype <> 'MODULE'
+),
+dst_seeds AS (
+  SELECT unit_id, trace_id, artifact AS node,
+         (atype = 'PROCESS') AS is_proc
+  FROM cont
+),
+fwd(unit_id, trace_id, is_proc, node, d) AS (
+  SELECT unit_id, trace_id, is_proc, node, 0 FROM src_seeds
+  UNION
+  SELECT f.unit_id, f.trace_id, f.is_proc, e.dst, f.d + 1
+  FROM fwd f JOIN edges_d e ON f.node = e.src
+  WHERE f.d < {_SUBGRAPH_K - 1}
+),
+bwd(unit_id, trace_id, is_proc, node, d) AS (
+  SELECT unit_id, trace_id, is_proc, node, 0 FROM dst_seeds
+  UNION
+  SELECT b.unit_id, b.trace_id, b.is_proc, e.src, b.d + 1
+  FROM bwd b JOIN edges_d e ON b.node = e.dst
+  WHERE b.d < {_SUBGRAPH_K - 1}
+)
+SELECT DISTINCT f.unit_id AS unit_id, f.trace_id AS trace_id,
+                e.src AS src, e.type AS type, e.dst AS dst
+FROM edges_d e
+JOIN fwd f ON f.node = e.src
+JOIN bwd b ON b.node = e.dst
+          AND b.unit_id = f.unit_id AND b.trace_id = f.trace_id
+WHERE f.d + 1 + b.d <= {_SUBGRAPH_K}
+  AND NOT (f.is_proc AND b.is_proc)
+ORDER BY 1, 2, 3, 4, 5
+"""
 
 
 def q_trace_listing(sf_dir: str):

@@ -10,19 +10,30 @@
   ``elementId(t1) < elementId(t2)`` ordering trick rendered
   deterministic as ``t1 < t2`` lexicographic (same-unit pairs only).
 
-- G3 provenance subgraph export (schema.py:127-152): bounded-hop
-  forward expansion from a trace's contained nodes with the reference's
-  filters (not both endpoints PROCESS, source not MODULE, destination
-  contained in the same trace), flattened to unique node/edge lists.
+- G3 provenance subgraph export (schema.py:127-152 QUERY_ALL_PROVENANCE):
+  directed paths ``(src)-[*1..k]->(dst)`` over action edges where the
+  filters constrain only the PATH ENDPOINTS — src contained in the
+  trace and not MODULE, dst contained in the trace, NOT (src PROCESS
+  AND dst PROCESS). Intermediate nodes need not be contained and
+  PROCESS→PROCESS hops are allowed mid-path. An edge is exported iff it
+  lies on some qualifying path, decided via forward/backward BFS
+  distances split by endpoint PROCESS-ness:
+  ``min over allowed (srcclass,dstclass): dfwd[class](a) + 1 +
+  dbwd[class](b) <= k`` for edge a→b. (Deviation note: Cypher forbids
+  repeating a relationship within one path; the distance formulation
+  ignores that, which is equivalence on cycle-free provenance graphs
+  and a superset only on cycles shorter than ``k``.)
 
-Execution model: seeds are processed distributedly (``map_batches`` over
-the trace table); the aggregated graph adjacency is BROADCAST once via
-``ray.put`` and BFS runs vectorized-per-seed inside each batch. The
-node/edge tables are post-aggregation outputs, orders of magnitude
-smaller than the event stream; the assumption "adjacency fits one
-worker" is the same one the reference makes of its Neo4j instance. The
-iterative frontier-join formulation (no broadcast) is the documented
-fallback for graphs beyond single-worker memory (SURVEY.md §4.2).
+Execution model: seed traces are processed distributedly
+(``map_batches`` over the trace table with an ACTOR-POOL kernel); each
+actor builds its adjacency index ONCE in ``__init__`` from the
+materialized relationship tables' object-store block refs — the brief's
+"stateful stage holding a shared index" pattern. The driver never
+iterates rows; it only ships block references. The index-per-actor
+assumption ("post-aggregation graph fits one worker") is the same one
+the reference makes of its Neo4j instance; the iterative frontier-join
+formulation over ``stages/joins.safe_join`` is the documented fallback
+for graphs beyond single-worker memory (SURVEY.md §4.2).
 """
 
 from __future__ import annotations
@@ -33,36 +44,79 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _build_adjacency(graph: dict) -> dict[str, list[str]]:
-    """Driver-side adjacency dict over node keys. Trace nodes are keyed
+def _artifact_type(key: str) -> str:
+    """M6 label derivation — type = final @-token of the node key."""
+    return key.rsplit("@", 1)[-1]
+
+
+def graph_table_refs(graph: dict) -> dict:
+    """Materialize the (post-aggregation, small-relative-to-events)
+    relationship tables and return their object-store block refs —
+    the payload shipped to traversal actors. No rows touch the driver."""
+    out = {}
+    for name in ("edges", "contains", "matches"):
+        ds = graph[name].materialize()
+        out[name] = list(ds.to_arrow_refs())
+    return out
+
+
+def _fetch_tables(refs: list) -> list[pa.Table]:
+    import ray
+
+    return [t for t in ray.get(list(refs)) if t.num_rows]
+
+
+class _AdjacencyIndex:
+    """Per-actor adjacency over node keys: trace nodes keyed
     ``trace:<unit>:<trace_id>``, rule nodes ``rule:<rule_id>``,
-    artifact nodes by their artifact key."""
-    adj: dict[str, list[str]] = {}
+    artifacts by artifact key. Built once per actor from Arrow blocks
+    (zero-copy reads from the object store)."""
 
-    def add(u: str, v: str) -> None:
-        adj.setdefault(u, []).append(v)
-        adj.setdefault(v, []).append(u)
+    def __init__(self, refs: dict):
+        adj: dict[str, list[str]] = {}
 
-    for df in graph["edges"].iter_batches(batch_format="pandas"):
-        for s, d in zip(df["src"], df["dst"]):
-            add(s, d)
-    for df in graph["contains"].iter_batches(batch_format="pandas"):
-        for u, t, a in zip(df["unit_id"], df["trace_id"], df["artifact"]):
-            add(f"trace:{u}:{t}", a)
-    for df in graph["matches"].iter_batches(batch_format="pandas"):
-        for r, a in zip(df["rule_id"], df["artifact"]):
-            add(f"rule:{r}", a)
-    return adj
+        def add(u: str, v: str) -> None:
+            adj.setdefault(u, []).append(v)
+            adj.setdefault(v, []).append(u)
+
+        for t in _fetch_tables(refs["edges"]):
+            for s, d in zip(t.column("src").to_pylist(),
+                            t.column("dst").to_pylist()):
+                add(s, d)
+        for t in _fetch_tables(refs["contains"]):
+            for u, tr, a in zip(t.column("unit_id").to_pylist(),
+                                t.column("trace_id").to_pylist(),
+                                t.column("artifact").to_pylist()):
+                add(f"trace:{u}:{tr}", a)
+        for t in _fetch_tables(refs["matches"]):
+            for r, a in zip(t.column("rule_id").to_pylist(),
+                            t.column("artifact").to_pylist()):
+                add(f"rule:{r}", a)
+        self.adj = adj
+
+    def bfs(self, start: str, max_hop: int) -> dict[str, int]:
+        if start not in self.adj:
+            return {}
+        dist = {start: 0}
+        q = deque([start])
+        while q:
+            cur = q.popleft()
+            d = dist[cur]
+            if d >= max_hop:
+                continue
+            for nxt in self.adj.get(cur, ()):
+                if nxt not in dist:
+                    dist[nxt] = d + 1
+                    q.append(nxt)
+        return dist
 
 
 class _RelatedTraces:
     """Batch kernel: BFS (≤ max_hop edges) from each seed trace over the
-    broadcast adjacency; emits same-unit trace pairs."""
+    actor-built adjacency; emits same-unit trace pairs."""
 
-    def __init__(self, adj_ref, max_hop: int):
-        import ray
-
-        self.adj = ray.get(adj_ref)
+    def __init__(self, refs: dict, max_hop: int):
+        self.index = _AdjacencyIndex(refs)
         self.max_hop = max_hop
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -70,20 +124,7 @@ class _RelatedTraces:
         units = batch.column("unit_id").to_pylist()
         tids = batch.column("trace_id").to_pylist()
         for unit, tid in zip(units, tids):
-            start = f"trace:{unit}:{tid}"
-            if start not in self.adj:
-                continue
-            dist = {start: 0}
-            q = deque([start])
-            while q:
-                cur = q.popleft()
-                d = dist[cur]
-                if d >= self.max_hop:
-                    continue
-                for nxt in self.adj.get(cur, ()):
-                    if nxt not in dist:
-                        dist[nxt] = d + 1
-                        q.append(nxt)
+            dist = self.index.bfs(f"trace:{unit}:{tid}", self.max_hop)
             prefix = f"trace:{unit}:"
             for node, d in dist.items():
                 if d == 0 or not node.startswith(prefix):
@@ -103,92 +144,114 @@ class _RelatedTraces:
         })
 
 
-def related_traces(graph: dict, *, max_hop: int = 5):
+def related_traces(graph: dict, *, max_hop: int = 5, concurrency: int = 2):
     """G2 — Dataset of (unit_id, trace_a, trace_b, hops) with
     trace_a < trace_b and hops = shortest undirected path ≤ max_hop."""
-    import ray
-
-    adj_ref = ray.put(_build_adjacency(graph))
+    refs = graph_table_refs(graph)
     return graph["traces"].map_batches(
         _RelatedTraces, batch_format="pyarrow",
-        fn_constructor_kwargs={"adj_ref": adj_ref, "max_hop": max_hop},
-        concurrency=2)
+        fn_constructor_kwargs={"refs": refs, "max_hop": max_hop},
+        concurrency=concurrency)
 
 
 class _Subgraph:
-    """G3 batch kernel: forward expansion src→dst over directed action
-    edges from each trace's contained nodes, with the reference's
-    filters (schema.py:141-144)."""
+    """G3 batch kernel (QUERY_ALL_PROVENANCE, schema.py:127-152).
 
-    def __init__(self, fwd_ref, contained_ref, types_ref, max_hop: int):
-        import ray
+    Per trace: forward BFS over directed action edges from the
+    contained non-MODULE sources (split into PROCESS / non-PROCESS
+    classes) and backward BFS from the contained destinations (same
+    split); edge a→b is exported iff some allowed class pair gives
+    ``dfwd(a) + 1 + dbwd(b) <= max_hop`` — endpoint-only filters, as
+    the Cypher query specifies (intermediates unrestricted)."""
 
-        self.fwd = ray.get(fwd_ref)            # src -> [(dst, type)]
-        self.contained = ray.get(contained_ref)  # (unit,trace) -> set
-        self.types = ray.get(types_ref)        # artifact -> type
+    def __init__(self, refs: dict, max_hop: int):
+        fwd: dict[str, list] = {}
+        bwd: dict[str, list] = {}
+        edges: list[tuple] = []
+        for t in _fetch_tables(refs["edges"]):
+            for s, d, ty in zip(t.column("src").to_pylist(),
+                                t.column("dst").to_pylist(),
+                                t.column("type").to_pylist()):
+                fwd.setdefault(s, []).append(d)
+                bwd.setdefault(d, []).append(s)
+                edges.append((s, ty, d))
+        contained: dict[tuple, set] = {}
+        for t in _fetch_tables(refs["contains"]):
+            for u, tr, a in zip(t.column("unit_id").to_pylist(),
+                                t.column("trace_id").to_pylist(),
+                                t.column("artifact").to_pylist()):
+                contained.setdefault((u, tr), set()).add(a)
+        self.fwd = fwd
+        self.bwd = bwd
+        self.edges = sorted(set(edges))
+        self.contained = contained
         self.max_hop = max_hop
+
+    @staticmethod
+    def _multi_bfs(adj: dict, seeds, cap: int) -> dict[str, int]:
+        dist = {s: 0 for s in seeds}
+        q = deque(dist)
+        while q:
+            cur = q.popleft()
+            d = dist[cur]
+            if d >= cap:
+                continue
+            for nxt in adj.get(cur, ()):
+                if nxt not in dist:
+                    dist[nxt] = d + 1
+                    q.append(nxt)
+        return dist
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
         units = batch.column("unit_id").to_pylist()
         tids = batch.column("trace_id").to_pylist()
+        k = self.max_hop
         for unit, tid in zip(units, tids):
             members = self.contained.get((unit, tid), set())
-            seen_edges = set()
-            for src in sorted(members):
-                if self.types.get(src) == "MODULE":
-                    continue  # src not MODULE (schema.py:143)
-                frontier = {src}
-                for _ in range(self.max_hop):
-                    nxt = set()
-                    for u in frontier:
-                        for (v, etype) in self.fwd.get(u, ()):
-                            both_proc = (self.types.get(u) == "PROCESS"
-                                         and self.types.get(v) == "PROCESS")
-                            if both_proc:
-                                continue  # not both endpoints PROCESS
-                            if v not in members:
-                                continue  # dst contained in same trace
-                            if (u, etype, v) not in seen_edges:
-                                seen_edges.add((u, etype, v))
-                                nxt.add(v)
-                    frontier = nxt
-                    if not frontier:
-                        break
-            for (u, etype, v) in sorted(seen_edges):
-                rows.append({"unit_id": unit, "trace_id": tid,
-                             "src": u, "type": etype, "dst": v})
+            if not members:
+                continue
+            src_proc = {m for m in members
+                        if _artifact_type(m) == "PROCESS"}
+            srcs_np = {m for m in members
+                       if _artifact_type(m) not in ("PROCESS", "MODULE")}
+            dst_proc = src_proc
+            dsts_np = {m for m in members
+                       if _artifact_type(m) != "PROCESS"}
+            df_p = self._multi_bfs(self.fwd, src_proc, k - 1)
+            df_n = self._multi_bfs(self.fwd, srcs_np, k - 1)
+            db_p = self._multi_bfs(self.bwd, dst_proc, k - 1)
+            db_n = self._multi_bfs(self.bwd, dsts_np, k - 1)
+            for (a, ty, b) in self.edges:
+                best = None
+                for dfwd, dbwd in ((df_p, db_n), (df_n, db_p),
+                                   (df_n, db_n)):
+                    da = dfwd.get(a)
+                    db = dbwd.get(b)
+                    if da is not None and db is not None:
+                        tot = da + 1 + db
+                        if best is None or tot < best:
+                            best = tot
+                if best is not None and best <= k:
+                    rows.append({"unit_id": unit, "trace_id": tid,
+                                 "src": a, "type": ty, "dst": b})
         return pa.Table.from_pylist(rows, schema=pa.schema([
             ("unit_id", pa.string()), ("trace_id", pa.string()),
             ("src", pa.string()), ("type", pa.string()),
             ("dst", pa.string())]))
 
 
-def provenance_subgraph(graph: dict, *, max_hop: int = 5):
+def provenance_subgraph(graph: dict, *, max_hop: int = 5,
+                        concurrency: int = 2):
     """G3 — unique directed edges of each trace's provenance subgraph
     (the reference flattens paths to unique node/edge lists,
     element_behavior.py:639-699; we emit the edge list, node list =
     its distinct endpoints)."""
-    import ray
-
-    fwd: dict[str, list] = {}
-    for df in graph["edges"].iter_batches(batch_format="pandas"):
-        for s, d, t in zip(df["src"], df["dst"], df["type"]):
-            fwd.setdefault(s, []).append((d, t))
-    contained: dict[tuple, set] = {}
-    for df in graph["contains"].iter_batches(batch_format="pandas"):
-        for u, t, a in zip(df["unit_id"], df["trace_id"], df["artifact"]):
-            contained.setdefault((u, t), set()).add(a)
-    types: dict[str, str] = {}
-    for df in graph["nodes"].iter_batches(batch_format="pandas"):
-        for a, at in zip(df["artifact"], df["artifact_type"]):
-            types[a] = at
+    refs = graph_table_refs(graph)
     return graph["traces"].map_batches(
         _Subgraph, batch_format="pyarrow",
-        fn_constructor_kwargs={
-            "fwd_ref": ray.put(fwd), "contained_ref": ray.put(contained),
-            "types_ref": ray.put(types), "max_hop": max_hop},
-        concurrency=2)
+        fn_constructor_kwargs={"refs": refs, "max_hop": max_hop},
+        concurrency=concurrency)
 
 
 def drift_trace_set(graph: dict, unit_id: str, trace_id: str,
@@ -196,25 +259,24 @@ def drift_trace_set(graph: dict, unit_id: str, trace_id: str,
     """The trace set of a drift query: the seed trace plus every
     same-unit trace within ``max_hop`` undirected hops (J6,
     src/app/backend/v1/api.py:177-208 unions the seed's syslog sequence
-    with the sequences of all graph-related traces)."""
-    adj = _build_adjacency(graph)
-    start = f"trace:{unit_id}:{trace_id}"
-    out = {trace_id}
-    if start not in adj:
+    with the sequences of all graph-related traces). The BFS runs in a
+    Ray task against the actor-style index — the driver ships block
+    refs and receives only the (per-unit-bounded) trace-id set."""
+    import ray
+
+    refs = graph_table_refs(graph)
+
+    @ray.remote
+    def _bfs_task(refs: dict, unit_id: str, trace_id: str,
+                  max_hop: int) -> set[str]:
+        index = _AdjacencyIndex(refs)
+        dist = index.bfs(f"trace:{unit_id}:{trace_id}", max_hop)
+        prefix = f"trace:{unit_id}:"
+        out = {trace_id}
+        out |= {n[len(prefix):] for n in dist if n.startswith(prefix)}
         return out
-    dist = {start: 0}
-    frontier = [start]
-    for d in range(max_hop):
-        nxt = []
-        for cur in frontier:
-            for n in adj.get(cur, ()):
-                if n not in dist:
-                    dist[n] = d + 1
-                    nxt.append(n)
-        frontier = nxt
-    prefix = f"trace:{unit_id}:"
-    out |= {n[len(prefix):] for n in dist if n.startswith(prefix)}
-    return out
+
+    return ray.get(_bfs_task.remote(refs, unit_id, trace_id, max_hop))
 
 
 def drift_sequence(graph: dict, docs, unit_id: str, trace_id: str,

@@ -82,6 +82,40 @@ def test_subgraph_filters(ray_session):
     assert got == {("p@PROCESS", "ACCESS", "a@FILE")}
 
 
+def test_subgraph_endpoint_semantics(ray_session):
+    """G3 filters apply to PATH ENDPOINTS only (QUERY_ALL_PROVENANCE,
+    schema.py:127-152): intermediate nodes need not be contained and
+    PROCESS→PROCESS hops are allowed mid-path."""
+    import ray.data as rd
+
+    from sigraph_ray.stages import traversal as TV
+
+    # f1 → p1 → p2 → f2: endpoints contained FILEs, intermediates are
+    # UNCONTAINED processes with a PROCESS→PROCESS hop between them.
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": ["f1@FILE", "p1@PROCESS", "p2@PROCESS"],
+        "dst": ["p1@PROCESS", "p2@PROCESS", "f2@FILE"],
+        "type": ["CREATE", "LAUNCH", "WRITE"]}))
+    contains = rd.from_pandas(pd.DataFrame({
+        "unit_id": ["u", "u"], "trace_id": ["t", "t"],
+        "artifact": ["f1@FILE", "f2@FILE"]}))
+    g = {
+        "edges": edges, "contains": contains,
+        "matches": rd.from_pandas(
+            pd.DataFrame({"rule_id": [], "artifact": []})),
+        "traces": rd.from_pandas(
+            pd.DataFrame({"unit_id": ["u"], "trace_id": ["t"]})),
+    }
+    out = TV.provenance_subgraph(g, max_hop=5).to_pandas()
+    got = set(zip(out["src"], out["type"], out["dst"]))
+    assert got == {("f1@FILE", "CREATE", "p1@PROCESS"),
+                   ("p1@PROCESS", "LAUNCH", "p2@PROCESS"),
+                   ("p2@PROCESS", "WRITE", "f2@FILE")}
+    # but with max_hop=2 the 3-edge path no longer fits
+    out2 = TV.provenance_subgraph(g, max_hop=2).to_pandas()
+    assert len(out2) == 0
+
+
 def test_connected_components_deterministic(ray_session):
     import ray.data as rd
 
