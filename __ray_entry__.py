@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_traces": Q.q_related_traces,
         "distinct_units": Q.q_distinct_units,
         "rule_match": Q.q_rule_match,
+        "sigma_match": Q.q_sigma_match,
         "doc_page": Q.q_doc_page,
         "prov_subgraph": Q.q_prov_subgraph,
         "trace_listing": Q.q_trace_listing,
@@ -95,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         "related_traces": Q.SQL_RELATED_TRACES,
         "distinct_units": Q.SQL_DISTINCT_UNITS,
         "rule_match": Q.SQL_RULE_MATCH,
+        "sigma_match": Q.SQL_SIGMA_MATCH,
         "doc_page": Q.SQL_DOC_PAGE,
         "prov_subgraph": Q.SQL_PROV_SUBGRAPH,
         "trace_listing": Q.SQL_TRACE_LISTING,

@@ -733,6 +733,105 @@ ORDER BY unit_id, trace_a, trace_b
 """
 
 
+# Demo Sigma YAML upload (S8) — the user-extension surface: arbitrary
+# rules in Sigma syntax, compiled at runtime by functions/sigma.py
+# (rule/session.py:24-123 semantics: per-rule compile, field-prefix
+# rewrite to raw_data.Metadata.*, logsource.category term, 1024-clause
+# split). The four rules below exercise plain/list equality, the
+# contains/startswith/endswith/re modifiers, and/not conditions and the
+# `1 of <pattern>` quantifier; their predicates are restated in
+# SQL_SIGMA_MATCH over the identical events→syslog field formulas.
+SIGMA_DEMO_RULES = r"""
+title: Suspicious temp file write
+id: a1a1a1a1-0000-0000-0000-000000000001
+logsource:
+  category: click
+detection:
+  selection:
+    TargetFilename|endswith: '7.tmp'
+    Image|contains: 'proc_3'
+  condition: selection
+---
+title: Internal exfil destination
+id: b2b2b2b2-0000-0000-0000-000000000002
+logsource:
+  category: purchase
+detection:
+  sel_ip:
+    DestinationIp|startswith: '10.0.0.1'
+  sel_user:
+    User:
+      - user_3
+      - user_13
+      - user_23
+  condition: sel_ip and sel_user
+---
+title: Low proc command persistence
+id: c3c3c3c3-0000-0000-0000-000000000003
+logsource:
+  category: error
+detection:
+  selection:
+    CommandLine|re: 'proc_[0-2]\.exe'
+  filter:
+    User|endswith: '0'
+  condition: selection and not filter
+---
+title: Noisy view selector
+id: d4d4d4d4-0000-0000-0000-000000000004
+logsource:
+  category: view
+detection:
+  sel_a:
+    EventID:
+      - '3'
+      - '4'
+  sel_b:
+    User|contains: '7'
+  condition: 1 of sel_*
+"""
+
+
+def q_sigma_match(sf_dir: str):
+    """S8/A5/J7 — uploaded Sigma YAML compiled per actor and scanned
+    over the syslog raw_data document model for unit_0
+    (db_session.py:233-345 get_syslog_by_subquery)."""
+    from sigraph_ray.stages import syslog as SY
+
+    return SY.sigma_match(SY.derive_syslog(sf_dir), SIGMA_DEMO_RULES,
+                          unit_id="unit_0")
+
+
+SQL_SIGMA_MATCH = """
+WITH s AS (
+  SELECT 'span_' || lpad(CAST(event_id AS VARCHAR), 12, '0') AS span_id,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts_raw,
+         event_type, event_id, user_id
+  FROM events WHERE user_id % 3 = 0
+)
+SELECT 'Suspicious temp file write' AS rule_title, span_id,
+       ts_raw AS "timestamp"
+FROM s WHERE event_type = 'click'
+  AND (event_id % 100) % 10 = 7 AND user_id % 7 = 3
+UNION ALL
+SELECT 'Internal exfil destination', span_id, ts_raw
+FROM s WHERE event_type = 'purchase'
+  AND CAST(event_id % 256 AS VARCHAR) LIKE '1%'
+  AND user_id IN (3, 13, 23)
+UNION ALL
+SELECT 'Low proc command persistence', span_id, ts_raw
+FROM s WHERE event_type = 'error'
+  AND user_id % 7 IN (0, 1, 2)
+  AND NOT (CAST(user_id AS VARCHAR) LIKE '%0')
+UNION ALL
+SELECT 'Noisy view selector', span_id, ts_raw
+FROM s WHERE event_type = 'view'
+  AND (CAST(event_id % 20 AS VARCHAR) IN ('3', '4')
+       OR CAST(user_id AS VARCHAR) LIKE '%7%')
+ORDER BY 1, 2
+"""
+
+
 # Fixed sigma-style rules: (rule_id, RE2 pattern over document text).
 # The reference compiles uploaded Sigma YAML to Lucene queries at
 # runtime (src/rule/session.py:24-94, J7 match at db_session.py:233-345);
@@ -986,19 +1085,23 @@ ORDER BY artifact
 
 
 def q_drift_sequence(sf_dir: str):
-    """J6 — drift sequence for seed (unit_0, trace_0): seed trace's
-    event-docs unioned with those of all traces within 3 undirected
-    hops, sorted by (timestamp, span_id). Scalar projection."""
+    """J6 — drift sequence for seed (unit_0, trace_0): the seed trace's
+    SYSLOG documents unioned with those of all graph-related traces
+    within 3 undirected hops, sorted by the raw Timestamp string
+    (api.py:177-208; db_model.py:141-143 sorts raw docs by the string).
+    The docs leg reads the syslog DOCUMENT STORE (stages/syslog.py),
+    which ingests every event — including rows whose provenance-graph
+    ingest quarantined (the reference's OpenSearch store is populated
+    independently of Neo4j ingest success)."""
     from sigraph_ray.stages import provenance_graph as G
+    from sigraph_ray.stages import syslog as SY
     from sigraph_ray.stages import traversal as TV
 
     parsed = _parsed_events(sf_dir)
     g = G.build_graph_from_parsed(parsed, prune=False)
-    ok, _ = G.split_quarantine(parsed)
-    docs = ok.select_columns(
-        ["unit_id", "trace_id", "span_id", "timestamp", "ord"])
+    docs = SY.derive_syslog(sf_dir)
     seq = TV.drift_sequence(g, docs, "unit_0", "trace_0", max_hop=3,
-                            sort_cols=("ord",))
+                            sort_cols=("raw_data.Timestamp", "span_id"))
     return seq.map_batches(
         lambda t: t.select(["unit_id", "trace_id", "span_id", "timestamp"]),
         batch_format="pyarrow")
@@ -1054,8 +1157,8 @@ drift_traces AS (
     WHERE node LIKE 'trace:unit_0:%'
   ) u
 )
-SELECT v.unit_id, v.trace_id, v.span_id, v.ts AS timestamp
-FROM valid v JOIN drift_traces d ON v.trace_id = d.trace_id
-WHERE v.unit_id = 'unit_0'
-ORDER BY v.ord
+SELECT b.unit_id, b.trace_id, b.span_id, b.ts AS timestamp
+FROM base b JOIN drift_traces d ON b.trace_id = d.trace_id
+WHERE b.unit_id = 'unit_0'
+ORDER BY b.ts, b.span_id
 """

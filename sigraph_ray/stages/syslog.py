@@ -1,0 +1,164 @@
+"""Syslog document model + Sigma match scan (S2/S4/J7).
+
+The reference stores syslog rows in OpenSearch with a free-form nested
+``raw_data`` object whose string leaves are dynamically mapped to
+keyword fields (src/db/db_model.py:12-109 dynamic templates;
+SyslogModel at :111-124), and Sigma queries address those leaves as
+``raw_data.Metadata.<field>`` keywords. The Ray-native restatement:
+
+- :func:`derive_syslog` — the deterministic events→syslog mapping
+  (sibling of ``queries._events_to_prov``): one row per event with the
+  ``raw_data`` leaves as FLATTENED string columns
+  (``raw_data.EventName``, ``raw_data.Timestamp``,
+  ``raw_data.Metadata.*``). Flat columns ARE the batch analog of the
+  dynamic keyword mapping: every leaf is a typed Arrow string column.
+- :func:`nest_raw_data` / :func:`flatten_raw_data` — round-trip between
+  the flat layout and a genuine Arrow struct column (the nested
+  document shape of SyslogModel.raw_data), proving the mapping
+  semantics; pipelines run on the flat layout.
+- :class:`SigmaMatcher` — J7: compile uploaded Sigma YAML once per
+  ACTOR (A5 — the batch analog of the reference compiling per upload,
+  rule/session.py:24-94) and scan syslog batches with the mandatory
+  ``unit_id`` + ``raw_data.EventName = logsource.category`` terms
+  (db_session.py:256-264) before the rule predicates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+RAW_FIELDS = (
+    "raw_data.EventName",
+    "raw_data.Timestamp",
+    "raw_data.Metadata.Image",
+    "raw_data.Metadata.TargetFilename",
+    "raw_data.Metadata.DestinationIp",
+    "raw_data.Metadata.User",
+    "raw_data.Metadata.CommandLine",
+    "raw_data.Metadata.EventID",
+)
+
+
+def syslog_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized events→syslog mapping. Field formulas (documented in
+    the oracle SQL, all pure functions of event_id/user_id/ts):
+
+        Image            = C:\\\\Programs\\\\proc_<user_id%7>.exe
+        TargetFilename   = file_<event_id%100>.tmp
+        DestinationIp    = 10.0.0.<event_id%256>
+        User             = user_<user_id>
+        CommandLine      = proc_<user_id%7>.exe --flag <event_id%16>
+        EventID          = <event_id%20>
+        Timestamp        = ISO-8601 microseconds (string — the
+                           reference sorts raw docs by this STRING,
+                           db_model.py:141-143)
+    """
+    df = batch.to_pandas()
+    eid = df["event_id"].to_numpy()
+    uid = df["user_id"].to_numpy()
+    proc = np.char.add(np.char.add("proc_", (uid % 7).astype(str)), ".exe")
+    out = pd.DataFrame({
+        "unit_id": np.char.add("unit_", (uid % 3).astype(str)),
+        "trace_id": np.char.add("trace_", uid.astype(str)),
+        "span_id": np.char.add("span_", np.char.zfill(eid.astype(str), 12)),
+        "timestamp": df["ts"],
+        "raw_data.EventName": df["event_type"],
+        "raw_data.Timestamp": df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+        "raw_data.Metadata.Image": np.char.add("C:\\Programs\\", proc),
+        "raw_data.Metadata.TargetFilename": np.char.add(
+            np.char.add("file_", (eid % 100).astype(str)), ".tmp"),
+        "raw_data.Metadata.DestinationIp": np.char.add(
+            "10.0.0.", (eid % 256).astype(str)),
+        "raw_data.Metadata.User": np.char.add("user_", uid.astype(str)),
+        "raw_data.Metadata.CommandLine": np.char.add(
+            np.char.add(proc, " --flag "), (eid % 16).astype(str)),
+        "raw_data.Metadata.EventID": (eid % 20).astype(str),
+    })
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def derive_syslog(sf_dir: str):
+    """events.parquet → flat syslog Dataset (column-pruned read)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    return ds.map_batches(syslog_batch, batch_format="pyarrow")
+
+
+def nest_raw_data(batch: pa.Table) -> pa.Table:
+    """Flat ``raw_data.*`` columns → one Arrow struct column
+    ``raw_data`` (the SyslogModel nested-document shape)."""
+    meta_fields = [f for f in RAW_FIELDS if f.startswith("raw_data.Metadata.")]
+    meta = pa.StructArray.from_arrays(
+        [batch.column(f).combine_chunks() for f in meta_fields],
+        names=[f.rsplit(".", 1)[-1] for f in meta_fields])
+    raw = pa.StructArray.from_arrays(
+        [batch.column("raw_data.EventName").combine_chunks(),
+         batch.column("raw_data.Timestamp").combine_chunks(),
+         meta],
+        names=["EventName", "Timestamp", "Metadata"])
+    keep = [c for c in batch.column_names if not c.startswith("raw_data.")]
+    return batch.select(keep).append_column("raw_data", raw)
+
+
+def flatten_raw_data(batch: pa.Table) -> pa.Table:
+    """Inverse of :func:`nest_raw_data` — the S4 "dynamic mapping"
+    step: nested leaves become typed keyword (string) columns."""
+    raw = batch.column("raw_data").combine_chunks()
+    keep = batch.drop_columns(["raw_data"])
+    keep = keep.append_column("raw_data.EventName", raw.field("EventName"))
+    keep = keep.append_column("raw_data.Timestamp", raw.field("Timestamp"))
+    meta = raw.field("Metadata")
+    for fld in meta.type:
+        keep = keep.append_column(f"raw_data.Metadata.{fld.name}",
+                                  meta.field(fld.name))
+    return keep
+
+
+class SigmaMatcher:
+    """Actor-pool J7 kernel: rules compiled once per actor from the
+    uploaded YAML bytes; per batch, each rule contributes its matches
+    after the mandatory unit / EventName-category terms."""
+
+    def __init__(self, rule_yaml: str | bytes, unit_id: str | None,
+                 prefix: str = "raw_data.Metadata"):
+        from sigraph_ray.functions.sigma import compile_rules
+
+        self.rules = compile_rules(rule_yaml, prefix=prefix)
+        self.unit_id = unit_id
+
+    def __call__(self, df: pd.DataFrame) -> pa.Table:
+        base = np.ones(len(df), dtype=bool)
+        if self.unit_id is not None:
+            base &= (df["unit_id"] == self.unit_id).to_numpy()
+        titles, spans, tss = [], [], []
+        for rule in self.rules:
+            mask = base.copy()
+            if rule.category is not None:
+                mask &= (df["raw_data.EventName"]
+                         == rule.category).to_numpy()
+            mask &= rule.mask(df)
+            hit = df.loc[mask]
+            titles.extend([rule.title] * len(hit))
+            spans.extend(hit["span_id"])
+            tss.extend(hit["raw_data.Timestamp"])
+        return pa.table({
+            "rule_title": pa.array(titles, pa.string()),
+            "span_id": pa.array(spans, pa.string()),
+            "timestamp": pa.array(tss, pa.string()),
+        })
+
+
+def sigma_match(syslog_ds, rule_yaml: str | bytes, *,
+                unit_id: str | None = None, concurrency: int = 2):
+    """J7 — scan a flat syslog Dataset with compiled Sigma rules.
+    Returns (rule_title, span_id, timestamp) match rows (the batch
+    analog of get_syslog_by_subquery's raw-doc hits; timestamp is the
+    raw string the reference sorts by)."""
+    return syslog_ds.map_batches(
+        SigmaMatcher, batch_format="pandas",
+        fn_constructor_kwargs={"rule_yaml": rule_yaml, "unit_id": unit_id},
+        concurrency=concurrency)
