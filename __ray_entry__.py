@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sigma_match": Q.q_sigma_match,
         "doc_page": Q.q_doc_page,
         "prov_subgraph": Q.q_prov_subgraph,
+        "prov_neighborhood": Q.q_prov_neighborhood,
         "trace_listing": Q.q_trace_listing,
         "iocs": Q.q_iocs,
         "drift_sequence": Q.q_drift_sequence,
@@ -78,6 +79,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": Q.q_knn_cosine,
         "knn_cosine_lsh": Q.q_knn_cosine_lsh,
+        "knn_cosine_ivf": Q.q_knn_cosine_ivf,
+        "doc_embed_knn": Q.q_doc_embed_knn,
+        # query/RAG surface (F3 + graph retriever)
+        "kg_neighborhood": Q.q_kg_neighborhood,
         # KG pipeline (oracle = generator intent, enforced in pytest)
         "kg_triples": Q.q_kg_triples,
         "kg_entities": Q.q_kg_entities,
@@ -99,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
         "sigma_match": Q.SQL_SIGMA_MATCH,
         "doc_page": Q.SQL_DOC_PAGE,
         "prov_subgraph": Q.SQL_PROV_SUBGRAPH,
+        "prov_neighborhood": Q.SQL_PROV_NEIGHBORHOOD,
         "trace_listing": Q.SQL_TRACE_LISTING,
         "iocs": Q.SQL_IOCS,
         "drift_sequence": Q.SQL_DRIFT_SEQUENCE,

@@ -68,18 +68,19 @@ def main(argv=None) -> int:
 
     triples = K.extract_triples_pipeline(
         pages, concurrency=args.concurrency, batch_size=args.batch_size)
-    # stage 1: triples (resumable partition layout + lineage records)
+    # stage 1: triples — CONTENT-keyed resumable partitions (hash of
+    # doc_url), sound under out-of-order streaming execution
     trip_recs = M.write_stage(triples, f"{args.out}/triples",
-                              input_desc=input_desc)
+                              input_desc=input_desc, key="doc_url")
     triples_ds = M.read_stage(f"{args.out}/triples")
     # stage 2: edge aggregate from the persisted stage
     edges = K.build_kg_edges(triples_ds)
     edge_recs = M.write_stage(edges, f"{args.out}/edges",
-                              input_desc=f"{args.out}/triples")
+                              input_desc=f"{args.out}/triples", key="src")
     # stage 3: entities from the persisted edge stage
     entities = K.entities_from_edges(M.read_stage(f"{args.out}/edges"))
     ent_recs = M.write_stage(entities, f"{args.out}/entities",
-                             input_desc=f"{args.out}/edges")
+                             input_desc=f"{args.out}/edges", key="entity")
 
     summary = {
         "input": input_desc,

@@ -75,16 +75,16 @@ def _rsplit_fields(col: pa.Array, max_splits: int) -> list[pa.Array]:
 
 
 def _well_formed(col: pa.Array) -> pa.Array:
-    """Token well-formedness shared by all parses: non-null, non-empty,
-    contains '@' (type.py:125-132) and has no empty token
-    (no '@@', no leading/trailing '@'; type_extension.py:30-35)."""
+    """SystemProvenance well-formedness (type.py:120-132): non-null,
+    non-empty, contains '@'. NOTHING more — the reference validates
+    only the specific tokens each parse consumes (the final
+    artifact-type token, the two actor trailing tokens), so names may
+    contain '@@', lead with '@', or even be empty
+    (type_extension.py:170-186 joins the remaining tokens verbatim)."""
     nonnull = pc.is_valid(col)
     filled = pc.if_else(nonnull, col, pa.scalar("", pa.string()))
     ok = pc.and_(nonnull, pc.greater(pc.utf8_length(filled), 0))
     ok = pc.and_(ok, pc.match_substring(filled, "@"))
-    ok = pc.and_(ok, pc.invert(pc.match_substring(filled, "@@")))
-    ok = pc.and_(ok, pc.invert(pc.starts_with(filled, "@")))
-    ok = pc.and_(ok, pc.invert(pc.ends_with(filled, "@")))
     return ok
 
 
@@ -99,8 +99,10 @@ def parse_artifact(col: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
     ok = _well_formed(col)
     safe = pc.if_else(ok, col, pa.scalar(_SENTINEL, pa.string()))
     name, atype = _rsplit_fields(safe, 1)
+    # only the final type token is validated (type_extension.py:175-186:
+    # "if not token" + enum check); the name — join of the preceding
+    # tokens — may be empty or contain '@'
     ok = pc.and_(ok, pc.is_in(atype, value_set=_ARTIFACT_SET))
-    ok = pc.and_(ok, pc.greater(pc.utf8_length(name), 0))
     return {
         "name": _mask_null(name, ok),
         "artifact_type": _mask_null(atype, ok),
@@ -152,8 +154,10 @@ def parse_parent(col: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
     tokens = pc.split_pattern(safe, "@", max_splits=2)
     name = pc.list_element(tokens, 0)
     ptype = pc.list_element(tokens, 1)
+    # only the second (type) token is validated — an empty first token
+    # yields an empty parent name, as the reference accepts
+    # (from_parent_action joins tokens[0:2] and re-parses)
     ok = pc.and_(ok, pc.is_in(ptype, value_set=_ARTIFACT_SET))
-    ok = pc.and_(ok, pc.greater(pc.utf8_length(name), 0))
     return {
         "name": _mask_null(name, ok),
         "artifact_type": _mask_null(ptype, ok),

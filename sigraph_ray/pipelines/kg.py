@@ -48,7 +48,7 @@ def synth_pages(n: int, *, parallelism: int = 0):
 
 
 def extract_triples_pipeline(pages, *, concurrency=4, batch_size: int = 1024,
-                             fused: bool = True):
+                             fused: bool = True, backend=None):
     """pages → deduplicated normalized triple Dataset with columns
     (doc_url, chunk_id, ord, subj, subj_type, pred, obj, obj_type).
 
@@ -58,6 +58,11 @@ def extract_triples_pipeline(pages, *, concurrency=4, batch_size: int = 1024,
     canonicalization aggregates. ``fused=False`` runs the same steps as
     separate composable stages (per-url groupby for V3) — identical
     output, used to cross-check the fusion.
+
+    ``backend``: the extractor seam (stages/triples.TripleExtractor) —
+    None = deterministic grammar, "ensemble" = A3 debate ensemble, or
+    any callable with the chunk-rows→TRIPLE_COLUMNS contract (a
+    model-backed actor drops in here).
     """
     if fused:
         docs = pages.map_batches(E.extract_text_batch,
@@ -66,10 +71,12 @@ def extract_triples_pipeline(pages, *, concurrency=4, batch_size: int = 1024,
         return docs.map_batches(T.DocTripleExtractor,
                                 batch_format="pyarrow",
                                 batch_size=batch_size,
-                                concurrency=concurrency)
+                                concurrency=concurrency,
+                                fn_constructor_kwargs={"backend": backend})
     chunks = E.extract_and_chunk(pages)
     triples = T.extract_triples_stage(
-        chunks, concurrency=concurrency, batch_size=batch_size)
+        chunks, concurrency=concurrency, batch_size=batch_size,
+        backend=backend)
     # U9/V4 dedup: one triple per (doc_url, subj, pred, obj), keeping the
     # earliest occurrence (min ord) — "keep the clearest instance"
     # (prompt.py:94) made deterministic.
@@ -189,12 +196,18 @@ def entities_from_edges(edges):
 
 
 def build_kg(pages, *, concurrency=4, batch_size: int = 1024,
-             fused: bool = True) -> dict:
+             fused: bool = True, mode: str = "grammar") -> dict:
     """Full KG build. Returns lazy Datasets:
     triples (per-doc provenance), entities (canonical node table),
-    edges (global typed edge table), mentions (doc→entity pairs)."""
+    edges (global typed edge table), mentions (doc→entity pairs).
+
+    ``mode``: "grammar" (default) or "ensemble" — the documented
+    high-recall A3 mode, routed through the same extractor seam; any
+    other value is passed to the seam as a custom backend callable."""
+    backend = {"grammar": None, "ensemble": "ensemble"}.get(mode, mode)
     triples = extract_triples_pipeline(
-        pages, concurrency=concurrency, batch_size=batch_size, fused=fused)
+        pages, concurrency=concurrency, batch_size=batch_size, fused=fused,
+        backend=backend)
     entities = C.canonicalize_entities(triples)
     edges = build_kg_edges(triples)
     mentions = build_mentions(triples)

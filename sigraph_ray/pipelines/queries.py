@@ -1001,6 +1001,121 @@ ORDER BY 1, 2, 3, 4, 5
 """
 
 
+NEIGHBORHOOD_SEEDS = ("proc_3", "file_1", "hklm")
+
+
+def q_prov_neighborhood(sf_dir: str):
+    """Graph-neighborhood retrieval (KNOWLEDGE_GRAPH_QUERY,
+    prompt.py:151-173) run BULK over a seed list against the provenance
+    graph: ≤2 prefix-matched nodes per seed (sorted id), out- then
+    in-edges formatted ``src - TYPE -> dst``, 50 lines per seed."""
+    from sigraph_ray.stages import provenance_graph as G
+    from sigraph_ray.stages.query import neighborhood
+
+    parsed = _parsed_events(sf_dir)
+    g = G.build_graph_from_parsed(parsed, prune=False)
+    return neighborhood(g["nodes"], g["edges"], NEIGHBORHOOD_SEEDS,
+                        id_col="artifact", type_col="type")
+
+
+SQL_PROV_NEIGHBORHOOD = f"""
+WITH {_SQL_BASE},
+edges_d AS (
+  SELECT DISTINCT
+     CASE WHEN actor_type = 'READ_RECV' THEN artifact ELSE parent_key END AS src,
+     CASE WHEN actor_type = 'READ_RECV' THEN parent_key ELSE artifact END AS dst,
+     action_type AS type
+  FROM valid WHERE parent_key IS NOT NULL AND parent_span_id IS NOT NULL
+),
+nodes_all AS (
+  SELECT DISTINCT artifact FROM valid
+  UNION
+  SELECT DISTINCT parent_key FROM valid WHERE parent_key IS NOT NULL
+),
+seeds(seed) AS (VALUES ('proc_3'), ('file_1'), ('hklm')),
+matched AS (
+  SELECT seed, artifact FROM (
+    SELECT s.seed, n.artifact,
+           row_number() OVER (PARTITION BY s.seed ORDER BY n.artifact) AS rn
+    FROM seeds s JOIN nodes_all n ON starts_with(n.artifact, s.seed)
+  ) WHERE rn <= 2
+),
+lines AS (
+  SELECT m.seed, 0 AS leg,
+         e.src || ' - ' || e.type || ' -> ' || e.dst AS line
+  FROM matched m JOIN edges_d e ON e.src = m.artifact
+  UNION ALL
+  SELECT m.seed, 1, e.src || ' - ' || e.type || ' -> ' || e.dst
+  FROM matched m JOIN edges_d e ON e.dst = m.artifact
+),
+ranked AS (
+  SELECT seed, line,
+         row_number() OVER (PARTITION BY seed ORDER BY leg, line) AS rn
+  FROM lines
+)
+SELECT seed, line FROM ranked WHERE rn <= 50 ORDER BY seed, line
+"""
+
+
+def q_kg_neighborhood(sf_dir: str):
+    """F3 + neighborhood over the LLM knowledge graph: entities are
+    extracted from a question (deterministic F3 stand-in,
+    ai_agent.py:456-474) and their graph context retrieved — rows-only
+    (the KG comes from the extraction grammar, not from SQL-expressible
+    tables)."""
+    import pyarrow.parquet as pq
+
+    from sigraph_ray.pipelines import kg as K
+    from sigraph_ray.stages.query import neighborhood, query_entities
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    # materialize the triple stream once and reuse the edge aggregate
+    # for the entity table — neighborhood consumes entities AND edges,
+    # which would otherwise re-run the whole extraction per consumer
+    triples = K.extract_triples_pipeline(
+        K.synth_pages(n_docs), concurrency=2).materialize()
+    edges = K.build_kg_edges(triples).materialize()
+    entities = K.entities_from_edges(edges)
+    question = ("what did wscript.exe do after payload898.exe appeared, "
+                "and who touched hklm\\software\\microsoft\\windows?")
+    ents = query_entities(question)
+    return neighborhood(entities, edges, ents,
+                        id_col="entity", type_col="pred")
+
+
+def q_doc_embed_knn(sf_dir: str):
+    """Doc-embedding stage feeding ANN from the KG side: documents get
+    the deterministic embedding column, queried by the embeddings of
+    the first 4 documents' own text — rows-only (the embedder is a
+    hashed-ngram kernel, not SQL); pytest asserts self-retrieval."""
+    import ray.data as rd
+
+    from sigraph_ray.functions.embed import embed_texts
+    from sigraph_ray.stages import similarity as S
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    embedded = S.add_embeddings(docs).materialize()
+    qdocs = embedded.filter(expr="doc_id < 4").to_pandas()
+    queries = pd.DataFrame({
+        "qid": qdocs["doc_id"].to_numpy(),
+        "vec": [np.asarray(v) for v in embed_texts(qdocs["text"])]})
+    return S.knn_cosine(embedded, queries, k=3, id_col="doc_id")
+
+
+def q_knn_cosine_ivf(sf_dir: str):
+    """IVF ANN over the embeddings table — rows-only (approximate by
+    design; recall vs brute is pytest-gated)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages import similarity as S
+
+    corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    corpus = corpus.filter(expr="vec_id >= 8")
+    return S.knn_cosine_ivf(corpus, _knn_queries(sf_dir), k=5)
+
+
 def q_trace_listing(sf_dir: str):
     """F1 — trace listing drops traces with span_count < 2
     (graph_session.py:221-223)."""

@@ -161,3 +161,143 @@ def knn_cosine_lsh(corpus, queries_df: pd.DataFrame, *, k: int = 5,
         concurrency=concurrency)
     return partial.groupby("qid").map_groups(
         _final_topk_factory(k), batch_format="pandas")
+
+
+# --- IVF variant (scale path for large query sets / corpora) ---------------
+
+
+def _kmeans_fit(sample: np.ndarray, n_centroids: int,
+                iters: int = 8) -> np.ndarray:
+    """Deterministic spherical k-means on a (bounded) training sample:
+    init = first n_centroids rows of the hash-ordered sample, Lloyd
+    iterations with cosine assignment, empty cells keep their previous
+    centroid. No RNG anywhere."""
+    sample = _normalize(sample)
+    n_centroids = min(n_centroids, len(sample))
+    cent = sample[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def ivf_train(corpus, *, n_centroids: int = 16, sample_every: int = 7,
+              max_sample: int = 4096, id_col: str = "vec_id",
+              emb_col: str = "embedding") -> np.ndarray:
+    """Train IVF centroids on a deterministic content-keyed sample:
+    rows whose stable id hash ≡ 0 (mod sample_every) — the same rows on
+    every run and any block order (a ``limit()`` sample would depend on
+    arrival order). The sample is the only data that reaches the
+    driver, capped at ``max_sample`` rows in hash order."""
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = H.splitmix64(pd.util.hash_pandas_object(
+            df[id_col].astype(str), index=False).to_numpy()
+            .astype(np.uint64))
+        df = df[[id_col, emb_col]].copy()
+        df["__h"] = h
+        return df[(h % np.uint64(sample_every)) == 0]
+
+    sample = corpus.map_batches(pick, batch_format="pandas").to_pandas()
+    sample = sample.sort_values("__h").head(max_sample)
+    return _kmeans_fit(np.stack(sample[emb_col].to_numpy()), n_centroids)
+
+
+class IvfTopK:
+    """Score only rows whose IVF cell is within the query's ``nprobe``
+    nearest cells — centroids broadcast once per actor; assignment is
+    one matmul per batch."""
+
+    def __init__(self, queries_ref, centroids_ref, k: int, nprobe: int,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        import ray
+        qdf = ray.get(queries_ref)
+        self.cent = ray.get(centroids_ref)
+        self.qids = qdf["qid"].to_numpy()
+        self.qmat = _normalize(np.stack(qdf["vec"].to_numpy()))
+        qsims = self.qmat @ self.cent.T
+        nprobe = min(nprobe, self.cent.shape[0])
+        self.probe = np.argsort(-qsims, axis=1)[:, :nprobe]
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[self.id_col].to_numpy()
+        mat = _normalize(np.stack(df[self.emb_col].to_numpy()))
+        cell = np.argmax(mat @ self.cent.T, axis=1)
+        out = {"qid": [], "vec_id": [], "cosine": []}
+        for qi in range(len(self.qids)):
+            mask = np.isin(cell, self.probe[qi])
+            if not mask.any():
+                continue
+            sims = mat[mask] @ self.qmat[qi]
+            sel_ids = ids[mask]
+            k = min(self.k, len(sims))
+            top = np.argpartition(-sims, k - 1)[:k] if len(sims) > k else \
+                np.arange(len(sims))
+            out["qid"].extend([self.qids[qi]] * len(top))
+            out["vec_id"].extend(sel_ids[top])
+            out["cosine"].extend(sims[top])
+        return pd.DataFrame(out)
+
+
+def knn_cosine_ivf(corpus, queries_df: pd.DataFrame, *, k: int = 5,
+                   n_centroids: int = 16, nprobe: int = 4,
+                   concurrency: int = 2, id_col: str = "vec_id",
+                   emb_col: str = "embedding"):
+    """IVF ANN: deterministic k-means coarse quantizer (trained on a
+    content-keyed sample), then a probed scan — each batch computes one
+    assignment matmul and scores only probe-cell rows. The corpus is
+    never materialized; only the bounded training sample and the
+    (n_centroids × dim) centroid table leave the stream."""
+    import ray
+
+    centroids = ivf_train(corpus, n_centroids=n_centroids,
+                          id_col=id_col, emb_col=emb_col)
+    partial = corpus.map_batches(
+        IvfTopK, batch_format="pandas",
+        fn_constructor_kwargs={"queries_ref": ray.put(queries_df),
+                               "centroids_ref": ray.put(centroids),
+                               "k": k, "nprobe": nprobe,
+                               "id_col": id_col, "emb_col": emb_col},
+        concurrency=concurrency)
+    return partial.groupby("qid").map_groups(
+        _final_topk_factory(k), batch_format="pandas")
+
+
+# --- document embedding stage (KG side) ------------------------------------
+
+
+class DocEmbedder:
+    """Actor-pool stage adding a deterministic ``embedding`` column
+    (functions/embed.py hashed-ngram stand-in; a real model's weights
+    would load HERE, once per actor — ai_agent.py:126-138 Document
+    nodes carry text + embedding)."""
+
+    def __init__(self, text_col: str = "text", dim: int = 32):
+        from sigraph_ray.functions.embed import embed_texts
+
+        self._embed = embed_texts
+        self.text_col = text_col
+        self.dim = dim
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["embedding"] = self._embed(df[self.text_col].fillna(""),
+                                      dim=self.dim)
+        return df
+
+
+def add_embeddings(ds, *, text_col: str = "text", dim: int = 32,
+                   concurrency: int = 2):
+    """docs → docs + unit-norm ``embedding`` (list<float>) column."""
+    return ds.map_batches(
+        DocEmbedder, batch_format="pandas",
+        fn_constructor_kwargs={"text_col": text_col, "dim": dim},
+        concurrency=concurrency)

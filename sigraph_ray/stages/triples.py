@@ -22,17 +22,37 @@ from sigraph_ray.functions import verbs as V
 class TripleExtractor:
     """P3+P5: chunk rows → raw triple rows (actor-pool stage).
 
-    Deterministic per (url, chunk_id) — required for lineage-based Ray
-    task retries and the reproducible-triple-set contract (north rule).
+    ``backend`` is the EXTRACTOR SEAM: any callable mapping chunk rows
+    ``(url, chunk_id, text)`` to ``functions.extract.TRIPLE_COLUMNS``
+    rows — the place where a model-backed extractor drops in (the
+    reference selects gemini/gpt/ollama clients by model-name prefix,
+    ai_agent.py:104-199; a real backend would construct its warm client
+    HERE, once per actor). Default: the deterministic grammar;
+    ``backend="ensemble"`` selects the A3 debate-ensemble
+    (functions.extract.extract_triples_ensemble).
+
+    Deterministic per (url, chunk_id) for any deterministic backend —
+    required for lineage-based Ray task retries and the
+    reproducible-triple-set contract (north rule).
     """
 
-    def __init__(self) -> None:
-        # touch the module-level compiled patterns so compile cost is
-        # paid at actor construction, not first batch
-        self._extract = X.extract_triples
+    def __init__(self, backend=None) -> None:
+        # resolve + touch compiled patterns so setup cost is paid at
+        # actor construction, not first batch
+        self._extract = _resolve_backend(backend)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         return self._extract(batch)
+
+
+def _resolve_backend(backend):
+    if backend is None:
+        return X.extract_triples
+    if backend == "ensemble":
+        return X.extract_triples_ensemble
+    if callable(backend):
+        return backend
+    raise ValueError(f"unknown extractor backend: {backend!r}")
 
 
 def resolve_actors_group(group: pd.DataFrame) -> pd.DataFrame:
@@ -55,7 +75,7 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
 
 
 def extract_triples_stage(chunks, *, concurrency: int | tuple[int, int] = 4,
-                          batch_size: int = 1024):
+                          batch_size: int = 1024, backend=None):
     """chunks Dataset → normalized triple Dataset.
 
     The per-url groupby is a shuffle, but on (url → few rows) keys it is
@@ -67,6 +87,7 @@ def extract_triples_stage(chunks, *, concurrency: int | tuple[int, int] = 4,
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,
+        fn_constructor_kwargs={"backend": backend},
     )
     resolved = raw.groupby("doc_url").map_groups(
         resolve_actors_group, batch_format="pandas")
@@ -87,9 +108,10 @@ class DocTripleExtractor:
     composability and are semantics-identical (tested).
     """
 
-    def __init__(self) -> None:
+    def __init__(self, backend=None) -> None:
         from sigraph_ray.functions import text as TXT
         self._chunk = TXT.chunk_text
+        self._extract = _resolve_backend(backend)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -106,7 +128,7 @@ class DocTripleExtractor:
                 rows_text.append(ch)
         cdf = pd.DataFrame({"url": rows_url, "chunk_id": rows_cid,
                             "text": rows_text})
-        tr = X.extract_triples(cdf)
+        tr = self._extract(cdf)
         if len(tr):
             tr = tr.groupby("doc_url", group_keys=False, sort=False)[
                 tr.columns.tolist()].apply(X.resolve_generic_actors)

@@ -19,6 +19,15 @@ retry). Lineage record fields: partition id, input description, row
 count, byte size, wall seconds, content hash (order-insensitive
 row-hash xor — stable across block orders), engine version.
 
+Partition identity is CONTENT-derived on the scale path: pass
+``key=<column>`` to ``write_stage`` and rows are hash-assigned to
+partitions by that key, so the same row reaches the same partition on
+every run even though the streaming executor delivers blocks in
+completion order (``preserve_order=False``); workers write their own
+partitions. The key-less mode is positional and forces
+``preserve_order=True`` for the duration of the write. Both modes
+re-verify an existing partition's content hash before skipping it.
+
 Resume = rerun the same ``write_stage``: completed partitions are
 skipped by manifest lookup; only missing partitions execute
 (stage-granular resume; mid-shuffle resume works by materializing the
@@ -96,24 +105,94 @@ def write_partition(stage_dir: str, part: int, table: pa.Table,
     return record
 
 
-def write_stage(ds, stage_dir: str, *, input_desc: str = "") -> list[dict]:
-    """Write a Dataset as a resumable stage: one partition per block
-    batch, skipping partitions already recorded in the manifest.
+def write_stage(ds, stage_dir: str, *, input_desc: str = "",
+                key: str | None = None, num_partitions: int = 32,
+                verify: bool = True) -> list[dict]:
+    """Write a Dataset as a resumable stage, skipping partitions already
+    recorded in the manifest. Two modes:
 
-    Partition indices follow the dataset's block order under
-    ``preserve_order`` semantics of ``iter_batches`` — for a
-    deterministic pipeline the same partition index always holds the
-    same rows, which is what makes skip-on-resume sound. Returns all
-    lineage records (existing + new)."""
+    - ``key=<column>`` (the scale path): partition id =
+      ``stable_hash(key) % num_partitions`` — a pure function of row
+      CONTENT, so the same row lands in the same partition on every
+      run regardless of block arrival order, and each partition is
+      written BY A WORKER (``groupby(part).map_groups``; the driver
+      only collects the tiny lineage records). This is what makes
+      skip-on-resume sound under ``preserve_order=False``.
+    - ``key=None`` (ordered mode, small stages): partitions follow
+      stream position, and ``preserve_order`` is FORCED on for the
+      duration of the write — under the default out-of-order streaming
+      execution a partition index could otherwise hold different rows
+      across runs, silently dropping/duplicating rows on resume.
+
+    In both modes a partition that already has a manifest record is
+    re-verified against the freshly computed content hash when
+    ``verify`` (the upstream recompute already produced the rows);
+    a mismatch (changed input) rewrites instead of skipping.
+    Returns all lineage records (existing + new)."""
     os.makedirs(stage_dir, exist_ok=True)
-    records = []
-    for part, batch in enumerate(
-            ds.iter_batches(batch_format="pyarrow", batch_size=None)):
-        if partition_done(stage_dir, part):
-            records.append(read_record(stage_dir, part))
-            continue
-        records.append(write_partition(stage_dir, part, batch, input_desc))
-    return records
+    if key is not None:
+        return _write_stage_keyed(ds, stage_dir, key=key,
+                                  num_partitions=num_partitions,
+                                  input_desc=input_desc, verify=verify)
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        records = []
+        for part, batch in enumerate(
+                ds.iter_batches(batch_format="pyarrow", batch_size=None)):
+            records.append(
+                _write_or_verify(stage_dir, part, batch, input_desc, verify))
+        return records
+    finally:
+        ctx.execution_options.preserve_order = prev
+
+
+def _write_or_verify(stage_dir: str, part: int, table: pa.Table,
+                     input_desc: str, verify: bool) -> dict:
+    if partition_done(stage_dir, part):
+        rec = read_record(stage_dir, part)
+        if not verify or rec["content_hash"] == _content_hash(table):
+            return rec
+        # stale partition (input changed or prior run had a different
+        # row→partition assignment): rewrite
+        os.remove(os.path.join(stage_dir, "_manifest",
+                               f"part-{part:05d}.json"))
+    return write_partition(stage_dir, part, table, input_desc)
+
+
+def _write_stage_keyed(ds, stage_dir: str, *, key: str,
+                       num_partitions: int, input_desc: str,
+                       verify: bool) -> list[dict]:
+    import numpy as np
+
+    from sigraph_ray.functions.hashing import splitmix64
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            df[key].astype(str), index=False).to_numpy()
+        df = df.copy()
+        # fixed-key siphash + splitmix64: identical across processes
+        # and runs (PYTHONHASHSEED-independent)
+        df["__part_id"] = (splitmix64(h.astype(np.uint64))
+                           % np.uint64(num_partitions)).astype(np.int64)
+        return df
+
+    def write_group(group: pa.Table) -> pa.Table:
+        part = int(group.column("__part_id")[0].as_py())
+        table = group.drop_columns(["__part_id"])
+        rec = _write_or_verify(stage_dir, part, table, input_desc, verify)
+        return pa.table({"record": [json.dumps(rec)]})
+
+    recs = (ds.map_batches(assign, batch_format="pandas")
+            .groupby("__part_id")
+            .map_groups(write_group, batch_format="pyarrow")
+            .to_pandas())
+    return sorted((json.loads(r) for r in recs["record"]),
+                  key=lambda r: r["partition"])
 
 
 def read_record(stage_dir: str, part: int) -> dict:

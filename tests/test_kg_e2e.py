@@ -124,3 +124,31 @@ def test_sorted_materialize_roundtrip(ray_session, tmp_path):
     ents = rd.read_parquet(paths["entities"]).to_pandas()
     assert list(ents["entity"]) == sorted(ents["entity"])
     assert len(tri) > 0 and len(ents) > 0
+
+
+def test_extractor_backend_seam(ray_session):
+    """A1 seam: a custom (toy model-style) backend drops into the same
+    actor-pool stage through build_kg(mode=<callable>); the ensemble
+    mode routes through the identical seam."""
+    from sigraph_ray.pipelines import kg as K
+
+    def toy_backend(cdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_url": cdf["url"], "chunk_id": cdf["chunk_id"],
+            "ord": cdf["chunk_id"].astype("int64") * 1_000_000,
+            "subj": "actor.exe", "subj_is_generic": False,
+            "pred": "created", "obj": "x.txt",
+            "subj_type": "Process", "obj_type": "File"})
+
+    kg = K.build_kg(K.synth_pages(40, parallelism=2), concurrency=2,
+                    mode=toy_backend)
+    tr = kg["triples"].to_pandas()
+    assert len(tr) > 0
+    assert set(tr["pred"]) == {"created"}
+    assert set(tr["subj"]) == {"actor.exe"}
+    # one deduped triple per document
+    assert tr["doc_url"].is_unique
+
+    ens = K.build_kg(K.synth_pages(40, parallelism=2), concurrency=2,
+                     mode="ensemble")["triples"].to_pandas()
+    assert len(ens) > 0

@@ -56,6 +56,53 @@ def test_content_hash_order_insensitive(stage, ray_session):
     assert M._content_hash(t1) == M._content_hash(t2)
 
 
+def test_keyed_write_is_order_invariant(tmp_path, ray_session):
+    """Content-keyed partitions: the same rows land in the same
+    partition regardless of block layout, so skip-on-resume is sound
+    under preserve_order=False (the positional mode cannot promise
+    this — ADVICE round 1)."""
+    import ray.data as rd
+
+    df = pd.DataFrame({"k": [f"key_{i}" for i in range(500)],
+                       "x": range(500)})
+    d1 = str(tmp_path / "a")
+    d2 = str(tmp_path / "b")
+    rec1 = M.write_stage(rd.from_pandas(df).repartition(2), d1,
+                         key="k", num_partitions=8)
+    # different block layout AND different row order
+    shuffled = df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    rec2 = M.write_stage(rd.from_pandas(shuffled).repartition(5), d2,
+                         key="k", num_partitions=8)
+    h1 = {r["partition"]: r["content_hash"] for r in rec1}
+    h2 = {r["partition"]: r["content_hash"] for r in rec2}
+    assert h1 == h2
+
+    # resume skips (timestamps untouched), round-trip is lossless
+    t1 = [r["completed_at_unix"] for r in rec1]
+    rec1b = M.write_stage(rd.from_pandas(df).repartition(3), d1,
+                          key="k", num_partitions=8)
+    assert [r["completed_at_unix"] for r in rec1b] == t1
+    back = M.read_stage(d1).to_pandas()
+    assert sorted(back["x"]) == list(range(500))
+
+
+def test_verify_rewrites_stale_partition(tmp_path, ray_session):
+    """A manifest record whose content hash no longer matches the
+    recomputed rows (changed input) is rewritten, not skipped."""
+    import ray.data as rd
+
+    d = str(tmp_path / "s")
+    df = pd.DataFrame({"k": [f"key_{i}" for i in range(100)],
+                       "x": range(100)})
+    M.write_stage(rd.from_pandas(df), d)
+    changed = df.copy()
+    changed["x"] = changed["x"] + 1000
+    rec = M.write_stage(rd.from_pandas(changed), d)
+    back = M.read_stage(d).to_pandas()
+    assert sorted(back["x"]) == list(range(1000, 1100))
+    assert all(r["rows"] == 100 for r in rec)
+
+
 def test_graph_pipeline_through_manifest(tmp_path, ray_session):
     """Mid-pipeline stage boundary: parse stage written resumable, graph
     built from the stage directory."""

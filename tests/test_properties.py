@@ -21,19 +21,19 @@ provenance_strings = st.lists(_piece, min_size=0, max_size=6).map("@".join)
 
 
 def _ref_artifact(s):
-    if not s or "@" not in s or "@@" in s or s.startswith("@") \
-            or s.endswith("@"):
+    # type_extension.py:170-186: only the final type token is checked;
+    # names may be empty or contain '@'
+    if not s or "@" not in s:
         return None
     toks = s.split("@")
     name, atype = "@".join(toks[:-1]), toks[-1]
-    if not name or atype not in prov.ARTIFACT_TYPES:
+    if atype not in prov.ARTIFACT_TYPES:
         return None
     return name, atype
 
 
 def _ref_actor(s):
-    if not s or "@" not in s or "@@" in s or s.startswith("@") \
-            or s.endswith("@"):
+    if not s or "@" not in s:
         return None
     toks = s.split("@")
     if len(toks) < 4:

@@ -80,10 +80,16 @@ def test_parent_parse_first_two_tokens_only():
     assert out["valid"].to_pylist() == [True, True, True, False, False, False]
 
 
-def test_null_and_internal_empty_tokens_rejected():
-    col = pa.array([None, "a@@FILE", "@FILE"], pa.string())
+def test_only_type_token_validated():
+    """The reference validates ONLY the final type token
+    (type_extension.py:170-186): empty segments and '@'-bearing — even
+    empty — names are accepted; a bogus/empty type is not."""
+    col = pa.array([None, "a@@FILE", "@FILE", "a@", "a@BOGUS", "FILE"],
+                   pa.string())
     out = prov.parse_artifact(col)
-    assert out["valid"].to_pylist() == [False, False, False]
+    assert out["valid"].to_pylist() == [False, True, True, False, False,
+                                        False]
+    assert out["name"].to_pylist()[1:3] == ["a@", ""]
 
 
 def test_edge_direction_rule():

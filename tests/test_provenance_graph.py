@@ -23,24 +23,26 @@ N_EVENTS = 1500
 # --- sequential simulator (independent oracle) -----------------------------
 
 def _parse_actor_py(s):
-    if not s or "@" not in s or "@@" in s or s.startswith("@") or s.endswith("@"):
+    # only the consumed tokens are validated (type_extension.py:253-272
+    # + 170-186): last two enums, artifact-type token; names free-form
+    if not s or "@" not in s:
         return None
     toks = s.split("@")
     if len(toks) < 4:
         return None
     *name_toks, atype, action, actor = toks
     name = "@".join(name_toks)
-    if not name or atype not in ARTIFACT_TYPES or action not in ACTION_TYPES \
+    if atype not in ARTIFACT_TYPES or action not in ACTION_TYPES \
             or actor not in ACTOR_TYPES:
         return None
     return name, atype, action, actor
 
 
 def _parse_parent_py(s):
-    if not s or "@" not in s or "@@" in s or s.startswith("@") or s.endswith("@"):
+    if not s or "@" not in s:
         return None
     toks = s.split("@")
-    if len(toks) < 2 or not toks[0] or toks[1] not in ARTIFACT_TYPES:
+    if len(toks) < 2 or toks[1] not in ARTIFACT_TYPES:
         return None
     return toks[0], toks[1]
 

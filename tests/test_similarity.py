@@ -84,3 +84,63 @@ def test_lsh_recall(ray_session, vecs):
         hits += len(e & a)
         total += len(e)
     assert hits / total >= 0.5, f"LSH recall {hits / total}"
+
+
+def test_ivf_recall_and_determinism(ray_session, vecs):
+    import ray.data as rd
+
+    from sigraph_ray.stages.similarity import knn_cosine, knn_cosine_ivf
+
+    qids = list(range(8))
+    qdf = pd.DataFrame({"qid": qids,
+                        "vec": [vecs["embedding"][q] for q in qids]})
+    exact = knn_cosine(rd.from_pandas(vecs).repartition(4), qdf, k=5,
+                       concurrency=2).to_pandas()
+    outs = []
+    for blocks in (3, 5):  # block layout must not change the answer
+        corpus = rd.from_pandas(vecs).repartition(blocks)
+        outs.append(knn_cosine_ivf(corpus, qdf, k=5, n_centroids=8,
+                                   nprobe=3, concurrency=2).to_pandas()
+                    .sort_values(["qid", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    hits = total = 0
+    for q in qids:
+        e = set(exact[exact["qid"] == q]["vec_id"])
+        a = set(outs[0][outs[0]["qid"] == q]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.5, f"IVF recall {hits / total}"
+
+
+def test_doc_embeddings_self_retrieval(ray_session):
+    """mentions→embedding→ANN end to end: each document's own text
+    retrieves itself at rank 1 with cosine 1."""
+    import ray.data as rd
+
+    from sigraph_ray.functions.embed import embed_texts
+    from sigraph_ray.stages.similarity import add_embeddings, knn_cosine
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).limit(200)
+    embedded = add_embeddings(docs).materialize()
+    qdocs = embedded.filter(expr="doc_id < 5").to_pandas()
+    qdf = pd.DataFrame({"qid": qdocs["doc_id"].to_numpy(),
+                        "vec": [np.asarray(v)
+                                for v in embed_texts(qdocs["text"])]})
+    out = knn_cosine(embedded, qdf, k=1, id_col="doc_id").to_pandas()
+    top1 = dict(zip(out[out["rank"] == 1]["qid"],
+                    out[out["rank"] == 1]["vec_id"]))
+    assert all(top1[q] == q for q in qdf["qid"])
+
+
+def test_embedding_deterministic_and_normed():
+    from sigraph_ray.functions.embed import embed_texts
+
+    a = embed_texts(["the quick brown fox", "", "abc"])
+    b = embed_texts(["the quick brown fox", "", "abc"])
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+    assert abs(np.linalg.norm(a[0]) - 1.0) < 1e-12
+    # empty texts embed to one fixed unit vector (padding ngram)
+    assert np.array_equal(a[1], embed_texts([""])[0])
+    assert abs(np.linalg.norm(a[1]) - 1.0) < 1e-12
