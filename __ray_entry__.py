@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prov_traces": Q.q_prov_traces,
         "prov_edges": Q.q_prov_edges,
         "prov_contains": Q.q_prov_contains,
+        "prov_contains_pruned": Q.q_prov_contains_pruned,
         "prov_quarantine": Q.q_prov_quarantine,
         "related_traces": Q.q_related_traces,
         "distinct_units": Q.q_distinct_units,
@@ -97,6 +98,7 @@ def oracle_sql() -> dict[str, str]:
         "prov_traces": Q.SQL_PROV_TRACES,
         "prov_edges": Q.SQL_PROV_EDGES,
         "prov_contains": Q.SQL_PROV_CONTAINS,
+        "prov_contains_pruned": Q.SQL_PROV_CONTAINS_PRUNED,
         "prov_quarantine": Q.SQL_PROV_QUARANTINE,
         "related_traces": Q.SQL_RELATED_TRACES,
         "distinct_units": Q.SQL_DISTINCT_UNITS,

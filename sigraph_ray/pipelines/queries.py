@@ -1001,6 +1001,74 @@ ORDER BY 1, 2, 3, 4, 5
 """
 
 
+def q_prov_contains_pruned(sf_dir: str):
+    """G1 — the CONTAINS table AFTER orphan pruning
+    (FLUSH_SINGLE_ENTITIES_WITH_TRACE, schema.py:112-125): pairs whose
+    trace contains exactly one node and whose node has total degree 1
+    are deleted. Oracle restates the degree/singleton arithmetic in
+    SQL over the identical derived graph."""
+    from sigraph_ray.stages import provenance_graph as G
+
+    parsed = _parsed_events(sf_dir)
+    g = G.build_graph_from_parsed(parsed, prune=True)
+    return g["contains"]
+
+
+SQL_PROV_CONTAINS_PRUNED = f"""
+WITH {_SQL_BASE},
+edges_d AS (
+  SELECT DISTINCT
+     CASE WHEN actor_type = 'READ_RECV' THEN artifact ELSE parent_key END AS src,
+     CASE WHEN actor_type = 'READ_RECV' THEN parent_key ELSE artifact END AS dst,
+     action_type AS type
+  FROM valid WHERE parent_key IS NOT NULL AND parent_span_id IS NOT NULL
+),
+cur AS (SELECT DISTINCT unit_id, trace_id, artifact FROM valid),
+appearances AS (
+  SELECT artifact, ord, unit_id, trace_id, 0 AS kind FROM valid
+  UNION ALL
+  SELECT parent_key AS artifact, ord, unit_id, trace_id, 1 AS kind
+  FROM valid WHERE parent_key IS NOT NULL
+),
+firsts AS (
+  SELECT artifact, unit_id, trace_id, kind,
+         row_number() OVER (PARTITION BY artifact ORDER BY ord) AS rn
+  FROM appearances
+),
+contains_all AS (
+  SELECT unit_id, trace_id, artifact FROM cur
+  UNION
+  SELECT unit_id, trace_id, artifact FROM firsts WHERE rn = 1 AND kind = 1
+),
+matches_all AS (
+  SELECT DISTINCT 'rule_' || CAST(event_id % 12 AS VARCHAR) AS rule_id, artifact
+  FROM valid WHERE event_id % 5 = 0
+),
+deg AS (
+  SELECT artifact, count(*) AS degree FROM (
+    SELECT src AS artifact FROM edges_d
+    UNION ALL SELECT dst FROM edges_d
+    UNION ALL SELECT artifact FROM contains_all
+    UNION ALL SELECT artifact FROM matches_all
+  ) GROUP BY artifact
+),
+singles AS (
+  SELECT unit_id, trace_id FROM contains_all
+  GROUP BY unit_id, trace_id HAVING count(*) = 1
+),
+doomed AS (
+  SELECT c.artifact
+  FROM contains_all c
+  JOIN singles s ON s.unit_id = c.unit_id AND s.trace_id = c.trace_id
+  JOIN deg d ON d.artifact = c.artifact AND d.degree = 1
+)
+SELECT c.unit_id, c.trace_id, c.artifact
+FROM contains_all c
+WHERE c.artifact NOT IN (SELECT artifact FROM doomed)
+ORDER BY 1, 2, 3
+"""
+
+
 NEIGHBORHOOD_SEEDS = ("proc_3", "file_1", "hklm")
 
 

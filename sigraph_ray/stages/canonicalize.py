@@ -138,8 +138,46 @@ def _comb(arr):
     return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
 
 
+def _union_find_task_labels(edge_refs):
+    """Exact min-label union-find over a BOUNDED edge set, run inside
+    one Ray worker task (the actor-index pattern — blocks are read
+    from the object store; nothing touches the driver)."""
+    import ray
+
+    @ray.remote
+    def _uf(refs):
+        parent: dict = {}
+        seen: set = set()
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for t in ray.get(list(refs)):
+            if t.num_rows == 0 or "u" not in t.column_names:
+                continue  # empty blocks may carry degenerate schemas
+            for u, v in zip(t.column("u").to_pylist(),
+                            t.column("v").to_pylist()):
+                seen.add(u)
+                seen.add(v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+        nodes = sorted(seen)
+        return pd.DataFrame({"node": nodes,
+                             "comp": [find(x) for x in nodes]})
+
+    return _uf.remote(edge_refs)
+
+
 def connected_components(edges, *, max_rounds: int = 12,
-                         num_partitions: int = 16, node_type=None):
+                         num_partitions: int = 16, node_type=None,
+                         small_graph_rows: int = 500_000):
     """Undirected connected components over an edge Dataset with
     columns (u, v) → Dataset of (node, comp) where ``comp`` is the
     minimum member of the node's component (lexicographic for string
@@ -157,14 +195,34 @@ def connected_components(edges, *, max_rounds: int = 12,
     would give O(log diameter) but triples the per-round hash-pool
     churn; two concurrent join pools per round is already the
     scheduling limit at small CPU counts, see stages/joins.py.)
+
+    Edge sets of ≤ ``small_graph_rows`` take a fast path: exact
+    union-find inside ONE Ray worker task reading the materialized
+    blocks from the object store (identical labels; several
+    join+groupby rounds collapse into one bounded task — the same
+    "index fits one worker" tier the traversal kernels use). Larger
+    graphs run the distributed rounds.
     """
     import logging
+
+    import ray
+    import ray.data as rd
 
     from sigraph_ray.stages.joins import safe_join
 
     nt = node_type if node_type is not None else pa.string()
     edge_schema = pa.schema([("u", nt), ("v", nt)])
     label_schema = pa.schema([("node", nt), ("comp", nt)])
+
+    if small_graph_rows:
+        edges = edges.materialize()
+        if edges.count() <= small_graph_rows:
+            refs = list(edges.to_arrow_refs())
+            # labels stay in the object store (from_pandas_refs) — the
+            # driver never holds them
+            out = rd.from_pandas_refs([_union_find_task_labels(refs)])
+            return out if out.count() else rd.from_arrow(
+                label_schema.empty_table())
 
     labels = (edges.map_batches(_cc_seed, batch_format="pyarrow")
               .groupby("node").aggregate(Min("comp", alias_name="comp")))

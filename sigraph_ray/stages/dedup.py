@@ -112,14 +112,20 @@ def _identity_clusters(ds, id_col: str):
         batch_format="pandas")
 
 
-def _star_pairs(t: pa.Table) -> pa.Table:
-    """Bucket members joined to their bucket-min anchor → (u, v) star
-    pairs (a bucket of n docs yields n-1 pairs, which connected
+def _star_pairs_from_lists_factory(idt: pa.DataType):
+    """Per-bucket sorted member lists → (min, other) star pairs, all
+    vectorized (a bucket of n docs yields n-1 pairs, which connected
     components collapses to one cluster)."""
-    import pyarrow.compute as pc
+    schema = pa.schema([("u", idt), ("v", idt)])
 
-    keep = t.filter(pc.not_equal(t.column("doc_id"), t.column("u")))
-    return pa.table({"u": keep.column("u"), "v": keep.column("doc_id")})
+    def f(df: pd.DataFrame) -> pa.Table:
+        vals = df["values"] if len(df) else pd.Series([], dtype=object)
+        sub = vals[vals.map(len) > 1]
+        if not len(sub):
+            return schema.empty_table()
+        ex = pd.DataFrame({"u": sub.str[0], "v": sub.str[1:]}).explode("v")
+        return pa.Table.from_pandas(ex, preserve_index=False).cast(schema)
+    return f
 
 
 def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
@@ -150,24 +156,33 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     idt = column_type(ds, id_col)
     txt = column_type(ds, text_col)
 
+    from sigraph_ray.stages.collect import sorted_collect
+
+    # bucket member lists via ONE range sort (sorted_collect) — no
+    # corpus×bands hash join, no per-bucket Python. Bucket key is a
+    # single composite string; members arrive doc_id-sorted so the
+    # list head is the star anchor. (Assumption, documented per the
+    # brief: one bucket's members fit a worker block — a pathological
+    # all-identical corpus concentrates one bucket.)
     sigs = ds.map_batches(
         MinHashSignatures, batch_format="pandas",
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "k": k},
-        concurrency=concurrency).materialize()  # consumed twice below
-    anchors = sigs.groupby(["band", "band_hash"]).aggregate(
-        Min("doc_id", alias_name="u"))
-    sig_schema = pa.schema([("doc_id", idt), ("band", pa.int64()),
-                            ("band_hash", pa.int64())])
-    anchor_schema = pa.schema([("band", pa.int64()),
-                               ("band_hash", pa.int64()), ("u", idt)])
-    joined = safe_join(sigs, anchors, "inner", num_partitions,
-                       ("band", "band_hash"),
-                       left_schema=sig_schema, right_schema=anchor_schema)
-    pairs = (joined.map_batches(_star_pairs, batch_format="pyarrow")
-             .groupby(["u", "v"]).aggregate(Count(alias_name="_n"))
-             .map_batches(lambda t: t.select(["u", "v"]),
-                          batch_format="pyarrow")
-             .materialize())
+        concurrency=concurrency)
+
+    def bucket_key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bk": df["band"].astype(str) + "_" + df["band_hash"].astype(str),
+            "doc_id": df["doc_id"]})
+
+    keyed = sigs.map_batches(bucket_key, batch_format="pandas")
+    buckets = sorted_collect(keyed, key="bk", order_col="doc_id",
+                             value="doc_id")
+    # candidate pairs stay UN-deduplicated: a pair found by several
+    # bands repeats, but the verify actors cache shingles per doc and
+    # connected_components' seed groupby dedups edges anyway — cheaper
+    # than a dedicated distinct shuffle here
+    pairs = buckets.map_batches(_star_pairs_from_lists_factory(idt),
+                                batch_format="pandas").materialize()
     if pairs.count() == 0:
         return _identity_clusters(ds, id_col)
 

@@ -238,9 +238,11 @@ def build_nodes_encoded(events):
 
     span_trace_rows = collected.map_batches(lists_to_pivot,
                                             batch_format="pandas")
+    # image partials feed the PIVOT groupby directly — its
+    # null-skipping Max over image_enc IS the global last-writer
+    # aggregate, so no separate per-column groupby is needed
     image_rows = (events.map_batches(_node_image_partials,
                                      batch_format="pyarrow")
-                  .groupby("artifact").aggregate(AggMax("v", alias_name="v"))
                   .map_batches(
                       lambda t: _pivot_rows(
                           t.column("artifact").to_pylist(),
@@ -512,42 +514,34 @@ def prune_orphans(nodes, edges, traces, contains, matches,
     (trace, node) CONTAINS pairs where the trace contains exactly one
     node and that node's total degree is 1, deleting both endpoints.
 
-    Pure dataflow — no driver-side candidate sets: single-node traces
-    come from a Count aggregate, node degrees from per-batch
-    value_counts combiners + a Sum aggregate, and the candidate/doomed
-    narrowing is two hash semi-joins; the three output tables subtract
-    the (small, materialized) doomed set with hash anti-joins. Only the
-    doomed-pair COUNT touches the driver. Returns pruned
-    (nodes, edges, traces, contains) plus the dropped pair count.
+    Pure dataflow — no driver-side candidate sets — tuned to ONE hash
+    join: candidate pairs come from a single Count+Min aggregate (a
+    1-pair trace's artifact IS the group Min), degrees from per-batch
+    value_counts combiners + a Sum aggregate, and the three output
+    tables subtract the doomed set via union+tag groupbys
+    (:func:`_subtract_by_key` — sort shuffles, no hash-join actor
+    pools). Only the doomed-pair COUNT touches the driver. Returns
+    pruned (nodes, edges, traces, contains) plus the dropped count.
+    Each intermediate is materialized: they are small post-aggregation
+    tables, and a zero-row join side would otherwise ship no schema
+    broadcast at all (stages/joins.py).
     """
+    from ray.data.aggregate import Min as AggMin
     from ray.data.aggregate import Sum as AggSum
 
     from sigraph_ray.stages.joins import safe_join
 
     _pair3 = pa.schema([("unit_id", pa.string()), ("trace_id", pa.string()),
                         ("artifact", pa.string())])
-    _singles = pa.schema([("unit_id", pa.string()), ("trace_id", pa.string()),
-                          ("n_contained", pa.int64())])
     _deg = pa.schema([("artifact", pa.string()), ("degree", pa.int64())])
-    _art = pa.schema([("artifact", pa.string())])
-    _ut = pa.schema([("unit_id", pa.string()), ("trace_id", pa.string())])
 
-    # each aggregate/join output below is a SMALL post-aggregation
-    # table; materializing at the step boundaries keeps exactly one
-    # hash-shuffle op in flight, and safe_join normalizes the sparse
-    # sides (empty sort/groupby partitions are otherwise null-typed
-    # when they reach the Acero join kernel — stages/joins.py)
-    # a zero-row join side ships no blocks at all (not even the schema
-    # broadcast), so every narrowing step both early-outs semantically
-    # (nothing to prune) and protects the next join
-    singles = (contains.groupby(["unit_id", "trace_id"])
-               .aggregate(Count(alias_name="n_contained"))
-               .filter(expr="n_contained == 1")).materialize()
-    if singles.count() == 0:
-        return nodes, edges, traces, contains, 0
-    cand = safe_join(contains, singles, "left_semi", num_partitions,
-                     ("unit_id", "trace_id"),
-                     left_schema=_pair3, right_schema=_singles).materialize()
+    cand = (contains.groupby(["unit_id", "trace_id"])
+            .aggregate(Count(alias_name="_n"),
+                       AggMin("artifact", alias_name="artifact"))
+            .filter(expr="_n == 1")
+            .map_batches(
+                lambda t: t.select(["unit_id", "trace_id", "artifact"]),
+                batch_format="pyarrow")).materialize()
     if cand.count() == 0:
         return nodes, edges, traces, contains, 0
 
@@ -562,8 +556,9 @@ def prune_orphans(nodes, edges, traces, contains, matches,
     if deg.count() == 0:
         return nodes, edges, traces, contains, 0
 
-    # each doomed node has exactly one relationship (its CONTAINS pair),
-    # so artifacts and (unit, trace) keys are both unique in `doomed`
+    # the single remaining hash join — both sides small aggregates.
+    # Each doomed node has exactly one relationship (its CONTAINS
+    # pair), so artifacts and (unit, trace) keys are both unique.
     doomed = safe_join(cand, deg, "left_semi", num_partitions,
                        ("artifact",),
                        left_schema=_pair3, right_schema=_deg).materialize()
@@ -571,25 +566,100 @@ def prune_orphans(nodes, edges, traces, contains, matches,
     if n_pruned == 0:
         return nodes, edges, traces, contains, 0
 
-    _nodes_enc = pa.schema([("artifact", pa.string()),
-                            ("artifact_type", pa.string()),
-                            ("image", pa.string()),
-                            ("spans_enc", pa.string()),
-                            ("traces_enc", pa.string())])
-    _traces = pa.schema([("unit_id", pa.string()), ("trace_id", pa.string()),
-                         ("start_time", pa.timestamp("ns")),
-                         ("representative_process_name", pa.string()),
-                         ("span_count", pa.int64())])
-    nodes2 = safe_join(nodes, doomed.select_columns(["artifact"]),
-                       "left_anti", num_partitions, ("artifact",),
-                       left_schema=_nodes_enc, right_schema=_art)
-    traces2 = safe_join(traces, doomed.select_columns(["unit_id", "trace_id"]),
-                        "left_anti", num_partitions, ("unit_id", "trace_id"),
-                        left_schema=_traces, right_schema=_ut)
-    contains2 = safe_join(contains, doomed.select_columns(["artifact"]),
-                          "left_anti", num_partitions, ("artifact",),
-                          left_schema=_pair3, right_schema=_art)
+    nodes2 = _subtract_by_key(
+        nodes, doomed.select_columns(["artifact"]), key=["artifact"],
+        payload=["artifact_type", "image", "spans_enc", "traces_enc"])
+    traces2 = _subtract_by_key(
+        traces, doomed.select_columns(["unit_id", "trace_id"]),
+        key=["unit_id", "trace_id"],
+        payload=["start_time", "representative_process_name", "span_count"],
+        payload_codecs={"start_time": "ts_ns", "span_count": "int"})
+    # a doomed artifact has degree 1, so its ONLY contains pair is the
+    # doomed triple itself — subtracting on the full triple equals
+    # subtracting by artifact and keeps the key unique
+    contains2 = _subtract_by_key(
+        contains, doomed, key=["unit_id", "trace_id", "artifact"],
+        payload=[])
     return nodes2, edges, traces2, contains2, n_pruned
+
+
+_SEP_REC = "\x1e"
+
+
+def _subtract_by_key(table, doomed_keys, *, key: list[str],
+                     payload: list[str], payload_codecs: dict | None = None,
+                     out_order: list[str] | None = None):
+    """``table`` MINUS rows whose ``key`` appears in ``doomed_keys`` —
+    one union + groupby (the anti-join without spawning a hash-join
+    pool). Keys are unique per table row here, so each group carries
+    exactly one payload; payload columns are \x1e-joined into one
+    string (record separator — payload values may themselves contain
+    the \x1f used by the encoded node lists) for a single vectorized
+    Max (a doomed marker row carries the
+    empty payload and tag 1). ``payload_codecs`` marks non-string
+    columns (``ts_ns`` = timestamp↔nanoseconds, ``int`` = int64);
+    string payloads get a \x01 prefix so genuine nulls round-trip."""
+    codecs = payload_codecs or {}
+
+    def _encode_cols(df: pd.DataFrame):
+        parts = []
+        for c in payload:
+            col = df[c]
+            if codecs.get(c) in ("ts_ns", "int"):
+                parts.append(col.astype("int64").astype(str))
+            else:
+                parts.append(
+                    ("\x01" + col.astype(str)).where(col.notna(), "\x00"))
+        enc = parts[0]
+        for p in parts[1:]:
+            enc = enc + _SEP_REC + p
+        return enc
+
+    def encode(df: pd.DataFrame) -> pa.Table:
+        out = df[key].copy()
+        if payload:
+            out["_payload"] = _encode_cols(df)
+        out["_tag"] = 0
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def tag_doomed(df: pd.DataFrame) -> pa.Table:
+        out = df[key].copy()
+        if payload:
+            out["_payload"] = ""
+        out["_tag"] = 1
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Max as AggMax
+
+    aggs = [AggMax("_tag", alias_name="_tag")]
+    if payload:
+        aggs.append(AggMax("_payload", alias_name="_payload"))
+    merged = (table.map_batches(encode, batch_format="pandas")
+              .union(doomed_keys.map_batches(tag_doomed,
+                                             batch_format="pandas"))
+              .groupby(key).aggregate(*aggs)
+              .filter(expr="_tag == 0"))
+
+    def decode(df: pd.DataFrame) -> pa.Table:
+        out = df[key].copy()
+        if payload:
+            parts = df["_payload"].str.split(_SEP_REC, n=len(payload) - 1,
+                                             expand=True)
+            for i, c in enumerate(payload):
+                col = (parts[i] if i in parts.columns
+                       else pd.Series([""] * len(df), index=df.index))
+                if codecs.get(c) == "ts_ns":
+                    out[c] = pd.to_datetime(col.astype("int64"), unit="ns")
+                elif codecs.get(c) == "int":
+                    out[c] = col.astype("int64")
+                else:
+                    out[c] = (col.str.slice(1)
+                              .where(col.str.slice(0, 1) == "\x01", None)
+                              .astype(object))
+        cols = out_order or (key + payload)
+        return pa.Table.from_pandas(out[cols], preserve_index=False)
+
+    return merged.map_batches(decode, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -126,8 +126,10 @@ def test_connected_components_deterministic(ray_session):
         "v": ["b", "c", "y", "z", "m"],  # chain abc, chain xyz, self m
     })
     for blocks in (1, 3):
-        ds = rd.from_pandas(edges).repartition(blocks)
-        lab = connected_components(ds, num_partitions=4).to_pandas()
-        got = dict(zip(lab["node"], lab["comp"]))
-        assert got == {"a": "a", "b": "a", "c": "a",
-                       "x": "x", "y": "x", "z": "x", "m": "m"}
+        for small in (500_000, 0):  # worker-task fast path AND the
+            ds = rd.from_pandas(edges).repartition(blocks)  # join rounds
+            lab = connected_components(ds, num_partitions=4,
+                                       small_graph_rows=small).to_pandas()
+            got = dict(zip(lab["node"], lab["comp"]))
+            assert got == {"a": "a", "b": "a", "c": "a",
+                           "x": "x", "y": "x", "z": "x", "m": "m"}
