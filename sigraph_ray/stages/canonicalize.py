@@ -29,7 +29,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 
 def _entity_partials(batch: pa.Table) -> pa.Table:

@@ -30,13 +30,19 @@ import numpy as np
 import pandas as pd
 
 
-def _collect_block_factory(key: str, order_col: str, value: str):
+def _collect_block_factory(key: str, order_col: str, value: str,
+                           dedup: bool):
     def f(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame({key: pd.Series(dtype="object"),
                                  "values": pd.Series(dtype="object"),
                                  "head_ord": pd.Series(dtype="object"),
                                  "boundary": pd.Series(dtype="bool")})
+        if dedup:
+            # post-sort keep-first = min-order occurrence per member;
+            # cross-block duplicates are boundary keys, deduped in the
+            # stitch below
+            df = df.drop_duplicates([key, value])
         g = df.groupby(key, sort=False)
         lists = g[value].agg(list)
         heads = g[order_col].first()
@@ -51,15 +57,25 @@ def _collect_block_factory(key: str, order_col: str, value: str):
     return f
 
 
-def sorted_collect(ds, *, key: str, order_col: str, value: str):
+def _dedup_keep_first(values: list) -> list:
+    seen: dict = {}
+    for v in values:
+        seen.setdefault(v, None)
+    return list(seen)
+
+
+def sorted_collect(ds, *, key: str, order_col: str, value: str,
+                   dedup: bool = False):
     """Dataset → Dataset of ``(key, values: list)`` with ``values``
     ordered by ``order_col`` (make ``order_col`` unique per key for full
-    determinism)."""
+    determinism). ``dedup=True`` keeps each value's FIRST (min-order)
+    occurrence only — collapsing a distinct-groupby that would
+    otherwise have to run before the sort into the collect pass."""
     import ray.data as rd
 
     hydrated = ds.sort([key, order_col])
     collected = hydrated.map_batches(
-        _collect_block_factory(key, order_col, value),
+        _collect_block_factory(key, order_col, value, dedup),
         batch_format="pandas",
         batch_size=None)  # one batch per block — blockwise contiguity
     # pin: both branches below consume `collected`, and re-executing the
@@ -71,8 +87,11 @@ def sorted_collect(ds, *, key: str, order_col: str, value: str):
     bdf = collected.filter(expr="boundary == True").to_pandas()
     if len(bdf):
         bdf = bdf.sort_values([key, "head_ord"], kind="stable")
+        flat = (lambda ls: _dedup_keep_first(
+            [x for sub in ls for x in sub])) if dedup else (
+            lambda ls: [x for sub in ls for x in sub])
         merged = (bdf.groupby(key, sort=False)["values"]
-                  .agg(lambda ls: [x for sub in ls for x in sub])
+                  .agg(flat)
                   .reset_index())
     else:
         merged = pd.DataFrame({key: pd.Series(dtype="object"),

@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min
 
 from sigraph_ray.functions import hashing as H
 from sigraph_ray.stages.canonicalize import connected_components
@@ -139,14 +139,16 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     Every step is dataflow — nothing corpus-sized touches the driver:
 
     1. signatures (actor pool) → band rows;
-    2. bucket-min anchors via a vectorized ``Min`` aggregate, members
-       re-attached with a hash join (no per-bucket Python);
+    2. per-bucket sorted member lists via ONE ``sorted_collect`` range
+       sort, exploded to (bucket-min, other) star pairs vectorized
+       (no per-bucket Python, no corpus×bands join);
     3. candidate-pair texts attached by two hash joins against the
        (id, text) projection — the 100 TB-safe replacement for a
        broadcast id→text dict;
     4. Jaccard verification in an actor pool over the pair rows;
-    5. components via the distributed ``connected_components`` operator
-       (min-id labels), assignment via one left join.
+    5. components via ``connected_components`` (min-id labels; small
+       pair sets take its bounded worker-task fast path), assignment
+       via one left join.
 
     Only the tiny candidate/verified pair tables are materialized (to
     guard the empty cases and to pin the connected-components input).

@@ -136,16 +136,21 @@ _SEP_NODE = "\x1f"
 
 
 def _node_item_partials(batch: pa.Table) -> pa.Table:
-    """Combiner: per-batch min-ord per (artifact, kind, member) where
-    kind 's' = span id, 't' = trace id — one (k, v) partial per distinct
-    member per batch, all vectorized pandas groupby-min."""
+    """Combiner: per-batch min-ord (ak, member, ord) rows where ak =
+    artifact␟kind, kind 's' = span id / 't' = trace id — one row per
+    distinct member per batch, vectorized pandas groupby-min. The
+    GLOBAL min-ord dedup happens inside ``sorted_collect(dedup=True)``
+    (keep-first after the range sort), so no extra shuffle runs."""
     df = batch.select(["artifact", "span_id", "trace_id", "ord"]).to_pandas()
-    ks = (df["artifact"] + _SEP_NODE + "s" + _SEP_NODE + df["span_id"])
-    kt = (df["artifact"] + _SEP_NODE + "t" + _SEP_NODE + df["trace_id"])
     enc = pd.DataFrame({
-        "k": pd.concat([ks, kt], ignore_index=True),
-        "v": pd.concat([df["ord"], df["ord"]], ignore_index=True)})
-    part = enc.groupby("k", sort=False)["v"].min().reset_index()
+        "ak": pd.concat([df["artifact"] + _SEP_NODE + "s",
+                         df["artifact"] + _SEP_NODE + "t"],
+                        ignore_index=True),
+        "member": pd.concat([df["span_id"], df["trace_id"]],
+                            ignore_index=True),
+        "ord": pd.concat([df["ord"], df["ord"]], ignore_index=True)})
+    part = (enc.groupby(["ak", "member"], sort=False)["ord"].min()
+            .reset_index())
     return pa.Table.from_pandas(part, preserve_index=False)
 
 
@@ -191,15 +196,17 @@ def build_nodes_encoded(events):
     last non-null process by ``ord``; parent artifacts contribute bare
     existence. Stages:
 
-    1. (artifact, kind, member) → min ord: per-batch combiner + one
-       vectorized ``Min`` aggregate;
-    2. ordered member lists via :func:`sorted_collect` on key
-       (artifact ␟ kind) ordered by that min ord, joined to ONE
-       ␟-separated string per (artifact, kind) — flat string columns
-       keep the node table Acero-join-safe for G1 pruning
-       (pyarrow joins reject list payloads);
-    3. image via encoded arg-max; parent existence via distinct;
-    4. pivot to one row per artifact with a null-skipping Max groupby.
+    1. per-batch (artifact␟kind, member, min ord) combiner rows go
+       straight into ONE :func:`sorted_collect` range sort with
+       ``dedup=True`` — the post-sort keep-first IS the global min-ord
+       member dedup, so no separate groupby shuffle runs. Lists are
+       joined to ONE ␟-separated string per (artifact, kind) — flat
+       string columns keep the node table Acero-join-safe for G1
+       pruning (pyarrow joins reject list payloads);
+    2. image partials feed the pivot groupby directly (its
+       null-skipping Max is the last-writer aggregate); parent
+       existence via per-batch distinct;
+    3. pivot to one row per artifact with a null-skipping Max groupby.
 
     Partitioning assumption (documented per the build brief): one
     artifact's member list fits a worker block (same bound the
@@ -209,23 +216,12 @@ def build_nodes_encoded(events):
     traces_enc); :func:`decode_nodes` restores the list columns.
     """
     from ray.data.aggregate import Max as AggMax
-    from ray.data.aggregate import Min as AggMin
 
     from sigraph_ray.stages.collect import sorted_collect
 
-    items = (events.map_batches(_node_item_partials, batch_format="pyarrow")
-             .groupby("k").aggregate(AggMin("v", alias_name="v")))
-
-    def split_key(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        parts = df["k"].str.split(_SEP_NODE, n=2, expand=True)
-        return pa.Table.from_pandas(pd.DataFrame({
-            "ak": parts[0] + _SEP_NODE + parts[1],
-            "member": parts[2], "ord": df["v"]}), preserve_index=False)
-
-    keyed = items.map_batches(split_key, batch_format="pyarrow")
-    collected = sorted_collect(keyed, key="ak", order_col="ord",
-                               value="member")
+    items = events.map_batches(_node_item_partials, batch_format="pyarrow")
+    collected = sorted_collect(items, key="ak", order_col="ord",
+                               value="member", dedup=True)
 
     def lists_to_pivot(df: pd.DataFrame) -> pa.Table:
         ak = df["ak"].str.split(_SEP_NODE, n=1, expand=True)

@@ -54,3 +54,25 @@ def test_sorted_collect_empty(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"key": [], "ord": [], "val": []}))
     out = sorted_collect(ds, key="key", order_col="ord", value="val").to_pandas()
     assert len(out) == 0
+
+
+def test_sorted_collect_dedup_keep_first(ray_session):
+    """dedup=True keeps each member's min-order occurrence only, across
+    block boundaries (the collapsed pre-sort distinct-groupby)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_collect
+
+    df = pd.DataFrame({
+        "k": ["a"] * 6 + ["b"] * 2,
+        "o": ["1", "2", "3", "4", "5", "6", "1", "2"],
+        "v": ["x", "y", "x", "z", "y", "w", "q", "q"],
+    })
+    for blocks in (1, 4):
+        ds = rd.from_pandas(df.sample(frac=1.0, random_state=3)
+                            ).repartition(blocks)
+        out = sorted_collect(ds, key="k", order_col="o", value="v",
+                             dedup=True).to_pandas()
+        got = dict(zip(out["k"], out["values"].map(list)))
+        assert got == {"a": ["x", "y", "z", "w"], "b": ["q"]}
