@@ -115,37 +115,49 @@ _PROFILES: dict[str, frozenset[str]] = {
 class LangId:
     """Actor-pool language identifier: stopword-profile scores +
     unicode-script detection for CJK/Hangul; profiles built once per
-    actor."""
+    actor. Vectorized: per-batch pandas str kernels (count/findall) +
+    one explode/isin membership pass per profile — no Python loop over
+    rows (semantics byte-identical to the frozen golden)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
-        import re
         self.text_col = text_col
         self.id_col = id_col
-        self.word = re.compile(r"[a-zà-ÿ]+")
-        self.hangul = re.compile(r"[가-힯]")
-        self.cjk = re.compile(r"[一-鿿]")
         self.profiles = {k: v for k, v in _PROFILES.items() if v}
+        self.langs = np.array(sorted(self.profiles), dtype=object)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        langs, scores = [], []
-        for t in df[self.text_col].fillna(""):
-            low = t.lower()
-            if len(self.hangul.findall(low)) * 2 > max(1, len(low)) * 0.1:
-                langs.append("ko"); scores.append(1.0); continue
-            if len(self.cjk.findall(low)) * 2 > max(1, len(low)) * 0.1:
-                langs.append("zh"); scores.append(1.0); continue
-            toks = self.word.findall(low)
-            if not toks:
-                langs.append(""); scores.append(0.0); continue
-            best, best_s = "", 0.0
-            for lang, prof in sorted(self.profiles.items()):
-                s = sum(1 for w in toks if w in prof) / len(toks)
-                if s > best_s:
-                    best, best_s = lang, s
-            langs.append(best if best_s > 0.02 else "")
-            scores.append(round(best_s, 6))
+        df = df.reset_index(drop=True)
+        low = df[self.text_col].fillna("").str.lower()
+        nchars = low.str.len().clip(lower=1).to_numpy()
+        hangul = low.str.count("[가-힯]").to_numpy()
+        cjk = low.str.count("[一-鿿]").to_numpy()
+        toks = low.str.findall(r"[a-zà-ÿ]+")
+        ntok = toks.map(len).to_numpy()
+        ex = toks.explode().dropna()
+        rows = []
+        for lang in self.langs:
+            hit = (ex.isin(self.profiles[lang])
+                   .groupby(level=0).sum()
+                   .reindex(df.index, fill_value=0).to_numpy())
+            rows.append(hit / np.clip(ntok, 1, None))
+        smat = np.vstack(rows)
+        best_idx = smat.argmax(axis=0)        # first max wins — same
+        best_s = smat.max(axis=0)             # tie-break as the loop
+        pred = np.where(best_s > 0.02, self.langs[best_idx], "")
+        score = np.round(best_s, 6)
+        # precedence (original control flow): ko > zh > no-tokens > profile
+        no_tok = ntok == 0
+        pred = np.where(no_tok, "", pred)
+        score = np.where(no_tok, 0.0, score)
+        is_ko = hangul * 2 > nchars * 0.1
+        is_zh = ~is_ko & (cjk * 2 > nchars * 0.1)
+        pred = np.where(is_zh, "zh", pred)
+        score = np.where(is_zh, 1.0, score)
+        pred = np.where(is_ko, "ko", pred)
+        score = np.where(is_ko, 1.0, score)
         return pd.DataFrame({self.id_col: df[self.id_col],
-                             "pred_lang": langs, "lang_score": scores})
+                             "pred_lang": pd.Series(pred, dtype=object),
+                             "lang_score": score})
 
 
 def lang_id(ds, *, concurrency: int = 2, **kw):
