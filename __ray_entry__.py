@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_units": Q.q_distinct_units,
         "rule_match": Q.q_rule_match,
         "sigma_match": Q.q_sigma_match,
+        "label_sequences": Q.q_label_sequences,
         "doc_page": Q.q_doc_page,
         "prov_subgraph": Q.q_prov_subgraph,
         "prov_neighborhood": Q.q_prov_neighborhood,
@@ -104,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_units": Q.SQL_DISTINCT_UNITS,
         "rule_match": Q.SQL_RULE_MATCH,
         "sigma_match": Q.SQL_SIGMA_MATCH,
+        "label_sequences": Q.SQL_LABEL_SEQUENCES,
         "doc_page": Q.SQL_DOC_PAGE,
         "prov_subgraph": Q.SQL_PROV_SUBGRAPH,
         "prov_neighborhood": Q.SQL_PROV_NEIGHBORHOOD,

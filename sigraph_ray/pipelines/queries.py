@@ -832,6 +832,49 @@ ORDER BY 1, 2
 """
 
 
+def q_label_sequences(sf_dir: str):
+    """Sequence labeling (db_session.py:414-446): traces of unit_0 with
+    any demo-Sigma hit, expanded to their FULL syslog sequences and
+    tagged — the weak-supervision labeling flow."""
+    from sigraph_ray.stages import syslog as SY
+
+    return SY.label_sequences(SY.derive_syslog(sf_dir), SIGMA_DEMO_RULES,
+                              unit_id="unit_0", label="suspicious")
+
+
+SQL_LABEL_SEQUENCES = """
+WITH s AS (
+  SELECT 'unit_' || CAST(user_id % 3 AS VARCHAR) AS unit_id,
+         'trace_' || CAST(user_id AS VARCHAR) AS trace_id,
+         'span_' || lpad(CAST(event_id AS VARCHAR), 12, '0') AS span_id,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts_raw,
+         event_type, event_id, user_id
+  FROM events
+),
+hits AS (
+  SELECT DISTINCT trace_id FROM s
+  WHERE unit_id = 'unit_0' AND (
+    (event_type = 'click'
+     AND (event_id % 100) % 10 = 7 AND user_id % 7 = 3)
+    OR (event_type = 'purchase'
+        AND CAST(event_id % 256 AS VARCHAR) LIKE '1%'
+        AND user_id IN (3, 13, 23))
+    OR (event_type = 'error'
+        AND user_id % 7 IN (0, 1, 2)
+        AND NOT (CAST(user_id AS VARCHAR) LIKE '%0'))
+    OR (event_type = 'view'
+        AND (CAST(event_id % 20 AS VARCHAR) IN ('3', '4')
+             OR CAST(user_id AS VARCHAR) LIKE '%7%'))
+  )
+)
+SELECT s.unit_id, s.trace_id, s.span_id, s.ts_raw AS "timestamp",
+       'suspicious' AS label
+FROM s JOIN hits USING (trace_id)
+WHERE s.unit_id = 'unit_0'
+ORDER BY s.trace_id, s.ts_raw, s.span_id
+"""
+
+
 # Fixed sigma-style rules: (rule_id, RE2 pattern over document text).
 # The reference compiles uploaded Sigma YAML to Lucene queries at
 # runtime (src/rule/session.py:24-94, J7 match at db_session.py:233-345);

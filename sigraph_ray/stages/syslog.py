@@ -162,3 +162,74 @@ def sigma_match(syslog_ds, rule_yaml: str | bytes, *,
         SigmaMatcher, batch_format="pandas",
         fn_constructor_kwargs={"rule_yaml": rule_yaml, "unit_id": unit_id},
         concurrency=concurrency)
+
+
+class _TraceIdPartials:
+    """Per-batch combiner: distinct trace_ids of rows matching ANY of
+    the compiled rules (after the unit + EventName-category terms)."""
+
+    def __init__(self, rule_yaml: str | bytes, unit_id: str,
+                 prefix: str = "raw_data.Metadata"):
+        from sigraph_ray.functions.sigma import compile_rules
+
+        self.rules = compile_rules(rule_yaml, prefix=prefix)
+        self.unit_id = unit_id
+
+    def __call__(self, df: pd.DataFrame) -> pa.Table:
+        base = (df["unit_id"] == self.unit_id).to_numpy()
+        any_hit = np.zeros(len(df), dtype=bool)
+        for rule in self.rules:
+            mask = base.copy()
+            if rule.category is not None:
+                mask &= (df["raw_data.EventName"]
+                         == rule.category).to_numpy()
+            mask &= rule.mask(df)
+            any_hit |= mask
+        return pa.table({"trace_id": pa.array(
+            df.loc[any_hit, "trace_id"].unique(), pa.string())})
+
+
+def sigma_trace_ids(syslog_ds, rule_yaml: str | bytes, *, unit_id: str,
+                    concurrency: int = 2):
+    """get_trace_ids_with_lucene_query (db_session.py:346-413): the
+    distinct trace ids of one unit whose syslog docs match the compiled
+    query. Per-batch distinct combiner + one Count-distinct groupby."""
+    from ray.data.aggregate import Count
+
+    return (syslog_ds.map_batches(
+        _TraceIdPartials, batch_format="pandas",
+        fn_constructor_kwargs={"rule_yaml": rule_yaml, "unit_id": unit_id},
+        concurrency=concurrency)
+        .groupby("trace_id").aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["trace_id"]),
+                     batch_format="pyarrow"))
+
+
+def label_sequences(syslog_ds, rule_yaml: str | bytes, *, unit_id: str,
+                    label: str, concurrency: int = 2):
+    """label_syslog_sequences_with_lucene_query
+    (db_session.py:414-446): query → matching trace ids → the FULL
+    syslog sequence of every matching trace, tagged with ``label`` —
+    the weak-supervision labeling flow for training-data pipelines.
+    The matching trace-id set is per-unit-bounded and broadcast (the
+    same semi-join shape as drift/IoC); the sequence fetch is one
+    streaming pass over the doc store, sorted by the raw Timestamp
+    string (the reference's sequence order)."""
+    import ray
+
+    ids = sigma_trace_ids(syslog_ds, rule_yaml, unit_id=unit_id,
+                          concurrency=concurrency)
+    trace_set = set(ids.to_pandas()["trace_id"])
+    ref = ray.put(trace_set)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        ts = ray.get(ref)
+        out = df[(df["unit_id"] == unit_id)
+                 & df["trace_id"].isin(ts)].copy()
+        out["label"] = label
+        return out[["unit_id", "trace_id", "span_id",
+                    "raw_data.Timestamp", "label"]].rename(
+            columns={"raw_data.Timestamp": "timestamp"})
+
+    return (syslog_ds.map_batches(pick, batch_format="pandas")
+            .sort(["trace_id", "timestamp", "span_id"]))

@@ -170,3 +170,29 @@ def test_sigma_match_unit_term(ray_session):
     all_docs = docs.to_pandas()
     unit_of = dict(zip(all_docs["span_id"], all_docs["unit_id"]))
     assert all(unit_of[s] == "unit_0" for s in spans)
+
+
+def test_sigma_trace_ids_and_labeling(ray_session):
+    """get_trace_ids_with_lucene_query + the sequence-labeling flow:
+    matching traces expand to their FULL sequences (non-matching docs
+    of a matching trace included), all labeled."""
+    from sigraph_ray.pipelines.queries import SIGMA_DEMO_RULES
+    from sigraph_ray.stages import syslog as SY
+
+    docs = SY.derive_syslog("/root/testdata/sf0.001")
+    ids = SY.sigma_trace_ids(docs, SIGMA_DEMO_RULES,
+                             unit_id="unit_0").to_pandas()
+    assert ids["trace_id"].is_unique and len(ids) > 0
+
+    seq = SY.label_sequences(docs, SIGMA_DEMO_RULES, unit_id="unit_0",
+                             label="bad").to_pandas()
+    assert set(seq["trace_id"]) == set(ids["trace_id"])
+    assert (seq["label"] == "bad").all()
+    # full sequences: every unit_0 doc of a matching trace is present
+    all_docs = docs.to_pandas()
+    want = all_docs[(all_docs["unit_id"] == "unit_0")
+                    & all_docs["trace_id"].isin(set(ids["trace_id"]))]
+    assert len(seq) == len(want)
+    # per-trace rows are Timestamp-sorted
+    for _, g in seq.groupby("trace_id"):
+        assert list(g["timestamp"]) == sorted(g["timestamp"])
