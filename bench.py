@@ -202,10 +202,29 @@ def kg_only():
                       "num_cpus": NUM_CPUS}))
 
 
+def stats():
+    """Dump ``Dataset.stats()`` for the headline edge pipeline — the
+    per-operator wall-time/throughput evidence used to tune batch
+    sizes and stage concurrency (written to stderr-free stdout)."""
+    import ray
+
+    _init_ray()
+    from sigraph_ray.pipelines import kg as K
+
+    pages = K.synth_pages(_n_pages(), parallelism=max(NUM_CPUS * 2, 8))
+    triples = K.extract_triples_pipeline(
+        pages, concurrency=max(2, NUM_CPUS - 2), batch_size=256)
+    edges = K.build_kg_edges(triples).materialize()
+    print(edges.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
     elif "--kg-only" in sys.argv:
         kg_only()
+    elif "--stats" in sys.argv:
+        stats()
     else:
         main()

@@ -59,11 +59,23 @@ def syslog_batch(batch: pa.Table) -> pa.Table:
     eid = df["event_id"].to_numpy()
     uid = df["user_id"].to_numpy()
     proc = np.char.add(np.char.add("proc_", (uid % 7).astype(str)), ".exe")
+    # optional SyslogModel fields (db_model.py:116-117): present only on
+    # rule-tagged events, mirroring the provenance related_rule_ids
+    # mapping (event_id % 5 == 0 → rule_<event_id % 12>)
+    tagged = (eid % 5) == 0
+    rule_ids = pd.Series(
+        np.char.add("rule_", (eid % 12).astype(str)),
+        dtype="object").mask(~tagged)
+    tactics = pd.Series(
+        np.char.add("TA00", (eid % 9).astype(str)),
+        dtype="object").mask(~tagged)
     out = pd.DataFrame({
         "unit_id": np.char.add("unit_", (uid % 3).astype(str)),
         "trace_id": np.char.add("trace_", uid.astype(str)),
         "span_id": np.char.add("span_", np.char.zfill(eid.astype(str), 12)),
         "timestamp": df["ts"],
+        "tactics": tactics,
+        "rule_ids": rule_ids,
         "raw_data.EventName": df["event_type"],
         "raw_data.Timestamp": df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f"),
         "raw_data.Metadata.Image": np.char.add("C:\\Programs\\", proc),
