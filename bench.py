@@ -37,6 +37,12 @@ def _init_ray():
     ctx.execution_options.verbose_progress = False
     # bounded object store usage: let the streaming executor backpressure
     ctx.execution_options.preserve_order = False
+    # size shuffle parallelism to the session instead of Ray's global
+    # default of 200 reduce partitions — every sort/aggregate otherwise
+    # pays a ~200-task fixed cost regardless of data size. Proportional
+    # sizing (cores × 2) is the same rule a multi-node cluster uses.
+    ctx.min_parallelism = max(NUM_CPUS * 2, 16)
+    ctx.read_op_min_num_blocks = max(NUM_CPUS * 2, 16)
 
 
 def _n_pages() -> int:

@@ -51,6 +51,12 @@ def main(argv=None) -> int:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.preserve_order = False
+    # session-proportional shuffle parallelism (see bench.py note)
+    import os as _os
+
+    _cpus = args.num_cpus or int(_os.environ.get("RAY_GRAFT_CPUS", "8"))
+    ctx.min_parallelism = max(_cpus * 2, 16)
+    ctx.read_op_min_num_blocks = max(_cpus * 2, 16)
 
     import ray.data as rd
 

@@ -22,6 +22,9 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # session-proportional shuffle parallelism (see bench.py note)
+    ctx.min_parallelism = 16
+    ctx.read_op_min_num_blocks = 16
     yield
     ray.shutdown()
 
