@@ -29,6 +29,24 @@ String matching is case-insensitive except ``|re`` (Sigma spec
 defaults). The field-prefix rewrite is applied at field-resolution
 time: field F reads column ``<prefix>.F`` — the same effect as the
 reference's prefixing of the rendered query string.
+
+KNOWN SEMANTIC DIVERGENCE from the reference's OpenSearch backend
+(deliberate, Sigma-spec-first — rule authors take note):
+
+- ``|re`` here is an UNANCHORED substring search (Sigma spec: "the
+  regular expression is matched against the field value, partial
+  matches count"), while Lucene ``regexp`` queries are implicitly
+  anchored to the FULL value — an uploaded ``|re: foo`` rule can match
+  MORE rows here than in the reference. Anchor explicitly
+  (``^foo$``) for Lucene-equivalent behavior.
+- ``eq``/``contains``/``startswith``/``endswith`` are
+  case-insensitive per the Sigma spec, while the reference's
+  dynamically-mapped ``keyword`` fields (db_model.py dynamic
+  templates) compare case-SENSITIVELY unless the rule author relied
+  on an analyzed field.
+
+Null semantics match the reference: a document missing the field (or
+holding null) never matches any predicate, including ``|re``.
 """
 
 from __future__ import annotations
@@ -70,7 +88,13 @@ class Leaf:
     def mask(self, df: pd.DataFrame) -> np.ndarray:
         if self.column not in df.columns:
             return np.zeros(len(df), dtype=bool)
-        col = df[self.column].astype(str)
+        # Absent (null) field values never match any predicate — the
+        # reference's OpenSearch term/wildcard/regexp queries only hit
+        # documents that HAVE the field. Without this, astype(str) would
+        # turn None/NaN into the literal strings 'None'/'nan' and a rule
+        # like ``User|contains: 'one'`` would match rows missing the field.
+        present = df[self.column].notna().to_numpy()
+        col = df[self.column].fillna("").astype(str)
         low = col.str.lower()
         per_value = []
         for v in self.values:
@@ -97,7 +121,8 @@ class Leaf:
         if not per_value:
             return np.zeros(len(df), dtype=bool)
         stack = np.vstack(per_value)
-        return stack.all(axis=0) if self.conjunct else stack.any(axis=0)
+        combined = stack.all(axis=0) if self.conjunct else stack.any(axis=0)
+        return combined & present
 
 
 # condition AST: ("leafset", [Leaf,...]) | ("and"/"or", [..]) | ("not", x)

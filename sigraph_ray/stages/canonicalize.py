@@ -255,10 +255,16 @@ def connected_components(edges, *, max_rounds: int = 12,
         # label table (the previous union+groupby comparison cost a
         # full extra shuffle per round)
         sig = _label_signature(new_labels)
-        labels = new_labels
-        if sig == prev_sig:
+        if sig == prev_sig and _labels_equal_exact(labels, new_labels):
+            # the cheap signature is probabilistic (~2^-62 collision per
+            # round); convergence is correctness-bearing, so the round
+            # that CLAIMS convergence is confirmed exactly once with a
+            # ±1-count groupby (one extra shuffle total per CC call, not
+            # per round). A collision just means we keep iterating.
+            labels = new_labels
             converged = True
             break
+        labels = new_labels
         prev_sig = sig
     if not converged:
         logging.getLogger(__name__).warning(
@@ -289,6 +295,32 @@ def _sig_partial(t: pa.Table) -> pa.Table:
         "s1": pa.array([int((h & np.uint64(0x7FFFFFFF)).sum())], pa.int64()),
         "s2": pa.array([int((h2 & np.uint64(0x7FFFFFFF)).sum())], pa.int64()),
     })
+
+
+def _labels_equal_exact(a, b) -> bool:
+    """Exact multiset equality of two (node, comp) tables: tag each side
+    ±1, groupby(node, comp), sum — equal iff every group sums to 0.
+    One shuffle; run only on the round that claims convergence."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def tag(delta):
+        def _t(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "d", pa.array([delta] * t.num_rows, pa.int64()))
+        return _t
+
+    both = (a.map_batches(tag(1), batch_format="pyarrow")
+            .union(b.map_batches(tag(-1), batch_format="pyarrow"))
+            .groupby(["node", "comp"]).aggregate(Sum("d", alias_name="d")))
+    bad = both.map_batches(
+        lambda t: pa.table({"bad": pa.array(
+            [int(pc.sum(pc.not_equal(t.column("d"),
+                                     pa.scalar(0))).as_py() or 0)],
+            pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    return int(bad["bad"].sum()) == 0
 
 
 def _label_signature(labels) -> tuple:

@@ -204,6 +204,24 @@ def ivf_train(corpus, *, n_centroids: int = 16, sample_every: int = 7,
         return df[(h % np.uint64(sample_every)) == 0]
 
     sample = corpus.map_batches(pick, batch_format="pandas").to_pandas()
+    if sample.empty:
+        # Tiny corpus: the keyed 1-in-sample_every filter can come back
+        # empty (< ~sample_every rows). Degrade gracefully — sample every
+        # row instead of crashing in np.stack([]). Still deterministic
+        # (hash-ordered, capped) and still bounded: this path only fires
+        # when the WHOLE corpus is smaller than one keyed stride.
+        def pick_all(df: pd.DataFrame) -> pd.DataFrame:
+            h = H.splitmix64(pd.util.hash_pandas_object(
+                df[id_col].astype(str), index=False).to_numpy()
+                .astype(np.uint64))
+            df = df[[id_col, emb_col]].copy()
+            df["__h"] = h
+            return df
+
+        sample = corpus.map_batches(pick_all,
+                                    batch_format="pandas").to_pandas()
+        if sample.empty:
+            raise ValueError("ivf_train: corpus has no rows")
     sample = sample.sort_values("__h").head(max_sample)
     return _kmeans_fit(np.stack(sample[emb_col].to_numpy()), n_centroids)
 

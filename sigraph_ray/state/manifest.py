@@ -141,9 +141,22 @@ def write_stage(ds, stage_dir: str, *, input_desc: str = "",
     prev = ctx.execution_options.preserve_order
     ctx.execution_options.preserve_order = True
     try:
+        # Deterministic positional partitions: block boundaries under the
+        # streaming executor can shift run-to-run (dynamic block splitting
+        # under memory/CPU pressure) even with preserve_order=True, which
+        # would make a block-based "partition i" hold different rows across
+        # runs and defeat skip-on-resume. Instead the row stream is
+        # re-chunked by an EXACT row count (iter_batches with a concrete
+        # batch_size yields exactly-sized batches regardless of block
+        # layout), so partition i = rows [i*B, (i+1)*B) of the preserved
+        # order — a pure function of the input. The count() pre-pass is the
+        # documented cost of the key-less mode (small stages only; the
+        # scale path is key=<column>).
+        n = ds.count()
+        bsize = max(1, -(-n // max(1, num_partitions)))
         records = []
         for part, batch in enumerate(
-                ds.iter_batches(batch_format="pyarrow", batch_size=None)):
+                ds.iter_batches(batch_format="pyarrow", batch_size=bsize)):
             records.append(
                 _write_or_verify(stage_dir, part, batch, input_desc, verify))
         return records
