@@ -135,9 +135,13 @@ def write_stage(ds, stage_dir: str, *, input_desc: str = "",
                                   num_partitions=num_partitions,
                                   input_desc=input_desc, verify=verify)
 
-    from ray.data import DataContext
-
-    ctx = DataContext.get_current()
+    # A Dataset captures its own DataContext COPY at creation
+    # (Dataset.context → self._plan._context), so flipping the global
+    # DataContext here would not affect an already-constructed ``ds`` —
+    # the flag must be set on the dataset's own context (observed: with
+    # only the global flag set, partition contents shifted across runs
+    # under full-suite CPU pressure).
+    ctx = ds.context
     prev = ctx.execution_options.preserve_order
     ctx.execution_options.preserve_order = True
     try:
