@@ -24,16 +24,22 @@
   ignores that, which is equivalence on cycle-free provenance graphs
   and a superset only on cycles shorter than ``k``.)
 
-Execution model: seed traces are processed distributedly
-(``map_batches`` over the trace table with an ACTOR-POOL kernel); each
-actor builds its adjacency index ONCE in ``__init__`` from the
-materialized relationship tables' object-store block refs — the brief's
-"stateful stage holding a shared index" pattern. The driver never
-iterates rows; it only ships block references. The index-per-actor
-assumption ("post-aggregation graph fits one worker") is the same one
-the reference makes of its Neo4j instance; the iterative frontier-join
-formulation over ``stages/joins.safe_join`` is the documented fallback
-for graphs beyond single-worker memory (SURVEY.md §4.2).
+Execution model — TWO tiers behind one API (``mode="auto"``):
+
+- **actor-index tier** (relationship rows ≤ ``actor_index_max_rows``):
+  seed traces are processed distributedly (``map_batches`` over the
+  trace table with an ACTOR-POOL kernel); each actor builds its
+  adjacency index ONCE in ``__init__`` from the materialized
+  relationship tables' object-store block refs — the brief's "stateful
+  stage holding a shared index" pattern. The driver never iterates
+  rows; it only ships block references. The index-per-actor assumption
+  ("post-aggregation graph fits one worker") is the same one the
+  reference makes of its Neo4j instance.
+- **frontier-join tier** (:mod:`sigraph_ray.stages.frontier`): past the
+  threshold the BFS runs as iterative ``safe_join`` + min-dist groupby
+  rounds over the full cluster — no single-worker index anywhere.
+  Both tiers produce identical output (tests force the distributed
+  path with ``actor_index_max_rows=0`` and compare).
 """
 
 from __future__ import annotations
@@ -43,19 +49,44 @@ from collections import deque
 import pandas as pd
 import pyarrow as pa
 
+#: above this many relationship rows (edges + contains + matches) the
+#: auto tier switches to frontier joins. ~5M rows ≈ low-single-GB as a
+#: Python dict-of-lists index per actor — comfortably inside one
+#: worker; past it the index build dominates and heap risk grows.
+DEFAULT_ACTOR_INDEX_MAX_ROWS = 5_000_000
+
 
 def _artifact_type(key: str) -> str:
     """M6 label derivation — type = final @-token of the node key."""
     return key.rsplit("@", 1)[-1]
 
 
-def graph_table_refs(graph: dict) -> dict:
-    """Materialize the (post-aggregation, small-relative-to-events)
-    relationship tables and return their object-store block refs —
-    the payload shipped to traversal actors. No rows touch the driver."""
+def materialize_rels(graph: dict) -> dict:
+    """Pin the (post-aggregation, small-relative-to-events)
+    relationship tables in the object store — consumed by BOTH tiers
+    (block refs for the actor index; join inputs for frontier)."""
+    return {name: graph[name].materialize()
+            for name in ("edges", "contains", "matches")}
+
+
+def _use_actor_tier(rels: dict, mode: str, max_rows: int) -> bool:
+    if mode == "actor":
+        return True
+    if mode == "distributed":
+        return False
+    if mode != "auto":
+        raise ValueError(f"mode must be auto|actor|distributed: {mode!r}")
+    return sum(ds.count() for ds in rels.values()) <= max_rows
+
+
+def graph_table_refs(graph_or_rels: dict) -> dict:
+    """Object-store block refs of the materialized relationship tables —
+    the payload shipped to traversal actors. No rows touch the driver.
+    Accepts either a graph dict (lazy tables) or a ``materialize_rels``
+    output."""
     out = {}
     for name in ("edges", "contains", "matches"):
-        ds = graph[name].materialize()
+        ds = graph_or_rels[name].materialize()
         out[name] = list(ds.to_arrow_refs())
     return out
 
@@ -73,26 +104,29 @@ class _AdjacencyIndex:
     (zero-copy reads from the object store)."""
 
     def __init__(self, refs: dict):
-        adj: dict[str, list[str]] = {}
-
-        def add(u: str, v: str) -> None:
-            adj.setdefault(u, []).append(v)
-            adj.setdefault(v, []).append(u)
-
+        frames = []
         for t in _fetch_tables(refs["edges"]):
-            for s, d in zip(t.column("src").to_pylist(),
-                            t.column("dst").to_pylist()):
-                add(s, d)
+            df = t.select(["src", "dst"]).to_pandas()
+            frames.append(pd.DataFrame({"u": df["src"], "v": df["dst"]}))
         for t in _fetch_tables(refs["contains"]):
-            for u, tr, a in zip(t.column("unit_id").to_pylist(),
-                                t.column("trace_id").to_pylist(),
-                                t.column("artifact").to_pylist()):
-                add(f"trace:{u}:{tr}", a)
+            df = t.to_pandas()
+            tk = "trace:" + df["unit_id"].astype(str) + ":" \
+                 + df["trace_id"].astype(str)
+            frames.append(pd.DataFrame({"u": tk, "v": df["artifact"]}))
         for t in _fetch_tables(refs["matches"]):
-            for r, a in zip(t.column("rule_id").to_pylist(),
-                            t.column("artifact").to_pylist()):
-                add(f"rule:{r}", a)
-        self.adj = adj
+            df = t.to_pandas()
+            frames.append(pd.DataFrame({
+                "u": "rule:" + df["rule_id"].astype(str),
+                "v": df["artifact"]}))
+        if frames:
+            und = pd.concat(frames, ignore_index=True)
+            both = pd.concat(
+                [und, und.rename(columns={"u": "v", "v": "u"})],
+                ignore_index=True)
+            # one vectorized groupby, not a per-edge Python append loop
+            self.adj = both.groupby("u", sort=False)["v"].agg(list).to_dict()
+        else:
+            self.adj = {}
 
     def bfs(self, start: str, max_hop: int) -> dict[str, int]:
         if start not in self.adj:
@@ -144,14 +178,25 @@ class _RelatedTraces:
         })
 
 
-def related_traces(graph: dict, *, max_hop: int = 5, concurrency: int = 2):
+def related_traces(graph: dict, *, max_hop: int = 5, concurrency: int = 2,
+                   mode: str = "auto",
+                   actor_index_max_rows: int = DEFAULT_ACTOR_INDEX_MAX_ROWS,
+                   num_partitions: int = 8):
     """G2 — Dataset of (unit_id, trace_a, trace_b, hops) with
-    trace_a < trace_b and hops = shortest undirected path ≤ max_hop."""
-    refs = graph_table_refs(graph)
-    return graph["traces"].map_batches(
-        _RelatedTraces, batch_format="pyarrow",
-        fn_constructor_kwargs={"refs": refs, "max_hop": max_hop},
-        concurrency=concurrency)
+    trace_a < trace_b and hops = shortest undirected path ≤ max_hop.
+    Tier picked per the module docstring (``mode`` forces one)."""
+    from sigraph_ray.stages import frontier as F
+
+    rels = materialize_rels(graph)
+    if _use_actor_tier(rels, mode, actor_index_max_rows):
+        refs = graph_table_refs(rels)
+        return graph["traces"].map_batches(
+            _RelatedTraces, batch_format="pyarrow",
+            fn_constructor_kwargs={"refs": refs, "max_hop": max_hop},
+            concurrency=concurrency)
+    return F.related_traces_distributed(
+        rels, graph["traces"], max_hop=max_hop,
+        num_partitions=num_partitions)
 
 
 class _Subgraph:
@@ -165,26 +210,27 @@ class _Subgraph:
     the Cypher query specifies (intermediates unrestricted)."""
 
     def __init__(self, refs: dict, max_hop: int):
-        fwd: dict[str, list] = {}
-        bwd: dict[str, list] = {}
-        edges: list[tuple] = []
-        for t in _fetch_tables(refs["edges"]):
-            for s, d, ty in zip(t.column("src").to_pylist(),
-                                t.column("dst").to_pylist(),
-                                t.column("type").to_pylist()):
-                fwd.setdefault(s, []).append(d)
-                bwd.setdefault(d, []).append(s)
-                edges.append((s, ty, d))
-        contained: dict[tuple, set] = {}
-        for t in _fetch_tables(refs["contains"]):
-            for u, tr, a in zip(t.column("unit_id").to_pylist(),
-                                t.column("trace_id").to_pylist(),
-                                t.column("artifact").to_pylist()):
-                contained.setdefault((u, tr), set()).add(a)
-        self.fwd = fwd
-        self.bwd = bwd
-        self.edges = sorted(set(edges))
-        self.contained = contained
+        e_frames = [t.select(["src", "type", "dst"]).to_pandas()
+                    for t in _fetch_tables(refs["edges"])]
+        if e_frames:
+            edf = pd.concat(e_frames, ignore_index=True).drop_duplicates()
+            self.fwd = edf.groupby("src", sort=False)["dst"] \
+                          .agg(list).to_dict()
+            self.bwd = edf.groupby("dst", sort=False)["src"] \
+                          .agg(list).to_dict()
+            self.edges = sorted(
+                map(tuple, edf[["src", "type", "dst"]].to_numpy()))
+        else:
+            self.fwd, self.bwd, self.edges = {}, {}, []
+        c_frames = [t.select(["unit_id", "trace_id", "artifact"]).to_pandas()
+                    for t in _fetch_tables(refs["contains"])]
+        if c_frames:
+            cdf = pd.concat(c_frames, ignore_index=True)
+            self.contained = cdf.groupby(
+                ["unit_id", "trace_id"], sort=False)["artifact"] \
+                .agg(set).to_dict()
+        else:
+            self.contained = {}
         self.max_hop = max_hop
 
     @staticmethod
@@ -242,29 +288,47 @@ class _Subgraph:
 
 
 def provenance_subgraph(graph: dict, *, max_hop: int = 5,
-                        concurrency: int = 2):
+                        concurrency: int = 2, mode: str = "auto",
+                        actor_index_max_rows: int =
+                        DEFAULT_ACTOR_INDEX_MAX_ROWS,
+                        num_partitions: int = 8):
     """G3 — unique directed edges of each trace's provenance subgraph
     (the reference flattens paths to unique node/edge lists,
     element_behavior.py:639-699; we emit the edge list, node list =
-    its distinct endpoints)."""
-    refs = graph_table_refs(graph)
-    return graph["traces"].map_batches(
-        _Subgraph, batch_format="pyarrow",
-        fn_constructor_kwargs={"refs": refs, "max_hop": max_hop},
-        concurrency=concurrency)
+    its distinct endpoints). Tier picked per the module docstring."""
+    from sigraph_ray.stages import frontier as F
+
+    rels = materialize_rels(graph)
+    if _use_actor_tier(rels, mode, actor_index_max_rows):
+        refs = graph_table_refs(rels)
+        return graph["traces"].map_batches(
+            _Subgraph, batch_format="pyarrow",
+            fn_constructor_kwargs={"refs": refs, "max_hop": max_hop},
+            concurrency=concurrency)
+    return F.subgraph_distributed(rels, max_hop=max_hop,
+                                  num_partitions=num_partitions)
 
 
 def drift_trace_set(graph: dict, unit_id: str, trace_id: str,
-                    *, max_hop: int = 5) -> set[str]:
+                    *, max_hop: int = 5, mode: str = "auto",
+                    actor_index_max_rows: int =
+                    DEFAULT_ACTOR_INDEX_MAX_ROWS) -> set[str]:
     """The trace set of a drift query: the seed trace plus every
     same-unit trace within ``max_hop`` undirected hops (J6,
     src/app/backend/v1/api.py:177-208 unions the seed's syslog sequence
-    with the sequences of all graph-related traces). The BFS runs in a
-    Ray task against the actor-style index — the driver ships block
-    refs and receives only the (per-unit-bounded) trace-id set."""
+    with the sequences of all graph-related traces). Actor tier: the
+    BFS runs in a Ray task against the actor-style index — the driver
+    ships block refs and receives only the (per-unit-bounded) trace-id
+    set. Frontier tier: single-seed distributed BFS."""
     import ray
 
-    refs = graph_table_refs(graph)
+    from sigraph_ray.stages import frontier as F
+
+    rels = materialize_rels(graph)
+    if not _use_actor_tier(rels, mode, actor_index_max_rows):
+        return F.drift_traces_distributed(rels, unit_id, trace_id,
+                                          max_hop=max_hop)
+    refs = graph_table_refs(rels)
 
     @ray.remote
     def _bfs_task(refs: dict, unit_id: str, trace_id: str,
@@ -280,7 +344,9 @@ def drift_trace_set(graph: dict, unit_id: str, trace_id: str,
 
 
 def drift_sequence(graph: dict, docs, unit_id: str, trace_id: str,
-                   *, max_hop: int = 5, sort_cols=("timestamp", "span_id")):
+                   *, max_hop: int = 5, sort_cols=("timestamp", "span_id"),
+                   mode: str = "auto",
+                   actor_index_max_rows: int = DEFAULT_ACTOR_INDEX_MAX_ROWS):
     """J6 — union of the seed trace's document sequence with the
     sequences of all graph-related traces, re-sorted by timestamp
     (api.py:177-208 + O2 final sort, db_session.py:211-214). ``docs``
@@ -288,7 +354,9 @@ def drift_sequence(graph: dict, docs, unit_id: str, trace_id: str,
     trace set is broadcast (semi-join, no shuffle)."""
     import ray
 
-    traces = drift_trace_set(graph, unit_id, trace_id, max_hop=max_hop)
+    traces = drift_trace_set(graph, unit_id, trace_id, max_hop=max_hop,
+                             mode=mode,
+                             actor_index_max_rows=actor_index_max_rows)
     ref = ray.put(traces)
 
     def f(df: pd.DataFrame) -> pd.DataFrame:

@@ -116,6 +116,111 @@ def test_subgraph_endpoint_semantics(ray_session):
     assert len(out2) == 0
 
 
+def _as_pairs(df):
+    return {(r.unit_id, r.trace_a, r.trace_b): r.hops
+            for r in df.itertuples()}
+
+
+def test_related_traces_distributed_matches_actor(ray_session):
+    """Frontier-join tier (actor_index_max_rows=0 → distributed) must
+    reproduce the actor-index tier exactly."""
+    from sigraph_ray.stages import traversal as TV
+
+    for hop in (2, 3, 5):
+        g = _mini_graph(ray_session)
+        act = TV.related_traces(g, max_hop=hop, mode="actor").to_pandas()
+        dist = TV.related_traces(g, max_hop=hop,
+                                 actor_index_max_rows=0).to_pandas()
+        assert _as_pairs(act) == _as_pairs(dist)
+
+
+def test_subgraph_distributed_matches_actor(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages import traversal as TV
+
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": ["m@MODULE", "p@PROCESS", "p@PROCESS", "a@FILE",
+                "f1@FILE", "p1@PROCESS", "p2@PROCESS"],
+        "dst": ["a@FILE", "q@PROCESS", "a@FILE", "x@FILE",
+                "p1@PROCESS", "p2@PROCESS", "f2@FILE"],
+        "type": ["LOAD", "LAUNCH", "ACCESS", "CREATE",
+                 "CREATE", "LAUNCH", "WRITE"]}))
+    contains = rd.from_pandas(pd.DataFrame({
+        "unit_id": ["u"] * 4 + ["u", "u"],
+        "trace_id": ["t"] * 4 + ["t2", "t2"],
+        "artifact": ["m@MODULE", "p@PROCESS", "q@PROCESS", "a@FILE",
+                     "f1@FILE", "f2@FILE"]}))
+    g = {
+        "edges": edges, "contains": contains,
+        "matches": rd.from_pandas(
+            pd.DataFrame({"rule_id": [], "artifact": []})),
+        "traces": rd.from_pandas(
+            pd.DataFrame({"unit_id": ["u", "u"], "trace_id": ["t", "t2"]})),
+    }
+    for hop in (2, 5):
+        act = TV.provenance_subgraph(g, max_hop=hop,
+                                     mode="actor").to_pandas()
+        dist = TV.provenance_subgraph(g, max_hop=hop,
+                                      actor_index_max_rows=0).to_pandas()
+        key = ["unit_id", "trace_id", "src", "type", "dst"]
+        assert (set(map(tuple, act[key].to_numpy()))
+                == set(map(tuple, dist[key].to_numpy())))
+
+
+def test_random_graph_both_tiers_agree(ray_session):
+    """Deterministic random graph, both tiers, G2 and G3 — the
+    adversarial parity check for the frontier formulation."""
+    import numpy as np
+    import ray.data as rd
+
+    from sigraph_ray.stages import traversal as TV
+
+    rng = np.random.RandomState(7)
+    n_art = 40
+    types = np.array(["PROCESS", "FILE", "MODULE", "IP"])
+    art = [f"n{i}@{types[rng.randint(len(types))]}" for i in range(n_art)]
+    e = rng.randint(0, n_art, size=(120, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    edges = pd.DataFrame({
+        "src": [art[i] for i in e[:, 0]],
+        "dst": [art[i] for i in e[:, 1]],
+        "type": [["CREATE", "ACCESS"][k % 2] for k in range(len(e))],
+    }).drop_duplicates(["src", "type", "dst"])
+    c = rng.randint(0, n_art, size=60)
+    contains = pd.DataFrame({
+        "unit_id": [f"u{k % 2}" for k in range(len(c))],
+        "trace_id": [f"t{k % 12}" for k in range(len(c))],
+        "artifact": [art[i] for i in c],
+    }).drop_duplicates()
+    traces = contains[["unit_id", "trace_id"]].drop_duplicates()
+    g = {
+        "edges": rd.from_pandas(edges),
+        "contains": rd.from_pandas(contains),
+        "matches": rd.from_pandas(pd.DataFrame(
+            {"rule_id": ["r1", "r2"], "artifact": [art[0], art[5]]})),
+        "traces": rd.from_pandas(traces),
+    }
+    act = TV.related_traces(g, max_hop=4, mode="actor").to_pandas()
+    dist = TV.related_traces(g, max_hop=4,
+                             actor_index_max_rows=0).to_pandas()
+    assert _as_pairs(act) == _as_pairs(dist)
+    assert len(act) > 0
+
+    act3 = TV.provenance_subgraph(g, max_hop=3, mode="actor").to_pandas()
+    dist3 = TV.provenance_subgraph(g, max_hop=3,
+                                   actor_index_max_rows=0).to_pandas()
+    key = ["unit_id", "trace_id", "src", "type", "dst"]
+    assert (set(map(tuple, act3[key].to_numpy()))
+            == set(map(tuple, dist3[key].to_numpy())))
+    assert len(act3) > 0
+
+    got_a = TV.drift_trace_set(g, "u0", "t0", max_hop=3, mode="actor")
+    got_d = TV.drift_trace_set(g, "u0", "t0", max_hop=3,
+                               actor_index_max_rows=0)
+    assert got_a == got_d
+
+
 def test_connected_components_deterministic(ray_session):
     import ray.data as rd
 
