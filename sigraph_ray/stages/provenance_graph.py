@@ -165,13 +165,19 @@ def _node_image_partials(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(part, preserve_index=False)
 
 
-def _parent_existence_partials(batch: pa.Table) -> pa.Table:
-    """Per-batch distinct parent keys (bare-node creation,
-    element_behavior.py:402-408)."""
-    df = batch.filter(_arr(batch.column("has_parent"))).select(
+def _node_image_parent_partials(batch: pa.Table) -> pa.Table:
+    """Fused combiner — ONE scan of the parsed stream emitting pivot-
+    format rows for BOTH the image aggregate (per-batch max-ord
+    non-null process, element_behavior.py:339-340) and the bare parent
+    existence (:402-408). Replaces two separate full passes."""
+    img = _node_image_partials(batch)
+    par = batch.filter(_arr(batch.column("has_parent"))).select(
         ["parent_key"]).to_pandas()
-    return pa.table({"artifact": pa.array(
-        df["parent_key"].unique(), pa.string())})
+    return pa.concat_tables([
+        _pivot_rows(img.column("artifact").to_pylist(),
+                    image=img.column("v").to_pylist()),
+        _pivot_rows(list(par["parent_key"].unique())),
+    ])
 
 
 def _pivot_rows(artifact, spans=None, traces=None, image=None):
@@ -234,29 +240,19 @@ def build_nodes_encoded(events):
 
     span_trace_rows = collected.map_batches(lists_to_pivot,
                                             batch_format="pandas")
-    # image partials feed the PIVOT groupby directly — its
-    # null-skipping Max over image_enc IS the global last-writer
-    # aggregate, so no separate per-column groupby is needed
-    image_rows = (events.map_batches(_node_image_partials,
-                                     batch_format="pyarrow")
-                  .map_batches(
-                      lambda t: _pivot_rows(
-                          t.column("artifact").to_pylist(),
-                          image=t.column("v").to_pylist()),
-                      batch_format="pyarrow"))
-    parent_rows = (events.map_batches(_parent_existence_partials,
-                                      batch_format="pyarrow")
-                   .map_batches(
-                       lambda t: _pivot_rows(
-                           t.column("artifact").to_pylist()),
-                       batch_format="pyarrow"))
+    # image + parent partials share ONE fused scan and feed the PIVOT
+    # groupby directly — its null-skipping Max over image_enc IS the
+    # global last-writer aggregate, so no separate per-column groupby
+    # is needed
+    image_parent_rows = events.map_batches(_node_image_parent_partials,
+                                           batch_format="pyarrow")
 
     # the pivot input is tiny (≈ a few rows per artifact) but arrives
-    # as one block per upstream batch across three union branches; the
+    # as one block per upstream batch across the union branches; the
     # sort shuffle's cost scales with map-blocks × reduce-partitions,
     # so coalesce first (measured: 7.3 s → sub-second for the same
     # 16k rows at sf0.1)
-    merged = (span_trace_rows.union(image_rows).union(parent_rows)
+    merged = (span_trace_rows.union(image_parent_rows)
               .repartition(8)
               .groupby("artifact")
               .aggregate(AggMax("spans_enc", alias_name="spans_enc"),
@@ -537,25 +533,34 @@ def prune_orphans(nodes, edges, traces, contains, matches,
                         ("artifact", pa.string())])
     _deg = pa.schema([("artifact", pa.string()), ("degree", pa.int64())])
 
-    cand = (contains.groupby(["unit_id", "trace_id"])
-            .aggregate(Count(alias_name="_n"),
-                       AggMin("artifact", alias_name="artifact"))
-            .filter(expr="_n == 1")
-            .map_batches(
-                lambda t: t.select(["unit_id", "trace_id", "artifact"]),
-                batch_format="pyarrow")).materialize()
-    if cand.count() == 0:
-        return nodes, edges, traces, contains, 0
+    cand_lazy = (contains.groupby(["unit_id", "trace_id"])
+                 .aggregate(Count(alias_name="_n"),
+                            AggMin("artifact", alias_name="artifact"))
+                 .filter(expr="_n == 1")
+                 .map_batches(
+                     lambda t: t.select(["unit_id", "trace_id", "artifact"]),
+                     batch_format="pyarrow"))
+    deg_lazy = (edges.map_batches(_degree_partials_factory(["src", "dst"]),
+                                  batch_format="pandas")
+                .union(contains.map_batches(
+                    _degree_partials_factory(["artifact"]),
+                    batch_format="pandas"))
+                .union(matches.map_batches(
+                    _degree_partials_factory(["artifact"]),
+                    batch_format="pandas"))
+                .groupby("artifact")
+                .aggregate(AggSum("deg", alias_name="degree"))
+                .filter(expr="degree == 1"))
+    # independent aggregates over already-pinned inputs — overlap them
+    # (the rare all-clean input pays one wasted degree pass; every
+    # other input saves a full serial aggregate)
+    from concurrent.futures import ThreadPoolExecutor
 
-    deg = (edges.map_batches(_degree_partials_factory(["src", "dst"]),
-                             batch_format="pandas")
-           .union(contains.map_batches(
-               _degree_partials_factory(["artifact"]), batch_format="pandas"))
-           .union(matches.map_batches(
-               _degree_partials_factory(["artifact"]), batch_format="pandas"))
-           .groupby("artifact").aggregate(AggSum("deg", alias_name="degree"))
-           .filter(expr="degree == 1")).materialize()
-    if deg.count() == 0:
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cand = pool.submit(cand_lazy.materialize)
+        f_deg = pool.submit(deg_lazy.materialize)
+        cand, deg = f_cand.result(), f_deg.result()
+    if cand.count() == 0 or deg.count() == 0:
         return nodes, edges, traces, contains, 0
 
     # the single remaining hash join — both sides small aggregates.
@@ -699,24 +704,37 @@ def build_graph_from_parsed(parsed, *, prune: bool = True) -> dict:
     # nodes stay ENCODED (flat string columns) through pruning — the
     # G1 anti-join runs on the flat table (Acero joins reject list
     # payloads); list columns are decoded at the API boundary below.
-    nodes = build_nodes_encoded(ok)
-    edges = build_edges(ok)
-    traces = build_traces(ok)
-    contains = build_contains(ok)
-    matches = build_matches(ok)
     if prune:
         # prune consults contains/edges/matches several times (counts,
         # candidate filters, degree sums) and the caller reads every
         # output; pin the aggregated tables (post-shuffle, small
         # relative to the event stream) so no branch re-runs upstream.
-        nodes = nodes.materialize()
-        edges = edges.materialize()
-        traces = traces.materialize()
-        contains = contains.materialize()
-        matches = matches.materialize()
+        # The five builds are independent dataflows over the SAME
+        # pinned parsed stream — build AND materialize them
+        # CONCURRENTLY: each .materialize() otherwise blocks the
+        # driver while the cluster idles between small shuffles, and
+        # the node build's internal sorted_collect sort is eager, so
+        # it too must sit inside a thread (measured ~20 s → ~12 s at
+        # sf0.1/32cpu). Ray's scheduler arbitrates the five streaming
+        # executions; on a real cluster this is five small concurrent
+        # jobs, not one serial chain.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            futs = [pool.submit(lambda b=b: b(ok).materialize())
+                    for b in (build_nodes_encoded, build_edges,
+                              build_traces, build_contains,
+                              build_matches)]
+            nodes, edges, traces, contains, matches = (
+                f.result() for f in futs)
         nodes, edges, traces, contains, n_pruned = prune_orphans(
             nodes, edges, traces, contains, matches)
     else:
+        nodes = build_nodes_encoded(ok)
+        edges = build_edges(ok)
+        traces = build_traces(ok)
+        contains = build_contains(ok)
+        matches = build_matches(ok)
         n_pruned = 0
     nodes = decode_nodes(nodes)
     return {
