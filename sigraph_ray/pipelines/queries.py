@@ -798,7 +798,7 @@ def q_sigma_match(sf_dir: str):
     (db_session.py:233-345 get_syslog_by_subquery)."""
     from sigraph_ray.stages import syslog as SY
 
-    return SY.sigma_match(SY.derive_syslog(sf_dir), SIGMA_DEMO_RULES,
+    return SY.sigma_match(SY.read_doc_store(sf_dir), SIGMA_DEMO_RULES,
                           unit_id="unit_0")
 
 
@@ -838,7 +838,7 @@ def q_label_sequences(sf_dir: str):
     tagged — the weak-supervision labeling flow."""
     from sigraph_ray.stages import syslog as SY
 
-    return SY.label_sequences(SY.derive_syslog(sf_dir), SIGMA_DEMO_RULES,
+    return SY.label_sequences(SY.read_doc_store(sf_dir), SIGMA_DEMO_RULES,
                               unit_id="unit_0", label="suspicious")
 
 
@@ -1325,7 +1325,7 @@ def q_drift_sequence(sf_dir: str):
 
     parsed = _parsed_events(sf_dir)
     g = G.build_graph_from_parsed(parsed, prune=False)
-    docs = SY.derive_syslog(sf_dir)
+    docs = SY.read_doc_store(sf_dir)
     seq = TV.drift_sequence(g, docs, "unit_0", "trace_0", max_hop=3,
                             sort_cols=("raw_data.Timestamp", "span_id"))
     return seq.map_batches(

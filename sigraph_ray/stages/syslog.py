@@ -25,6 +25,8 @@ SyslogModel at :111-124), and Sigma queries address those leaves as
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -98,6 +100,76 @@ def derive_syslog(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id", "event_type"])
     return ds.map_batches(syslog_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# D2 — persisted per-unit doc store
+# ---------------------------------------------------------------------------
+
+#: root for persisted doc stores (scratch space; one subdir per distinct
+#: source dataset). At scale this is the durable table location.
+DOC_STORE_ROOT = os.environ.get("SIGRAPH_DOC_STORE",
+                                "/tmp/sigraph_doc_store")
+
+
+def doc_store_dir(sf_dir: str) -> str:
+    """Deterministic per-source store directory — keyed on the source
+    path AND the events file's (mtime, size) so a regenerated input
+    gets a fresh store instead of stale reads."""
+    import hashlib
+
+    src = os.path.abspath(sf_dir)
+    ev = os.path.join(src, "events.parquet")
+    st = os.stat(ev)
+    tag = hashlib.sha1(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:12]
+    return os.path.join(DOC_STORE_ROOT,
+                        f"{os.path.basename(src)}-{tag}")
+
+
+def ensure_doc_store(sf_dir: str, *, root: str | None = None) -> str:
+    """The doc store as a TABLE, not a derivation (reference: the
+    OpenSearch index, db_model.py:12-109): derive the syslog document
+    model ONCE per source and persist it unit-partitioned
+    (``write_unit_partitioned`` — one directory per unit, so D2 unit
+    flush = drop the directory). Subsequent syslog queries read the
+    persisted Parquet instead of recomputing the mapping. Atomic via
+    tmp dir + rename; a concurrent builder races benignly (first
+    rename wins, the loser discards its tmp dir). Returns the
+    ``documents`` table directory."""
+    import shutil
+
+    from sigraph_ray.stages.provenance_graph import write_unit_partitioned
+
+    base = root or doc_store_dir(sf_dir)
+    table_dir = os.path.join(base, "documents")
+    marker = os.path.join(base, "_SUCCESS")
+    if os.path.exists(marker):
+        return table_dir
+    tmp = f"{base}.tmp-{os.getpid()}"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    write_unit_partitioned(derive_syslog(sf_dir), tmp, table="documents")
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("")
+    os.makedirs(DOC_STORE_ROOT, exist_ok=True)
+    try:
+        os.rename(tmp, base)
+    except OSError:
+        # lost the race — another process completed the store
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return table_dir
+
+
+def read_doc_store(sf_dir: str, *, root: str | None = None):
+    """Dataset over the persisted doc store (building it on first use).
+    ``unit_id`` comes back as the hive partition column; all other
+    columns round-trip from the derived layout."""
+    import ray.data as rd
+
+    return rd.read_parquet(ensure_doc_store(sf_dir, root=root))
 
 
 def nest_raw_data(batch: pa.Table) -> pa.Table:
