@@ -48,7 +48,8 @@ def synth_pages(n: int, *, parallelism: int = 0):
 
 
 def extract_triples_pipeline(pages, *, concurrency=4, batch_size: int = 1024,
-                             fused: bool = True, backend=None):
+                             fused: bool = True, backend=None,
+                             pre_extracted: bool = False):
     """pages → deduplicated normalized triple Dataset with columns
     (doc_url, chunk_id, ord, subj, subj_type, pred, obj, obj_type).
 
@@ -65,15 +66,16 @@ def extract_triples_pipeline(pages, *, concurrency=4, batch_size: int = 1024,
     model-backed actor drops in here).
     """
     if fused:
-        docs = pages.map_batches(E.extract_text_batch,
-                                 batch_format="pyarrow",
-                                 batch_size=batch_size)
+        docs = pages if pre_extracted else pages.map_batches(
+            E.extract_text_batch, batch_format="pyarrow",
+            batch_size=batch_size)
         return docs.map_batches(T.DocTripleExtractor,
                                 batch_format="pyarrow",
                                 batch_size=batch_size,
                                 concurrency=concurrency,
                                 fn_constructor_kwargs={"backend": backend})
-    chunks = E.extract_and_chunk(pages)
+    chunks = (pages.map_batches(E.chunk_batch, batch_format="pyarrow")
+              if pre_extracted else E.extract_and_chunk(pages))
     triples = T.extract_triples_stage(
         chunks, concurrency=concurrency, batch_size=batch_size,
         backend=backend)
@@ -195,24 +197,80 @@ def entities_from_edges(edges):
     return finalize_entity_partials(partials)
 
 
+def adopt_links(linked):
+    """A2 adoption: confident link surfaces replace the mention
+    surfaces (``subj``/``obj`` ← ``subj_link``/``obj_link``), then the
+    per-doc dedup re-runs — two surfaces of one document collapsing
+    onto one canonical entity must yield ONE triple row (U9
+    semantics). The entity key space every downstream shuffle
+    (canonicalization, edge aggregate, mentions) moves is thereby
+    shrunk BEFORE those shuffles run."""
+    def f(t: pa.Table) -> pa.Table:
+        keep = [c for c in t.column_names
+                if not c.endswith("_link") and not c.endswith("_link_score")]
+        sub = {"subj": "subj_link", "obj": "obj_link"}
+        return pa.table({c: t.column(sub.get(c, c)) for c in keep})
+
+    return dedup_triples(linked.map_batches(f, batch_format="pyarrow"))
+
+
 def build_kg(pages, *, concurrency=4, batch_size: int = 1024,
-             fused: bool = True, mode: str = "grammar") -> dict:
+             fused: bool = True, mode: str = "grammar",
+             link_vocab=None, link_threshold: float = 0.75,
+             refine: bool | str = False) -> dict:
     """Full KG build. Returns lazy Datasets:
     triples (per-doc provenance), entities (canonical node table),
-    edges (global typed edge table), mentions (doc→entity pairs).
+    edges (global typed edge table), mentions (doc→entity pairs);
+    plus refined (the stage-0/1 intermediate) when ``refine`` is on.
 
     ``mode``: "grammar" (default) or "ensemble" — the documented
     high-recall A3 mode, routed through the same extractor seam; any
-    other value is passed to the seam as a custom backend callable."""
+    other value is passed to the seam as a custom backend callable.
+
+    ``link_vocab``: optional canonical-entity vocabulary — when given,
+    the A2 entity-link scorer (stages/entity_link, the reference's
+    embedding encoder analog, ai_agent.py:126-138) runs between
+    extraction and the canonicalization shuffle; confident matches
+    adopt the canonical surface (:func:`adopt_links`).
+
+    ``refine``: False | True | "ensemble" — the A3 stage-0/stage-1
+    shape (ai_agent.py:405-454): the two report-refinement ensembles
+    run FIRST, materializing ``overview``/``behavior`` columns, and
+    extraction consumes the refined ``behavior`` text instead of the
+    raw report ("ensemble" = majority-of-3 debate classifiers)."""
     backend = {"grammar": None, "ensemble": "ensemble"}.get(mode, mode)
+    refined = None
+    if refine:
+        from sigraph_ray.stages.refine import refine_stage
+
+        docs = pages.map_batches(E.extract_text_batch,
+                                 batch_format="pyarrow",
+                                 batch_size=batch_size)
+        refined = refine_stage(
+            docs, backend="ensemble" if refine == "ensemble" else None,
+            concurrency=concurrency, batch_size=batch_size)
+        pages = refined.map_batches(
+            lambda t: pa.table({"url": t.column("url"),
+                                "lang": t.column("lang"),
+                                "text": t.column("behavior")}),
+            batch_format="pyarrow")
     triples = extract_triples_pipeline(
         pages, concurrency=concurrency, batch_size=batch_size, fused=fused,
-        backend=backend)
+        backend=backend, pre_extracted=bool(refine))
+    if link_vocab is not None:
+        from sigraph_ray.stages.entity_link import link_entities
+
+        triples = adopt_links(link_entities(
+            triples, link_vocab, threshold=link_threshold,
+            concurrency=concurrency, batch_size=batch_size))
     entities = C.canonicalize_entities(triples)
     edges = build_kg_edges(triples)
     mentions = build_mentions(triples)
-    return {"triples": triples, "entities": entities, "edges": edges,
-            "mentions": mentions}
+    out = {"triples": triples, "entities": entities, "edges": edges,
+           "mentions": mentions}
+    if refined is not None:
+        out["refined"] = refined
+    return out
 
 
 def _mention_partial(batch: pa.Table) -> pa.Table:

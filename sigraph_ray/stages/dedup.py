@@ -11,11 +11,15 @@ deterministic representative (min id per component).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ray.data.aggregate import Min
+
+logger = logging.getLogger(__name__)
 
 from sigraph_ray.functions import hashing as H
 from sigraph_ray.stages.canonicalize import connected_components
@@ -130,7 +134,8 @@ def _star_pairs_from_lists_factory(idt: pa.DataType):
 
 def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
                       threshold: float = 0.8, k: int = 3,
-                      concurrency: int = 4, num_partitions: int = 16):
+                      concurrency: int = 4, num_partitions: int = 16,
+                      max_bucket: int | None = 512):
     """Near-duplicate clusters via shingle→minhash→band→bucket-groupby
     (the brief's scale path). Returns a Dataset (doc_id, cluster_id)
     where cluster_id = min doc_id of the near-dup component; docs
@@ -152,6 +157,16 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     Only the tiny candidate/verified pair tables are materialized (to
     guard the empty cases and to pin the connected-components input).
+
+    ``max_bucket`` (standard LSH bucket-width cap): buckets that
+    collect more than this many members are skipped entirely — a
+    degenerate corpus (many byte-identical documents) concentrates one
+    band key, and an unbounded bucket would both blow the
+    one-bucket-fits-a-block assumption of ``sorted_collect`` and add
+    no information (identical texts are exact-dedup's job, and a
+    genuinely hot near-dup cluster still pairs up through its other,
+    below-cap band keys). The skipped-bucket count is logged. ``None``
+    disables the cap (and the extra counting pass).
     """
     from sigraph_ray.stages.joins import column_type, safe_join
 
@@ -177,6 +192,31 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
             "doc_id": df["doc_id"]})
 
     keyed = sigs.map_batches(bucket_key, batch_format="pandas")
+    if max_bucket is not None:
+        import ray
+        from ray.data.aggregate import Sum
+
+        # two-pass cap: per-batch partial counts → one small Sum
+        # groupby → the (few) oversized keys broadcast as a filter
+        # set. `keyed` is pinned so the signature actor pool runs once
+        # for both passes (band rows are 16 small columns per doc —
+        # object-store-spillable, unlike an unbounded driver stitch).
+        keyed = keyed.materialize()
+        counts = keyed.map_batches(
+            lambda df: df.groupby("bk").size().rename("n").reset_index(),
+            batch_format="pandas")
+        over = (counts.groupby("bk").aggregate(Sum("n", alias_name="n"))
+                .filter(expr=f"n > {int(max_bucket)}"))
+        over_keys = {r["bk"] for r in over.take_all()}
+        if over_keys:
+            logger.warning(
+                "minhash LSH: skipping %d oversized buckets "
+                "(> %d members each) — bucket-width cap",
+                len(over_keys), max_bucket)
+            over_ref = ray.put(over_keys)
+            keyed = keyed.map_batches(
+                lambda df: df[~df["bk"].isin(ray.get(over_ref))],
+                batch_format="pandas")
     buckets = sorted_collect(keyed, key="bk", order_col="doc_id",
                              value="doc_id")
     # candidate pairs stay UN-deduplicated: a pair found by several

@@ -82,13 +82,20 @@ class EntityLinkScorer:
 
 
 def link_entities(triples, vocab: list[str], *, threshold: float = 0.75,
-                  concurrency: int = 2, batch_size: int = 1024):
+                  concurrency: int = 2, batch_size: int = 1024,
+                  num_cpus: float = 0.5):
     """Score triple endpoints against a canonical vocabulary. The vocab
-    is broadcast ONCE (``ray.put``), never shipped per batch."""
+    is broadcast ONCE (``ray.put``), never shipped per batch.
+
+    ``num_cpus`` defaults fractional: this pool runs CONCURRENTLY with
+    the upstream extraction pool and the downstream dedup shuffle — at
+    full-CPU actors the pools pin every scheduling slot in a small
+    session and the shuffle's map tasks starve (the documented
+    pool+join deadlock, stages/joins.py)."""
     import ray
 
     ref = ray.put(list(vocab))
     return triples.map_batches(
         EntityLinkScorer, batch_format="pyarrow", batch_size=batch_size,
         fn_constructor_kwargs={"vocab_ref": ref, "threshold": threshold},
-        concurrency=concurrency)
+        concurrency=concurrency, num_cpus=num_cpus)

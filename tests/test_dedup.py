@@ -63,6 +63,37 @@ def test_simhash_candidates(corpus):
     assert all(p["hamming"] <= 6 for _, p in pairs.iterrows())
 
 
+def test_minhash_bucket_cap_degenerate_corpus(ray_session, caplog):
+    """Adversarial LSH input: a corpus that is mostly ONE byte-identical
+    document concentrates every band key of that text into a single
+    bucket. The bucket-width cap must skip those buckets (identical
+    texts are exact-dedup's job) without a worker-block blowup, while a
+    small below-cap near-dup family elsewhere in the corpus still
+    clusters."""
+    import logging
+
+    import ray.data as rd
+
+    from sigraph_ray.stages.dedup import minhash_lsh_dedup
+
+    rows = [{"doc_id": i, "text": BASE} for i in range(300)]
+    rows.append({"doc_id": 1000, "text": "totally different payload "
+                 + " ".join(f"w{j}" for j in range(40))})
+    rows.append({"doc_id": 1001, "text": "totally different payload "
+                 + " ".join(f"w{j}" for j in range(40)) + " tail"})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+    with caplog.at_level(logging.WARNING, logger="sigraph_ray.stages.dedup"):
+        out = minhash_lsh_dedup(ds, threshold=0.6, concurrency=2,
+                                max_bucket=64).to_pandas()
+    assert any("oversized buckets" in r.message for r in caplog.records)
+    lab = dict(zip(out["doc_id"], out["cluster_id"]))
+    # the degenerate mass was NOT pair-expanded (300 docs -> 300^2/2
+    # pairs would be the blowup); every capped doc stays a singleton
+    assert all(lab[i] == i for i in range(300))
+    # the sane near-dup family still found through its own buckets
+    assert lab[1000] == lab[1001] == 1000
+
+
 def test_hashing_stable_across_processes():
     """Signatures must be identical across worker processes
     (PYTHONHASHSEED-independent)."""

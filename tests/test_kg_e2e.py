@@ -109,6 +109,98 @@ def test_entities_from_edges_equal(ray_session):
         b[cols].sort_values("entity").reset_index(drop=True))
 
 
+def test_adopt_links_collapses_aliases(ray_session):
+    """A2 in the pipeline: a near-alias surface adopts the canonical
+    vocabulary entry and the per-doc dedup folds the two rows into
+    one — the entity key space shrinks before the shuffle."""
+    import ray.data as rd
+
+    from sigraph_ray.pipelines import kg as K
+    from sigraph_ray.stages.entity_link import link_entities
+
+    tri = pd.DataFrame({
+        "doc_url": ["d1", "d1", "d2"],
+        "chunk_id": [0, 1, 0],
+        "ord": [0, 1_000_000, 0],
+        "subj": ["acme corp", "acme corporation", "acme corporation"],
+        "subj_is_generic": [False] * 3,
+        "pred": ["created"] * 3,
+        "obj": ["x.txt"] * 3,
+        "subj_type": ["Organization"] * 3,
+        "obj_type": ["File"] * 3})
+    linked = link_entities(rd.from_pandas(tri), ["acme corporation"],
+                           threshold=0.45, concurrency=2)
+    adopted = K.adopt_links(linked).to_pandas()
+    assert set(adopted["subj"]) == {"acme corporation"}
+    # the two d1 surfaces collapsed onto ONE canonical triple row
+    assert len(adopted[adopted["doc_url"] == "d1"]) == 1
+    assert len(adopted) == 2
+
+
+def test_linked_path_preserves_pr(ray_session):
+    """P/R stays ≥0.95 when build_kg routes through the A2 link stage
+    with the canonical vocabulary (exact surfaces self-link at 1.0;
+    plumbing must not corrupt the stream)."""
+    from sigraph_ray.pipelines import kg as K
+
+    n = 100
+    exp = synth.expected_triples(n)
+    vocab = sorted(set(exp["subj"]) | set(exp["obj"]))
+    out = K.build_kg(K.synth_pages(n, parallelism=3), concurrency=2,
+                     link_vocab=vocab)
+    got = set(map(tuple, out["triples"].to_pandas()[
+        ["doc_url", "subj", "pred", "obj"]].drop_duplicates().values))
+    want = set(map(tuple, exp[["doc_url", "subj", "pred", "obj"]].values))
+    tp = len(got & want)
+    assert tp / max(1, len(got)) >= 0.95
+    assert tp / max(1, len(want)) >= 0.95
+
+
+def test_refine_stage_partitions_sentences(ray_session):
+    """A3 stage-0/1: the refiner materializes overview + behavior
+    columns; every sentence lands in exactly one of the two, and
+    triple-bearing sentences land in behavior."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.refine import refine_stage
+
+    df = pd.DataFrame({
+        "url": ["u1"],
+        "lang": ["en"],
+        "text": ["The campaign targeted banks in Europe. "
+                 "xenorat downloaded http://evil.example/p.exe. "
+                 "Analysts described the infrastructure."]})
+    out = refine_stage(rd.from_pandas(df)).to_pandas()
+    assert {"overview", "behavior"} <= set(out.columns)
+    assert "downloaded" in out.loc[0, "behavior"]
+    assert "campaign targeted" in out.loc[0, "overview"]
+    assert "infrastructure" in out.loc[0, "overview"]
+    # partition: every input sentence appears in exactly one column
+    assert "downloaded" not in out.loc[0, "overview"]
+
+
+def test_refined_path_preserves_pr(ray_session):
+    """build_kg(refine=...) — extraction over the refined behavior
+    column keeps the P/R gate at ≥0.95 and the stage-0/1 intermediate
+    is a first-class output with both columns (VERDICT #9 done bar:
+    the ensemble backend produces the intermediate column)."""
+    from sigraph_ray.pipelines import kg as K
+
+    n = 100
+    exp = synth.expected_triples(n)
+    out = K.build_kg(K.synth_pages(n, parallelism=3), concurrency=2,
+                     refine="ensemble")
+    ref = out["refined"].to_pandas()
+    assert {"overview", "behavior"} <= set(ref.columns)
+    assert (ref["behavior"].str.len() > 0).any()
+    got = set(map(tuple, out["triples"].to_pandas()[
+        ["doc_url", "subj", "pred", "obj"]].drop_duplicates().values))
+    want = set(map(tuple, exp[["doc_url", "subj", "pred", "obj"]].values))
+    tp = len(got & want)
+    assert tp / max(1, len(got)) >= 0.95
+    assert tp / max(1, len(want)) >= 0.95
+
+
 def test_sorted_materialize_roundtrip(ray_session, tmp_path):
     """O5: sorted Parquet materialization of both pipelines — files are
     written, sorted by the declared keys, and read back identical."""
