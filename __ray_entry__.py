@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rule_match": Q.q_rule_match,
         "sigma_match": Q.q_sigma_match,
         "label_sequences": Q.q_label_sequences,
+        "tactic_histogram": Q.q_tactic_histogram,
         "doc_page": Q.q_doc_page,
         "prov_subgraph": Q.q_prov_subgraph,
         "prov_neighborhood": Q.q_prov_neighborhood,
@@ -106,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "rule_match": Q.SQL_RULE_MATCH,
         "sigma_match": Q.SQL_SIGMA_MATCH,
         "label_sequences": Q.SQL_LABEL_SEQUENCES,
+        "tactic_histogram": Q.SQL_TACTIC_HISTOGRAM,
         "doc_page": Q.SQL_DOC_PAGE,
         "prov_subgraph": Q.SQL_PROV_SUBGRAPH,
         "prov_neighborhood": Q.SQL_PROV_NEIGHBORHOOD,
@@ -120,7 +122,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": Q.SQL_QUALITY_SCORES,
         "fingerprints": Q.SQL_FINGERPRINTS,
         "exact_dedup": Q.SQL_EXACT_DEDUP,
+        "simhash_pairs": Q.SQL_SIMHASH_PAIRS,
         "knn_cosine": Q.SQL_KNN_COSINE,
-        # lang_id, minhash_dedup, simhash_pairs, knn_cosine_lsh,
-        # kg_triples, kg_entities: not SQL-expressible → rows-only.
+        # lang_id, minhash_dedup, knn_cosine_lsh/ivf, doc_embed_knn,
+        # kg_neighborhood, kg_triples, kg_entities: not
+        # SQL-expressible → rows-only (approximate / non-relational).
     }

@@ -72,11 +72,23 @@ def make_seeds(num_perm: int, seed: int = 42) -> np.ndarray:
         return splitmix64(np.arange(num_perm, dtype=np.uint64) + base)
 
 
+def md5_token_hashes(tokens: list[str]) -> np.ndarray:
+    """Stable 64-bit hash per token from the first 8 md5 bytes —
+    slower than :func:`token_hashes` but exactly reproducible in SQL
+    (DuckDB: ``('0x' || substr(md5(tok), 1, 16))::UBIGINT``), which is
+    what lets the simhash family carry a DuckDB oracle."""
+    if not tokens:
+        return np.empty(0, np.uint64)
+    return np.array([int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+                     for t in tokens], dtype=np.uint64)
+
+
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over token hashes (unweighted)."""
+    """64-bit SimHash over md5-based token hashes (unweighted;
+    md5 so the whole simhash pipeline is SQL-oracle-reproducible)."""
     if not tokens:
         return 0
-    hs = token_hashes(tokens)
+    hs = md5_token_hashes(tokens)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
             & np.uint64(1)).astype(np.int64)
     v = (2 * bits - 1).sum(axis=0)

@@ -574,7 +574,11 @@ def q_minhash_dedup(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
-    """SimHash near-dup candidate pairs — no SQL oracle (rows-only)."""
+    """SimHash near-dup candidate pairs. The token hash is md5-based
+    (functions/hashing.md5_token_hashes) precisely so the whole
+    pipeline — tokenize → simhash bits → 16-bit segment banding →
+    min-doc anchor per bucket → hamming verify — has an exact DuckDB
+    oracle (SQL_SIMHASH_PAIRS)."""
     import ray.data as rd
 
     from sigraph_ray.stages import dedup as D
@@ -582,6 +586,60 @@ def q_simhash_pairs(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return D.simhash_candidates(ds)
+
+
+# Mirrors simhash_candidates exactly: whitespace tokenization with
+# empty tokens dropped (Python str.split()), token hash = first 8 md5
+# bytes, simhash bit b set iff sum of (2*bit_b - 1) over token hashes
+# is positive, 4×16-bit segment buckets, anchor = min doc_id per
+# bucket, pairs (anchor, member) kept at hamming ≤ 3 (the
+# simhash_candidates default), deduplicated by Min(hamming).
+SQL_SIMHASH_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       unnest(regexp_split_to_array(text, '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, r.b,
+         SUM(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN range(64) AS r(b)
+  GROUP BY doc_id, r.b
+),
+sig0 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (1::UBIGINT << b)
+                       ELSE 0::UBIGINT END) AS UBIGINT) AS sh
+  FROM bits GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id, COALESCE(s.sh, 0::UBIGINT) AS sh
+  FROM documents d LEFT JOIN sig0 s USING (doc_id)
+),
+seg AS (
+  SELECT doc_id, sh, g.s, ((sh >> (16 * g.s)) & 65535::UBIGINT) AS sv
+  FROM sig CROSS JOIN range(4) AS g(s)
+),
+anch AS (
+  SELECT s, sv, min(doc_id) AS u FROM seg GROUP BY s, sv
+),
+anchh AS (
+  SELECT a.s, a.sv, a.u, x.sh AS ush
+  FROM anch a JOIN sig x ON x.doc_id = a.u
+),
+cand AS (
+  SELECT a.u, m.doc_id AS v, bit_count(xor(a.ush, m.sh)) AS hd
+  FROM anchh a JOIN seg m ON m.s = a.s AND m.sv = a.sv
+  WHERE m.doc_id <> a.u
+)
+SELECT u, v, CAST(min(hd) AS BIGINT) AS hamming
+FROM cand WHERE hd <= 3 GROUP BY u, v ORDER BY u, v
+"""
 
 
 def _knn_queries(sf_dir: str, n_queries: int = 8) -> pd.DataFrame:
@@ -872,6 +930,43 @@ SELECT s.unit_id, s.trace_id, s.span_id, s.ts_raw AS "timestamp",
 FROM s JOIN hits USING (trace_id)
 WHERE s.unit_id = 'unit_0'
 ORDER BY s.trace_id, s.ts_raw, s.span_id
+"""
+
+
+def q_tactic_histogram(sf_dir: str):
+    """Per-unit MITRE-tactic histogram over the persisted doc store —
+    the consumer of SyslogModel's optional ``tactics`` field
+    (db_model.py:116-117): how often each tactic was observed per unit
+    across rule-tagged documents. One column-pruned scan + one small
+    groupby-count."""
+    from ray.data.aggregate import Count
+
+    from sigraph_ray.stages import syslog as SY
+
+    ds = SY.read_doc_store(sf_dir)
+
+    def tag(t: pa.Table) -> pa.Table:
+        # unit_id arrives as the hive partition column (may be
+        # dictionary-encoded) — cast to plain string before the shuffle
+        keep = pa.table({
+            "unit_id": t.column("unit_id").cast(pa.string()),
+            "tactics": t.column("tactics").cast(pa.string())})
+        return keep.filter(keep.column("tactics").combine_chunks().is_valid())
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    out = tagged.groupby(["unit_id", "tactics"]).aggregate(
+        Count(alias_name="n_docs"))
+    return out.map_batches(
+        lambda t: t.rename_columns(["unit_id", "tactic", "n_docs"]),
+        batch_format="pyarrow").sort(["unit_id", "tactic"])
+
+
+SQL_TACTIC_HISTOGRAM = """
+SELECT 'unit_' || CAST(user_id % 3 AS VARCHAR) AS unit_id,
+       'TA00' || CAST(event_id % 9 AS VARCHAR) AS tactic,
+       count(*) AS n_docs
+FROM events WHERE event_id % 5 = 0
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
