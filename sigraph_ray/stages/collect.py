@@ -31,7 +31,7 @@ import pandas as pd
 
 
 def _collect_block_factory(key: str, order_col: str, value: str,
-                           dedup: bool):
+                           dedup: bool, max_members: int | None):
     def f(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame({key: pd.Series(dtype="object"),
@@ -43,6 +43,13 @@ def _collect_block_factory(key: str, order_col: str, value: str,
             # cross-block duplicates are boundary keys, deduped in the
             # stitch below
             df = df.drop_duplicates([key, value])
+        if max_members is not None:
+            # keep the first max_members rows per key (sorted order):
+            # a key exceeding the cap still emits EXACTLY max_members
+            # values, which downstream consumers use as the overflow
+            # sentinel — so one degenerate key can never produce an
+            # unbounded list row in a block or in the boundary stitch
+            df = df[df.groupby(key, sort=False).cumcount() < max_members]
         g = df.groupby(key, sort=False)
         lists = g[value].agg(list)
         heads = g[order_col].first()
@@ -65,17 +72,25 @@ def _dedup_keep_first(values: list) -> list:
 
 
 def sorted_collect(ds, *, key: str, order_col: str, value: str,
-                   dedup: bool = False):
+                   dedup: bool = False, max_members: int | None = None):
     """Dataset → Dataset of ``(key, values: list)`` with ``values``
     ordered by ``order_col`` (make ``order_col`` unique per key for full
     determinism). ``dedup=True`` keeps each value's FIRST (min-order)
     occurrence only — collapsing a distinct-groupby that would
-    otherwise have to run before the sort into the collect pass."""
+    otherwise have to run before the sort into the collect pass.
+
+    ``max_members`` bounds every per-block collected list at that many
+    elements (first-in-sort-order kept). This is the degenerate-key
+    guard: callers that SKIP oversized keys (e.g. the LSH bucket-width
+    cap) pass ``cap + 1`` and treat a returned list longer than ``cap``
+    as the overflow sentinel — boundary-key stitches then carry at most
+    ``#fragments × (cap+1)`` elements instead of the key's full
+    population. Lists at or under the cap are exact."""
     import ray.data as rd
 
     hydrated = ds.sort([key, order_col])
     collected = hydrated.map_batches(
-        _collect_block_factory(key, order_col, value, dedup),
+        _collect_block_factory(key, order_col, value, dedup, max_members),
         batch_format="pandas",
         batch_size=None)  # one batch per block — blockwise contiguity
     # pin: both branches below consume `collected`, and re-executing the

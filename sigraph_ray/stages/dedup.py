@@ -192,33 +192,32 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
             "doc_id": df["doc_id"]})
 
     keyed = sigs.map_batches(bucket_key, batch_format="pandas")
+    # the cap rides the collect itself (zero extra shuffles): per-block
+    # lists are truncated at cap+1 inside sorted_collect, so a
+    # degenerate key can never blow a block or the boundary stitch, and
+    # any returned list LONGER than the cap is the overflow sentinel —
+    # dropped below (with a driver-side count) before pairing.
+    buckets = sorted_collect(
+        keyed, key="bk", order_col="doc_id", value="doc_id",
+        max_members=None if max_bucket is None else int(max_bucket) + 1)
     if max_bucket is not None:
-        import ray
-        from ray.data.aggregate import Sum
+        cap = int(max_bucket)
 
-        # two-pass cap: per-batch partial counts → one small Sum
-        # groupby → the (few) oversized keys broadcast as a filter
-        # set. `keyed` is pinned so the signature actor pool runs once
-        # for both passes (band rows are 16 small columns per doc —
-        # object-store-spillable, unlike an unbounded driver stitch).
-        keyed = keyed.materialize()
-        counts = keyed.map_batches(
-            lambda df: df.groupby("bk").size().rename("n").reset_index(),
-            batch_format="pandas")
-        over = (counts.groupby("bk").aggregate(Sum("n", alias_name="n"))
-                .filter(expr=f"n > {int(max_bucket)}"))
-        over_keys = {r["bk"] for r in over.take_all()}
-        if over_keys:
+        def count_over(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"n": [int((df["values"].str.len() > cap).sum())]})
+
+        # cheap: re-runs only the post-materialize filter chain inside
+        # sorted_collect, not the range sort
+        n_over = int(buckets.map_batches(
+            count_over, batch_format="pandas").sum("n") or 0)
+        if n_over:
             logger.warning(
                 "minhash LSH: skipping %d oversized buckets "
-                "(> %d members each) — bucket-width cap",
-                len(over_keys), max_bucket)
-            over_ref = ray.put(over_keys)
-            keyed = keyed.map_batches(
-                lambda df: df[~df["bk"].isin(ray.get(over_ref))],
+                "(> %d members each) — bucket-width cap", n_over, cap)
+            buckets = buckets.map_batches(
+                lambda df: df[df["values"].str.len() <= cap],
                 batch_format="pandas")
-    buckets = sorted_collect(keyed, key="bk", order_col="doc_id",
-                             value="doc_id")
     # candidate pairs stay UN-deduplicated: a pair found by several
     # bands repeats, but the verify actors cache shingles per doc and
     # connected_components' seed groupby dedups edges anyway — cheaper
