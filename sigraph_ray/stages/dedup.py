@@ -62,23 +62,64 @@ class MinHashSignatures:
         self.k = k
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        # batch-wide vectorized: explode word tokens, build k-shingle
+        # strings by shifted concatenation (masked at doc boundaries),
+        # hash ALL shingles in one pass, per-doc per-perm min via one
+        # minimum.reduceat over doc-contiguous segments. Bit-identical
+        # to the per-doc H.shingle_hashes/minhash_signature path
+        # (min over duplicates == min over uniques; same token hash).
+        n = len(df)
+        toks = df[self.text_col].fillna("").str.split()
+        lens = toks.str.len().to_numpy()
+        sig = np.full((n, NUM_PERM), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        nonempty = lens > 0
+        if nonempty.any():
+            flat = pd.Series(
+                [t for sub in toks[nonempty] for t in sub], dtype="object")
+            nl = lens[nonempty]
+            # per-doc shingle counts: max(len - k + 1, 1)
+            scnt = np.maximum(nl - self.k + 1, 1)
+            starts = np.concatenate(([0], np.cumsum(nl)[:-1]))
+            # shingle j of doc d = tokens[starts[d]+j : +k] joined; for
+            # short docs (len < k) one shingle of all tokens.
+            doc_of = np.repeat(np.arange(len(nl)), scnt)
+            offs = (np.arange(len(doc_of))
+                    - np.repeat(np.concatenate(
+                        ([0], np.cumsum(scnt)[:-1])), scnt))
+            base = starts[doc_of] + offs
+            vals = flat.to_numpy()
+            parts = [pd.Series(vals[base], dtype="object")]
+            end = starts[doc_of] + nl[doc_of]
+            for j in range(1, self.k):
+                idx = np.minimum(base + j, end - 1)
+                nxt = pd.Series(vals[idx], dtype="object")
+                # short-doc single shingle: stop at the doc's last token
+                valid = base + j <= end - 1
+                parts.append(nxt.where(pd.Series(valid), ""))
+            sh_str = parts[0]
+            for p in parts[1:]:
+                sh_str = sh_str + np.where(p.to_numpy() == "", "", " ") + p
+            hs = H.splitmix64(pd.util.hash_pandas_object(
+                sh_str, index=False).to_numpy().astype(np.uint64))
+            # (perm, shingles) mix then segmented min per doc
+            seg_starts = np.concatenate(([0], np.cumsum(scnt)[:-1]))
+            mins = np.empty((NUM_PERM, len(scnt)), dtype=np.uint64)
+            for p0 in range(0, NUM_PERM, 8):  # bound the (perm, shingle)
+                mixed = H.splitmix64(          # scratch to ~8 rows
+                    hs[None, :] ^ self.seeds[p0:p0 + 8, None])
+                mins[p0:p0 + 8] = np.minimum.reduceat(
+                    mixed, seg_starts, axis=1)
+            sig[nonempty] = mins.T
         rows_per_band = NUM_PERM // NUM_BANDS
-        ids, bands, bhashes = [], [], []
-        sigs = []
-        for i, t in zip(df[self.id_col], df[self.text_col].fillna("")):
-            sh = H.shingle_hashes(t, self.k)
-            sig = H.minhash_signature(sh, NUM_PERM, self.seeds)
-            sigs.append(sig)
-            for b in range(NUM_BANDS):
-                seg = sig[b * rows_per_band:(b + 1) * rows_per_band]
-                bh = int(H.splitmix64(
-                    np.bitwise_xor.reduce(seg)[None] ^ np.uint64(b))[0])
-                ids.append(i)
-                bands.append(b)
-                bhashes.append(bh)
-        out = pd.DataFrame({"doc_id": ids, "band": bands,
-                            "band_hash": np.array(bhashes, dtype=np.uint64)
-                            .astype(np.int64)})
+        segs = sig.reshape(n, NUM_BANDS, rows_per_band)
+        bxor = np.bitwise_xor.reduce(segs, axis=2)
+        bh = H.splitmix64(
+            bxor ^ np.arange(NUM_BANDS, dtype=np.uint64)[None, :])
+        out = pd.DataFrame({
+            "doc_id": np.repeat(df[self.id_col].to_numpy(), NUM_BANDS),
+            "band": np.tile(np.arange(NUM_BANDS, dtype=np.int64), n),
+            "band_hash": bh.reshape(-1).astype(np.int64)})
         # Arrow out — the band groupby shuffles these blocks
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -109,6 +150,80 @@ class VerifyJaccard:
         return df.loc[pd.Series(keep, index=df.index), ["u", "v"]]
 
 
+class _ParticipantTexts:
+    """Actor-pool filter over the corpus: keep only the (id, text) rows
+    whose id appears in the candidate-pair table. The pair table ships
+    as object-store block refs (driver ships refs only, same idiom as
+    stages/traversal._AdjacencyIndex); the id SET builds once per actor
+    in ``__init__``. One distributed corpus scan, small output."""
+
+    def __init__(self, pair_refs: list, id_col: str, text_col: str):
+        import ray
+
+        ids: set = set()
+        for t in ray.get(list(pair_refs)):
+            if t.num_rows:
+                ids.update(t.column("u").to_pylist())
+                ids.update(t.column("v").to_pylist())
+        self.ids = ids
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df[self.id_col].isin(self.ids)]
+        return pd.DataFrame({"side_id": sub[self.id_col],
+                             "side_text": sub[self.text_col]})
+
+
+class _RefVerifyJaccard(VerifyJaccard):
+    """Jaccard verify with the participating texts fetched from block
+    refs in ``__init__`` (bounded: ≤ 2 × pairs texts — the broadcast
+    tier only runs under ``broadcast_pairs``). Runs over the PAIR rows;
+    no join needed to co-locate the two texts of a pair."""
+
+    def __init__(self, text_refs: list, threshold: float, k: int):
+        import ray
+
+        super().__init__(threshold, k)
+        texts: dict = {}
+        for t in ray.get(list(text_refs)):
+            if t.num_rows:
+                texts.update(zip(t.column("side_id").to_pylist(),
+                                 t.column("side_text").to_pylist()))
+        self.texts = texts
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        tx = self.texts
+        keep = [H.jaccard(self._sh(u, tx.get(u)),
+                          self._sh(v, tx.get(v))) >= self.threshold
+                for u, v in zip(df["u"], df["v"])]
+        return df.loc[pd.Series(keep, index=df.index), ["u", "v"]]
+
+
+class _RefLabelAssign:
+    """Corpus scan assigning cluster labels from a small broadcast
+    node→comp map (block refs, built once per actor) — replaces a
+    corpus-wide left-outer hash join when the label table is small."""
+
+    def __init__(self, label_refs: list, id_col: str):
+        import ray
+
+        comp: dict = {}
+        for t in ray.get(list(label_refs)):
+            if t.num_rows:
+                comp.update(zip(t.column("node").to_pylist(),
+                                t.column("comp").to_pylist()))
+        self.comp = comp
+        self.id_col = id_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[self.id_col]
+        return pd.DataFrame({
+            "doc_id": ids,
+            "cluster_id": ids.map(self.comp).fillna(ids)
+            .astype(ids.dtype)})
+
+
 def _identity_clusters(ds, id_col: str):
     return ds.map_batches(
         lambda df: pd.DataFrame({"doc_id": df[id_col],
@@ -135,7 +250,8 @@ def _star_pairs_from_lists_factory(idt: pa.DataType):
 def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
                       threshold: float = 0.8, k: int = 3,
                       concurrency: int = 4, num_partitions: int = 16,
-                      max_bucket: int | None = 512):
+                      max_bucket: int | None = 512,
+                      broadcast_pairs: int = 1_000_000):
     """Near-duplicate clusters via shingle→minhash→band→bucket-groupby
     (the brief's scale path). Returns a Dataset (doc_id, cluster_id)
     where cluster_id = min doc_id of the near-dup component; docs
@@ -147,13 +263,20 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     2. per-bucket sorted member lists via ONE ``sorted_collect`` range
        sort, exploded to (bucket-min, other) star pairs vectorized
        (no per-bucket Python, no corpus×bands join);
-    3. candidate-pair texts attached by two hash joins against the
-       (id, text) projection — the 100 TB-safe replacement for a
-       broadcast id→text dict;
+    3. candidate-pair texts co-located with the pairs. Two tiers,
+       picked by the (known, materialized) pair count — the same
+       small/large split ``connected_components`` uses:
+       ≤ ``broadcast_pairs``: ONE corpus scan gathers the ≤ 2·pairs
+       participating texts (pair ids broadcast as block refs), and
+       verify actors build an id→text dict from the gathered blocks —
+       zero hash joins ("broadcast small sides with ray.put + lookup
+       inside map_batches instead of a shuffle join");
+       above it: two distributed hash joins attach texts onto the pair
+       rows — the path for corpora whose near-dup mass is itself huge;
     4. Jaccard verification in an actor pool over the pair rows;
     5. components via ``connected_components`` (min-id labels; small
        pair sets take its bounded worker-task fast path), assignment
-       via one left join.
+       via a broadcast label map (small tier) or one left join.
 
     Only the tiny candidate/verified pair tables are materialized (to
     guard the empty cases and to pin the connected-components input).
@@ -224,43 +347,78 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     # than a dedicated distinct shuffle here
     pairs = buckets.map_batches(_star_pairs_from_lists_factory(idt),
                                 batch_format="pandas").materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return _identity_clusters(ds, id_col)
 
     pair_schema = pa.schema([("u", idt), ("v", idt)])
     docs_schema = pa.schema([("side_id", idt), ("side_text", txt)])
-    docs = ds.map_batches(
-        lambda df: df[[id_col, text_col]].rename(
-            columns={id_col: "side_id", text_col: "side_text"}),
-        batch_format="pandas")
-    with_u = (safe_join(pairs, docs, "inner", num_partitions, ("u",),
-                        right_on=("side_id",),
-                        left_schema=pair_schema, right_schema=docs_schema)
-              .map_batches(
-                  lambda df: df[["u", "v", "side_text"]].rename(
-                      columns={"side_text": "text_u"}),
-                  batch_format="pandas")
-              .materialize())  # pair-sized; keeps one join in flight
-    withu_schema = pair_schema.append(pa.field("text_u", txt))
-    with_uv = (safe_join(with_u, docs, "inner", num_partitions, ("v",),
-                         right_on=("side_id",),
-                         left_schema=withu_schema, right_schema=docs_schema)
-               .map_batches(
-                   lambda df: df[["u", "v", "text_u", "side_text"]].rename(
-                       columns={"side_text": "text_v"}),
-                   batch_format="pandas"))
-    # num_cpus=0.5: this pool runs CONCURRENTLY with the with_uv join,
-    # whose aggregator actors already reserve half the session CPUs
-    # (hash_shuffle.py: CPU/2 budget); a full-CPU pool here would leave
-    # zero slots for the upstream map tasks and deadlock the pipeline.
-    verified = with_uv.map_batches(
-        VerifyJaccard, batch_format="pandas",
-        fn_constructor_kwargs={"threshold": threshold, "k": k},
-        concurrency=2, num_cpus=0.5).materialize()
+    small = n_pairs <= broadcast_pairs
+    if small:
+        # broadcast tier (the normal LSH outcome: candidates ≪ corpus).
+        # Texts for the ≤ 2·pairs participating docs are gathered by ONE
+        # distributed corpus scan (pair ids shipped as block refs) and
+        # pinned in the object store; verify runs over the PAIR rows
+        # with per-actor ref-built dicts. Zero hash joins — each Ray
+        # hash join costs a full aggregator-pool spin-up, which for
+        # kilobyte pair tables is pure fixed cost (measured ~15-20 s
+        # per join at 32 cpus vs <2 s for the scan+dict path).
+        pair_refs = list(pairs.to_arrow_refs())
+        ptexts = ds.map_batches(
+            _ParticipantTexts, batch_format="pandas",
+            fn_constructor_kwargs={"pair_refs": pair_refs,
+                                   "id_col": id_col, "text_col": text_col},
+            concurrency=concurrency).materialize()
+        verified = pairs.map_batches(
+            _RefVerifyJaccard, batch_format="pandas",
+            fn_constructor_kwargs={"text_refs": list(ptexts.to_arrow_refs()),
+                                   "threshold": threshold, "k": k},
+            concurrency=2).materialize()
+    else:
+        docs = ds.map_batches(
+            lambda df: df[[id_col, text_col]].rename(
+                columns={id_col: "side_id", text_col: "side_text"}),
+            batch_format="pandas")
+        with_u = (safe_join(pairs, docs, "inner", num_partitions, ("u",),
+                            right_on=("side_id",),
+                            left_schema=pair_schema,
+                            right_schema=docs_schema)
+                  .map_batches(
+                      lambda df: df[["u", "v", "side_text"]].rename(
+                          columns={"side_text": "text_u"}),
+                      batch_format="pandas")
+                  .materialize())  # pair-sized; keeps one join in flight
+        withu_schema = pair_schema.append(pa.field("text_u", txt))
+        with_uv = (safe_join(with_u, docs, "inner", num_partitions, ("v",),
+                             right_on=("side_id",),
+                             left_schema=withu_schema,
+                             right_schema=docs_schema)
+                   .map_batches(
+                       lambda df: df[["u", "v", "text_u", "side_text"]]
+                       .rename(columns={"side_text": "text_v"}),
+                       batch_format="pandas"))
+        # num_cpus=0.5: this pool runs CONCURRENTLY with the with_uv
+        # join, whose aggregator actors already reserve half the
+        # session CPUs (hash_shuffle.py: CPU/2 budget); a full-CPU pool
+        # here would leave zero slots for the upstream map tasks and
+        # deadlock the pipeline.
+        verified = with_uv.map_batches(
+            VerifyJaccard, batch_format="pandas",
+            fn_constructor_kwargs={"threshold": threshold, "k": k},
+            concurrency=2, num_cpus=0.5).materialize()
     if verified.count() == 0:
         return _identity_clusters(ds, id_col)
 
     labels = connected_components(verified, node_type=idt).materialize()
+    if small:
+        # label table ≤ participating nodes — broadcast it back over
+        # the corpus instead of a corpus-wide left-outer hash join
+        return ds.map_batches(
+            _RefLabelAssign, batch_format="pandas",
+            fn_constructor_kwargs={"label_refs": list(labels
+                                                      .to_arrow_refs()),
+                                   "id_col": id_col},
+            concurrency=concurrency)
     ids = ds.map_batches(lambda df: pd.DataFrame({"doc_id": df[id_col]}),
                          batch_format="pandas")
     out = safe_join(ids, labels, "left_outer", num_partitions, ("doc_id",),
