@@ -64,9 +64,14 @@ def bench_kg(concurrency: int):
     n = _n_pages()
     pages = K.synth_pages(n, parallelism=max(NUM_CPUS * 2, 8))
     t0 = time.time()
+    from sigraph_ray.stages.blocks import right_size
+
     triples = K.extract_triples_pipeline(
         pages, concurrency=concurrency, batch_size=256)
-    edges = K.build_kg_edges(triples).materialize()
+    # coalesce the small post-aggregation edge table so the entity
+    # aggregate's shuffle width follows its bytes, not the upstream
+    # partition count
+    edges = right_size(K.build_kg_edges(triples).materialize())
     n_edges = edges.count()
     n_triples = int(edges.sum("weight"))
     n_entities = K.entities_from_edges(edges).count()
@@ -130,7 +135,12 @@ def main():
     import ray
 
     _init_ray()
-    concurrency = max(2, NUM_CPUS - 2)
+    # extraction actor pool: ~3/4 of session CPUs. The pool RESERVES its
+    # CPUs whether busy or idle, so a pool sized near num_cpus starves
+    # the page-producer tasks and the downstream shuffle (observed: 30
+    # actors at 32 cpus ran 2x slower than 24, and a 32-actor pool
+    # deadlocks outright -- 0 CPUs left for the producer).
+    concurrency = max(2, (NUM_CPUS * 3) // 4)
     # warm the page cache + actor pool path with one small untimed run
     from sigraph_ray.pipelines import kg as K
 
@@ -200,7 +210,7 @@ def kg_only():
 
     K.extract_triples_pipeline(K.synth_pages(64, parallelism=4),
                                concurrency=2).count()
-    sec, info = bench_kg(max(2, NUM_CPUS - 2))
+    sec, info = bench_kg(max(2, (NUM_CPUS * 3) // 4))
     ray.shutdown()
     print(json.dumps({"kg_sec": round(sec, 3),
                       "kg_triples": info["n_triples"],

@@ -34,6 +34,20 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+def _conc(frac: float = 0.25, lo: int = 2, hi: int = 16) -> int:
+    """Actor-pool size proportional to the session's CPUs (an actor
+    pool RESERVES its CPUs; a fixed size either starves a big session
+    or deadlocks a small one — the pool must stay well under the CPU
+    count so producer tasks and downstream shuffles keep slots)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(lo, min(hi, int(cpus * frac)))
+
+
 _SPEC = {
     "click": ("file_{m100}.tmp", "FILE", "CREATE", "WRITE_SEND"),
     "purchase": ("10.0.0.{m256}", "NETWORK", "CONNECT", "WRITE_SEND"),
@@ -306,7 +320,7 @@ def q_lineitem_agg(sf_dir: str):
     revenue < 1e13 units, so a group overflows only past ~9e5 billion
     rows; at that scale aggregate into decimal128 instead."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -321,11 +335,26 @@ def q_lineitem_agg(sf_dir: str):
             pa.scalar(100.0))), pa.int64())
         return t.append_column("revenue_units", pc.multiply(cents, disc_bp))
 
+    def partial(t: pa.Table) -> pa.Table:
+        # per-batch combiner: ≤ |flag × status| partial rows per block
+        # reach the shuffle instead of every line item. All three
+        # aggregates re-combine exactly (integer units; quantities are
+        # integral so their float sum is exact far past this scale).
+        df = t.to_pandas()
+        g = (df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+             .agg(sum_qty=("l_quantity", "sum"),
+                  sum_revenue_units=("revenue_units", "sum"),
+                  n_rows=("l_quantity", "size"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     agg = (ds.map_batches(revenue_units, batch_format="pyarrow")
+           .map_batches(partial, batch_format="pyarrow")
            .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("revenue_units", alias_name="sum_revenue_units"),
-                      Count(alias_name="n_rows")))
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                      Sum("sum_revenue_units",
+                          alias_name="sum_revenue_units"),
+                      Sum("n_rows", alias_name="n_rows")))
 
     def finish(t: pa.Table) -> pa.Table:
         rev = pc.divide(pc.cast(t.column("sum_revenue_units"), pa.float64()),
@@ -353,34 +382,43 @@ def q_top_customers(sf_dir: str):
     sum + deterministic top-10."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
 
     cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name", "c_mktsegment"])
-    ref = ray.put(cust)
+    # the inner join only needs the KEY SET inside the tasks (dimension
+    # attributes re-attach from the driver-held frame after the top-k);
+    # broadcast a sorted numpy key array — ray.get of a numpy object is
+    # a ZERO-COPY view into the object store, so a plain task pool reads
+    # it for free and no actor pool (with its per-process cold start)
+    # is needed for this lookup stage
+    keys_ref = ray.put(np.sort(cust["c_custkey"].to_numpy()))
 
-    class JoinCustomer:
-        def __init__(self):
-            self.cust = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pa.Table:
-            out = df.merge(self.cust, left_on="o_custkey",
-                           right_on="c_custkey", how="inner")
-            # combiner: partial sums per batch — only one row per
-            # customer per batch reaches the shuffle (Arrow out)
-            part = (out.groupby("c_custkey", sort=False)["o_totalprice"]
-                    .sum().rename("o_totalprice").reset_index())
-            return pa.Table.from_pandas(part, preserve_index=False)
+    def join_customer(df: pd.DataFrame) -> pa.Table:
+        keys = ray.get(keys_ref)
+        hit = keys[np.searchsorted(keys, df["o_custkey"].to_numpy())
+                   .clip(max=len(keys) - 1)] == df["o_custkey"].to_numpy()
+        out = df[hit]
+        # combiner: partial sums per batch — only one row per
+        # customer per batch reaches the shuffle (Arrow out)
+        part = (out.groupby("o_custkey", sort=False)["o_totalprice"]
+                .sum().rename("o_totalprice").reset_index()
+                .rename(columns={"o_custkey": "c_custkey"}))
+        return pa.Table.from_pandas(part, preserve_index=False)
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
-    joined = orders.map_batches(JoinCustomer, batch_format="pandas",
-                                concurrency=2)
-    # single integer-key groupby; dimension attributes re-attached from
-    # the broadcast side afterwards (never shuffle strings you can look
-    # up). Top-10 via two-phase top-k, not a full sort.
-    agg = joined.groupby("c_custkey").aggregate(
-        Sum("o_totalprice", alias_name="total_spent"))
+    joined = orders.map_batches(join_customer, batch_format="pandas")
+    # single integer-key grouped sum; dimension attributes re-attached
+    # from the broadcast side afterwards (never shuffle strings you can
+    # look up). The partial rows stay row-heavy (most orders in a batch
+    # carry distinct customers), so the global phase uses the
+    # sort+blockwise-stitch sum instead of Ray's aggregate reduce (whose
+    # per-row combine would dominate). Top-10 via two-phase top-k.
+    from sigraph_ray.stages.collect import sorted_groupby_sum
+
+    agg = sorted_groupby_sum(joined, key="c_custkey",
+                             sum_cols={"total_spent": "o_totalprice"})
 
     def partial_top(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["total_spent", "c_custkey"],
@@ -438,20 +476,20 @@ def q_supplier_nation(sf_dir: str):
     region = pd.read_parquet(f"{sf_dir}/region.parquet")
     dim = nation.merge(region, left_on="n_regionkey",
                        right_on="r_regionkey")[["n_nationkey", "n_name", "r_name"]]
-    ref = ray.put(dim)
+    # Arrow broadcast + task pool: ray.get of an Arrow table is a
+    # zero-copy object-store view, so each task's lookup costs one tiny
+    # to_pandas of the 25-row dimension — no actor pool (and its
+    # per-process cold start) needed for a stateless lookup
+    ref = ray.put(pa.Table.from_pandas(dim, preserve_index=False))
 
-    class J:
-        def __init__(self):
-            self.dim = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pa.Table:
-            out = df.merge(self.dim, left_on="s_nationkey",
-                           right_on="n_nationkey")
-            return pa.Table.from_pandas(out, preserve_index=False)
+    def j(df: pd.DataFrame) -> pa.Table:
+        out = df.merge(ray.get(ref).to_pandas(), left_on="s_nationkey",
+                       right_on="n_nationkey")
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
                            columns=["s_suppkey", "s_nationkey", "s_acctbal"])
-    return (supp.map_batches(J, batch_format="pandas", concurrency=2)
+    return (supp.map_batches(j, batch_format="pandas")
             .groupby(["r_name", "n_name"])
             .aggregate(Count(alias_name="n_suppliers"),
                        Sum("s_acctbal", alias_name="sum_acctbal")))
@@ -570,7 +608,7 @@ def q_minhash_dedup(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    return D.minhash_lsh_dedup(ds, concurrency=2)
+    return D.minhash_lsh_dedup(ds, concurrency=_conc())
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -705,7 +743,7 @@ def q_kg_triples(sf_dir: str):
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     pages = K.synth_pages(n_docs * 2)
-    return K.build_kg(pages, concurrency=2)["triples"]
+    return K.build_kg(pages, concurrency=_conc(0.5))["triples"]
 
 
 def q_kg_entities(sf_dir: str):
@@ -715,7 +753,7 @@ def q_kg_entities(sf_dir: str):
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     pages = K.synth_pages(n_docs * 2)
-    return K.build_kg(pages, concurrency=2)["entities"]
+    return K.build_kg(pages, concurrency=_conc(0.5))["entities"]
 
 
 # --- traversal / rule-match / pagination coverage --------------------------
@@ -1279,7 +1317,7 @@ def q_kg_neighborhood(sf_dir: str):
     # for the entity table — neighborhood consumes entities AND edges,
     # which would otherwise re-run the whole extraction per consumer
     triples = K.extract_triples_pipeline(
-        K.synth_pages(n_docs), concurrency=2).materialize()
+        K.synth_pages(n_docs), concurrency=_conc(0.5)).materialize()
     edges = K.build_kg_edges(triples).materialize()
     entities = K.entities_from_edges(edges)
     question = ("what did wscript.exe do after payload898.exe appeared, "

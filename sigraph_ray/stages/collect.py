@@ -114,3 +114,55 @@ def sorted_collect(ds, *, key: str, order_col: str, value: str,
     return interior.union(
         rd.from_pandas(merged).map_batches(lambda df: df,
                                            batch_format="pandas"))
+
+
+def sorted_groupby_sum(ds, *, key: str, sum_cols: dict[str, str]):
+    """Grouped SUM without Ray's ``groupby().aggregate`` reduce, whose
+    per-row combine costs ~100 µs (measured: 600 k input rows ≈ 60 s at
+    32 cpus — it dominates any aggregate whose input, even after
+    per-batch combiners, stays row-heavy, e.g. a per-customer total
+    where most batch rows carry distinct keys).
+
+    Same skeleton as :func:`sorted_collect`: one range sort by ``key``,
+    ONE vectorized pandas groupby-sum per block, and a driver-side
+    stitch of the O(#blocks) boundary keys. ``sum_cols`` maps output
+    alias → input column. Scale bound: per-block work is vectorized,
+    driver work is #blocks × 2 rows."""
+    import ray.data as rd
+
+    cols = dict(sum_cols)
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = {key: pd.Series(dtype="object")}
+            out.update({a: pd.Series(dtype="float64") for a in cols})
+            out["boundary"] = pd.Series(dtype="bool")
+            return pd.DataFrame(out)
+        g = (df.groupby(key, sort=False)[list(cols.values())]
+             .sum().reset_index())
+        g = g.rename(columns={v: a for a, v in cols.items()})
+        boundary = np.zeros(len(g), dtype=bool)
+        boundary[0] = True
+        boundary[-1] = True
+        g["boundary"] = boundary
+        return g
+
+    hydrated = ds.sort(key)
+    parts = hydrated.map_batches(per_block, batch_format="pandas",
+                                 batch_size=None)
+    # pin before the two consumers (interior / boundary): re-executing
+    # the sort could move a key across the interior/boundary split
+    parts = parts.materialize()
+    interior = parts.filter(expr="boundary == False").map_batches(
+        lambda df: df[[key, *cols]], batch_format="pandas")
+    bdf = parts.filter(expr="boundary == True").to_pandas()
+    if len(bdf):
+        merged = (bdf.groupby(key, sort=False)[list(cols)]
+                  .sum().reset_index())
+    else:
+        merged = pd.DataFrame({key: pd.Series(dtype="object"),
+                               **{a: pd.Series(dtype="float64")
+                                  for a in cols}})
+    return interior.union(
+        rd.from_pandas(merged).map_batches(lambda df: df,
+                                           batch_format="pandas"))

@@ -692,7 +692,14 @@ def build_graph(events, *, prune: bool = True,
     """
     parsed = events.map_batches(parse_events_batch, batch_format="pyarrow")
     if materialize_parsed:
-        parsed = parsed.materialize()
+        from sigraph_ray.stages.blocks import right_size
+
+        # coalesce the pinned stream to byte-proportional blocks BEFORE
+        # the five consumers fan out: each build's shuffle width follows
+        # the input block count, and a cluster-sized read splits a small
+        # event table into dozens of near-empty blocks whose map×reduce
+        # task grid is pure fixed cost — paid five times over
+        parsed = right_size(parsed.materialize())
     return build_graph_from_parsed(parsed, prune=prune)
 
 

@@ -130,8 +130,7 @@ class DocTripleExtractor:
                             "text": rows_text})
         tr = self._extract(cdf)
         if len(tr):
-            tr = tr.groupby("doc_url", group_keys=False, sort=False)[
-                tr.columns.tolist()].apply(X.resolve_generic_actors)
+            tr = X.resolve_generic_actors_batch(tr)
         out = pa.Table.from_pandas(tr, preserve_index=False)
         out = normalize_batch(out)
         # per-doc dedup (doc never spans batches here): keep min ord

@@ -193,3 +193,39 @@ def test_ensemble_full_corpus_pr():
     tp = len(got & want)
     assert tp / max(1, len(got)) >= 0.95
     assert tp / max(1, len(want)) >= 0.95
+
+
+def test_resolve_generic_batch_equals_per_group():
+    """The vectorized batch V3 resolver is row-identical to the
+    per-document groupby.apply reference across the synthetic corpus
+    (including docs with no named actor and all-generic docs)."""
+    from sigraph_ray.functions import text as T
+    from sigraph_ray.sources import synth
+
+    tbl = synth.pages_batch(range(60))
+    txt = T.html_to_text(tbl["html"].combine_chunks())
+    rows = []
+    for u, t in zip(tbl["url"].to_pylist(), txt.to_pylist()):
+        for ci, ch in enumerate(T.chunk_text(t.lower())):
+            rows.append({"url": u, "chunk_id": ci, "text": ch})
+    tr = X.extract_triples(pd.DataFrame(rows))
+    # synthetic edge docs: one with only generic rows, one empty-named
+    extra = pd.DataFrame({
+        "doc_url": ["only-generic"] * 2,
+        "chunk_id": [0, 0], "ord": [0, 1],
+        "subj": ["the malware", "the attacker"],
+        "subj_is_generic": [True, True],
+        "pred": ["launch", "create"], "obj": ["x.exe", "y.exe"],
+        "subj_type": ["malware", "malware"],
+        "obj_type": ["file", "file"]})
+    tr = pd.concat([tr, extra[tr.columns]], ignore_index=True)
+    ref = tr.groupby("doc_url", group_keys=False, sort=False)[
+        tr.columns.tolist()].apply(X.resolve_generic_actors)
+    got = X.resolve_generic_actors_batch(tr)
+    # row ORDER may differ (the reference apply re-groups); content
+    # must be identical — downstream consumers (idxmin dedup, edge
+    # aggregates) are order-free
+    key = ["doc_url", "chunk_id", "ord", "subj", "pred", "obj"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        ref.sort_values(key).reset_index(drop=True))
