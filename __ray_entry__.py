@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": Q.q_exact_dedup,
         "minhash_dedup": Q.q_minhash_dedup,
         "simhash_pairs": Q.q_simhash_pairs,
+        "ngram_jaccard": Q.q_ngram_jaccard,
+        "embed_cosine_pairs": Q.q_embed_cosine_pairs,
         # similarity search
         "knn_cosine": Q.q_knn_cosine,
         "knn_cosine_lsh": Q.q_knn_cosine_lsh,
@@ -123,6 +125,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": Q.SQL_FINGERPRINTS,
         "exact_dedup": Q.SQL_EXACT_DEDUP,
         "simhash_pairs": Q.SQL_SIMHASH_PAIRS,
+        "ngram_jaccard": Q.SQL_NGRAM_JACCARD,
+        "embed_cosine_pairs": Q.SQL_EMBED_COSINE_PAIRS,
         "knn_cosine": Q.SQL_KNN_COSINE,
         # lang_id, minhash_dedup, knn_cosine_lsh/ivf, doc_embed_knn,
         # kg_neighborhood, kg_triples, kg_entities: not

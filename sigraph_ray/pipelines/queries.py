@@ -680,6 +680,62 @@ FROM cand WHERE hd <= 3 GROUP BY u, v ORDER BY u, v
 """
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """EXACT word-3-gram Jaccard near-dup pairs (PPJoin-style prefix
+    filtering; stages/dedup.ngram_jaccard_pairs) — the deterministic
+    sibling of minhash_dedup, hash-exact vs the DuckDB all-pairs
+    oracle (the Ray side never enumerates all pairs)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages import dedup as D
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return D.ngram_jaccard_pairs(ds, n=3, threshold=0.7,
+                                 concurrency=_conc())
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 for i in range(1, len(t) - 1)]) AS g
+  FROM toks WHERE len(t) >= 3
+)
+SELECT a.doc_id AS u, b.doc_id AS v
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.g, b.g))::DOUBLE
+      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.7
+ORDER BY u, v
+"""
+
+
+def q_embed_cosine_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (exact blockwise matmul against
+    the broadcast normalized matrix; stages/similarity
+    .embed_cosine_pairs). Threshold 0.4 sits >1e-4 from every pair in
+    the synthetic corpus, far above float32-dot discrepancy, so the
+    pair SET is hash-exact vs the DuckDB cross-join oracle."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.similarity import embed_cosine_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return embed_cosine_pairs(ds, threshold=0.4, concurrency=_conc())
+
+
+SQL_EMBED_COSINE_PAIRS = """
+SELECT a.vec_id AS u, b.vec_id AS v
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding, b.embedding)
+      / (sqrt(list_dot_product(a.embedding, a.embedding))
+         * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.4
+ORDER BY u, v
+"""
+
+
 def _knn_queries(sf_dir: str, n_queries: int = 8) -> pd.DataFrame:
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])

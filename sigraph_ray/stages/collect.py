@@ -166,3 +166,34 @@ def sorted_groupby_sum(ds, *, key: str, sum_cols: dict[str, str]):
     return interior.union(
         rd.from_pandas(merged).map_batches(lambda df: df,
                                            batch_format="pandas"))
+
+
+def sorted_distinct(ds, keys: list[str]):
+    """DISTINCT over ``keys`` via one range sort + per-block vectorized
+    drop_duplicates + a driver-side stitch of the O(#blocks) boundary
+    rows — no Ray aggregate (whose per-row reduce cost dominates
+    row-heavy distincts) and no per-group Python. After the sort equal
+    keys are contiguous, so only a block's FIRST and LAST post-dedup
+    rows can collide with a neighboring block."""
+    import ray.data as rd
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(keys)
+        boundary = np.zeros(len(out), dtype=bool)
+        if len(out):
+            boundary[0] = True
+            boundary[-1] = True
+        return out.assign(boundary=boundary)
+
+    parts = ds.sort(keys).map_batches(per_block, batch_format="pandas",
+                                      batch_size=None)
+    parts = parts.materialize()  # pin the interior/boundary split
+    interior = parts.filter(expr="boundary == False").map_batches(
+        lambda df: df.drop(columns=["boundary"]), batch_format="pandas")
+    bdf = parts.filter(expr="boundary == True").to_pandas()
+    merged = (bdf.drop(columns=["boundary"])
+              .sort_values(keys, kind="stable").drop_duplicates(keys)
+              if len(bdf) else bdf.drop(columns=["boundary"]))
+    return interior.union(
+        rd.from_pandas(merged).map_batches(lambda df: df,
+                                           batch_format="pandas"))

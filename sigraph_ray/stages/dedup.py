@@ -507,3 +507,134 @@ def simhash_candidates(ds, *, max_hamming: int = 3,
     pairs = joined.map_batches(hpairs, batch_format="pandas")
     return pairs.groupby(["u", "v"]).aggregate(
         Min("hamming", alias_name="hamming"))
+
+
+# --- exact n-gram Jaccard near-dup pairs -----------------------------------
+
+def _ngram_set(text: str, n: int) -> list[str]:
+    """Distinct word n-grams, lexicographically sorted. Token/gram
+    semantics mirror the SQL oracle exactly: ``lower()`` + split on
+    single spaces (empties kept), grams joined with one space, docs
+    shorter than ``n`` tokens yield none."""
+    toks = (text or "").lower().split(" ")
+    if len(toks) < n:
+        return []
+    return sorted({" ".join(toks[i:i + n])
+                   for i in range(len(toks) - n + 1)})
+
+
+def _prefix_rows_factory(id_col: str, text_col: str, n: int,
+                         threshold: float):
+    import math
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        grams: list[str] = []
+        for i, txt in zip(df[id_col], df[text_col]):
+            g = _ngram_set(txt, n)
+            if not g:
+                continue
+            m = len(g)
+            p = m - math.ceil(threshold * m) + 1
+            ids.extend([i] * p)
+            grams.extend(g[:p])
+        return pd.DataFrame({"gram": grams, "doc_id": ids})
+    return f
+
+
+class _RefVerifyNgramJaccard:
+    """Exact n-gram Jaccard verify over candidate pair rows; texts from
+    block refs (broadcast tier, cf. :class:`_RefVerifyJaccard`). Gram
+    sets are the literal strings (no hashing), so the accepted pair set
+    is bit-identical to the SQL oracle's double-precision comparison."""
+
+    def __init__(self, text_refs: list, threshold: float, n: int):
+        import ray
+
+        texts: dict = {}
+        for t in ray.get(list(text_refs)):
+            if t.num_rows:
+                texts.update(zip(t.column("side_id").to_pylist(),
+                                 t.column("side_text").to_pylist()))
+        self.texts = texts
+        self.threshold = threshold
+        self.n = n
+        self._cache: dict = {}
+
+    def _g(self, i):
+        if i not in self._cache:
+            if len(self._cache) > 50_000:
+                self._cache.clear()
+            self._cache[i] = set(_ngram_set(self.texts.get(i), self.n))
+        return self._cache[i]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        keep = []
+        for u, v in zip(df["u"], df["v"]):
+            a, b = self._g(u), self._g(v)
+            inter = len(a & b)
+            denom = len(a) + len(b) - inter
+            keep.append(bool(denom) and inter / denom >= self.threshold)
+        return df.loc[pd.Series(keep, index=df.index), ["u", "v"]]
+
+
+def ngram_jaccard_pairs(ds, *, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.7, concurrency: int = 4):
+    """EXACT word-n-gram Jaccard near-dup pairs (u < v) — the
+    deterministic sibling of :func:`minhash_lsh_dedup` (which is
+    probabilistic and can miss pairs). Exactness comes from PPJoin-style
+    prefix filtering (Xiao et al., WWW'08): under ANY global total
+    order on grams (lexicographic here — no frequency pass needed),
+    two docs with J ≥ t MUST share a gram within their first
+    ``|d| - ceil(t·|d|) + 1`` grams, so emitting only those prefix
+    grams into the bucket groupby finds every qualifying pair while
+    shrinking the inverted index by ~t/(1+t).
+
+    Stages: prefix rows → ``sorted_collect`` buckets → within-bucket
+    all-pairs (u < v; duplicates across buckets allowed) → broadcast-
+    tier exact verify → ``sorted_distinct``. Partitioning assumption
+    (documented): one prefix-gram's posting list fits a worker block —
+    a corpus where a single gram leads the prefix of unboundedly many
+    documents needs the frequency-ordered prefix refinement.
+    """
+    from sigraph_ray.stages.collect import sorted_collect, sorted_distinct
+    from sigraph_ray.stages.joins import column_type
+
+    idt = column_type(ds, id_col)
+    rows = ds.map_batches(
+        _prefix_rows_factory(id_col, text_col, n, threshold),
+        batch_format="pandas")
+    buckets = sorted_collect(rows, key="gram", order_col="doc_id",
+                             value="doc_id", dedup=True)
+
+    schema = pa.schema([("u", idt), ("v", idt)])
+
+    def allpairs(df: pd.DataFrame) -> pa.Table:
+        us, vs = [], []
+        for vals in df["values"]:
+            if len(vals) > 1:
+                a = np.asarray(vals)
+                iu, iv = np.triu_indices(len(a), 1)
+                us.append(a[iu])
+                vs.append(a[iv])
+        if not us:
+            return schema.empty_table()
+        return pa.table({"u": np.concatenate(us),
+                         "v": np.concatenate(vs)}).cast(schema)
+
+    pairs = buckets.map_batches(allpairs,
+                                batch_format="pandas").materialize()
+    if pairs.count() == 0:
+        return pairs
+    ptexts = ds.map_batches(
+        _ParticipantTexts, batch_format="pandas",
+        fn_constructor_kwargs={"pair_refs": list(pairs.to_arrow_refs()),
+                               "id_col": id_col, "text_col": text_col},
+        concurrency=concurrency).materialize()
+    verified = pairs.map_batches(
+        _RefVerifyNgramJaccard, batch_format="pandas",
+        fn_constructor_kwargs={"text_refs": list(ptexts.to_arrow_refs()),
+                               "threshold": threshold, "n": n},
+        concurrency=2)
+    return sorted_distinct(verified, ["u", "v"])

@@ -319,3 +319,77 @@ def add_embeddings(ds, *, text_col: str = "text", dim: int = 32,
         DocEmbedder, batch_format="pandas",
         fn_constructor_kwargs={"text_col": text_col, "dim": dim},
         concurrency=concurrency)
+
+
+def _table_matrix(t, emb_col: str) -> np.ndarray:
+    """(n, d) float64 matrix from an Arrow block's embedding column —
+    handles list/fixed-size-list arrays AND Ray's tensor extension
+    type (from_pandas blocks), which plain ``to_pandas`` rejects."""
+    import pyarrow as _pa
+
+    arr = t.column(emb_col).combine_chunks()
+    if _pa.types.is_list(arr.type) or _pa.types.is_fixed_size_list(arr.type):
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), -1).astype(np.float64)
+    try:  # Ray ArrowTensorArray
+        return np.asarray(arr.to_numpy(zero_copy_only=False)
+                          .tolist(), dtype=np.float64)
+    except Exception:
+        return np.stack([np.asarray(x, dtype=np.float64)
+                         for x in arr.to_pylist()])
+
+
+class _CosinePairScan:
+    """Per-batch block of rows × full normalized corpus matrix (built
+    once per actor from object-store block refs) → (u, v) pairs with
+    cosine ≥ threshold and u < v (float64 throughout)."""
+
+    def __init__(self, mat_refs: list, threshold: float,
+                 id_col: str, emb_col: str):
+        import ray
+
+        ids, vecs = [], []
+        for t in ray.get(list(mat_refs)):
+            if t.num_rows:
+                ids.append(t.column(id_col).to_numpy(
+                    zero_copy_only=False))
+                vecs.append(_table_matrix(t, emb_col))
+        self.ids = np.concatenate(ids)
+        self.mat = _normalize(np.concatenate(vecs))
+        order = np.argsort(self.ids, kind="stable")
+        self.ids = self.ids[order]
+        self.mat = self.mat[order]
+        self.threshold = threshold
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        bids = df[self.id_col].to_numpy()
+        bmat = _normalize(np.stack(df[self.emb_col].to_numpy())
+                          .astype(np.float64))
+        sims = bmat @ self.mat.T                 # (batch, corpus)
+        # strict upper triangle by ID: v > u avoids self and mirrors
+        hit_r, hit_c = np.nonzero(
+            (sims >= self.threshold) & (self.ids[None, :] > bids[:, None]))
+        return pd.DataFrame({"u": bids[hit_r], "v": self.ids[hit_c]})
+
+
+def embed_cosine_pairs(ds, *, id_col: str = "vec_id",
+                       emb_col: str = "embedding",
+                       threshold: float = 0.4, concurrency: int = 2):
+    """Embedding-cosine near-dup pairs, EXACT (u < v, cosine ≥ t).
+
+    Baseline tier per the build brief: blockwise matmul of the streamed
+    corpus against the full normalized matrix broadcast as block refs —
+    O(n²/p) compute, memory-bound by (corpus rows × dim) floats per
+    actor, the same bound as :class:`BruteForceTopK`'s query side.
+    Beyond that bound use the LSH/IVF ANN variants in this module
+    (probabilistic) — this exact form is the oracle baseline they are
+    recall-gated against."""
+    pinned = ds.materialize()
+    refs = list(pinned.to_arrow_refs())
+    return pinned.map_batches(
+        _CosinePairScan, batch_format="pandas",
+        fn_constructor_kwargs={"mat_refs": refs, "threshold": threshold,
+                               "id_col": id_col, "emb_col": emb_col},
+        concurrency=concurrency)

@@ -76,3 +76,40 @@ def test_sorted_collect_dedup_keep_first(ray_session):
                              dedup=True).to_pandas()
         got = dict(zip(out["k"], out["values"].map(list)))
         assert got == {"a": ["x", "y", "z", "w"], "b": ["q"]}
+
+
+@pytest.mark.parametrize("blocks", [1, 3, 8])
+def test_sorted_groupby_sum_matches_pandas(ray_session, blocks):
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_sum
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"k": rng.integers(0, 50, 400),
+                       "a": rng.integers(0, 1000, 400).astype("float64"),
+                       "b": rng.integers(0, 7, 400).astype("float64")})
+    ds = rd.from_pandas(df).repartition(blocks)
+    got = (sorted_groupby_sum(ds, key="k",
+                              sum_cols={"sa": "a", "sb": "b"})
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (df.groupby("k").agg(sa=("a", "sum"), sb=("b", "sum"))
+            .reset_index().sort_values("k").reset_index(drop=True))
+    got["k"] = got["k"].astype(want["k"].dtype)
+    pd.testing.assert_frame_equal(got[["k", "sa", "sb"]], want)
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_sorted_distinct_matches_pandas(ray_session, blocks):
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_distinct
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"u": rng.integers(0, 12, 300),
+                       "v": rng.integers(0, 12, 300)})
+    ds = rd.from_pandas(df).repartition(blocks)
+    got = (sorted_distinct(ds, ["u", "v"]).to_pandas()
+           .sort_values(["u", "v"]).reset_index(drop=True))
+    want = (df.drop_duplicates(["u", "v"]).sort_values(["u", "v"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)

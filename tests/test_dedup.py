@@ -110,3 +110,55 @@ def test_hashing_stable_across_processes():
         for seed in ("0", "42")
     }
     assert len(outs) == 1 and next(iter(outs)).strip()
+
+
+def test_ngram_jaccard_pairs_exact(corpus):
+    """PPJoin-prefix candidates + exact verify == brute-force pairwise
+    Jaccard over the planted corpus (guarantees no pair is MISSED by
+    the prefix filter, the property minhash can't give)."""
+    from sigraph_ray.stages.dedup import _ngram_set, ngram_jaccard_pairs
+
+    got = ngram_jaccard_pairs(corpus, n=3, threshold=0.7,
+                              concurrency=2).to_pandas()
+    gotset = set(map(tuple, got[["u", "v"]].values))
+    df = _corpus()
+    grams = {r.doc_id: set(_ngram_set(r.text, 3))
+             for r in df.itertuples() if len(_ngram_set(r.text, 3))}
+    want = set()
+    ids = sorted(grams)
+    for i, u in enumerate(ids):
+        for v in ids[i + 1:]:
+            a, b = grams[u], grams[v]
+            inter = len(a & b)
+            if inter and inter / (len(a) + len(b) - inter) >= 0.7:
+                want.add((u, v))
+    assert gotset == want
+    assert (100, 101) in gotset          # exact dup pair found
+    assert all(u < v for u, v in gotset)
+
+
+def test_embed_cosine_pairs_exact(ray_session):
+    """Blockwise broadcast matmul == brute-force numpy pairs."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.similarity import embed_cosine_pairs
+
+    rng = np.random.default_rng(7)
+    n, d = 60, 16
+    M = rng.normal(size=(n, d)).astype(np.float32)
+    M[10] = M[3] + rng.normal(scale=0.05, size=d).astype(np.float32)
+    M[20] = M[5] * 1.7                    # same direction, cos = 1
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(M)})
+    ds = rd.from_pandas(df).repartition(4)
+    got = embed_cosine_pairs(ds, threshold=0.6,
+                             concurrency=2).to_pandas()
+    gotset = set(map(tuple, got[["u", "v"]].values))
+    X = M.astype(np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    C = X @ X.T
+    iu, iv = np.triu_indices(n, 1)
+    want = {(int(a), int(b)) for a, b, c in
+            zip(iu, iv, C[iu, iv]) if c >= 0.6}
+    assert gotset == want
+    assert (3, 10) in gotset and (5, 20) in gotset
