@@ -121,9 +121,14 @@ def _triple_dedup_decode(batch: pa.Table) -> pa.Table:
 
 
 def dedup_triples(triples):
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
     partials = triples.map_batches(_triple_dedup_partial,
                                    batch_format="pyarrow")
-    agg = partials.groupby(_DEDUP_KEY).aggregate(Min("v", alias_name="v"))
+    # triple-stream-sized input (row-heavy): range-sort + blockwise
+    # stitch min, not Ray's per-row aggregate reduce
+    agg = sorted_groupby_agg(partials, key=_DEDUP_KEY,
+                             aggs={"v": ("v", "min")})
     return agg.map_batches(_triple_dedup_decode, batch_format="pyarrow")
 
 
@@ -162,9 +167,13 @@ def build_kg_edges(triples):
     direction applied (src/dst columns). Two-phase aggregate: the
     per-batch combiner shrinks the shuffle to one partial row per key
     per batch, keyed by a single composite string."""
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
     partials = triples.map_batches(_edge_partials, batch_format="pyarrow")
-    agg = partials.groupby("edge_key").aggregate(
-        Sum("n_mentions", alias_name="weight"))
+    # edge-keyed partials stay row-heavy (one row per edge per batch):
+    # stitch sum instead of the aggregate reduce
+    agg = sorted_groupby_agg(partials, key="edge_key",
+                             aggs={"weight": ("n_mentions", "sum")})
     decoded = agg.map_batches(_edge_decode, batch_format="pyarrow")
     return decoded.map_batches(T.triples_with_direction, batch_format="pyarrow")
 
@@ -305,6 +314,13 @@ def sorted_materialize(kg: dict, out_dir: str) -> dict:
     paths = {}
     for name, keys in plan.items():
         path = f"{out_dir}/{name}"
-        kg[name].sort(keys).write_parquet(path)
+        ds = kg[name].sort(keys)
+        # preserve_order during the write (on the dataset's own captured
+        # context, cf. state/manifest.write_stage): guarantees file
+        # index = sorted block position, so a reader consuming the
+        # directory in file order sees the global sort — otherwise the
+        # write tasks may be numbered in completion order under load
+        ds.context.execution_options.preserve_order = True
+        ds.write_parquet(path)
         paths[name] = path
     return paths

@@ -89,8 +89,12 @@ def finalize_entity_partials(partials):
        identical to :func:`_entity_finalize`;
     3. groupby(entity) Max(enc) + Sum(n).
     """
-    bytype = partials.groupby(["entity", "entity_type"]).aggregate(
-        Sum("n", alias_name="n"))
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    # entity-keyed inputs are row-heavy (≈ one row per entity per
+    # batch): both phases run as range-sort + blockwise stitch
+    bytype = sorted_groupby_agg(partials, key=["entity", "entity_type"],
+                                aggs={"n": ("n", "sum")})
 
     def encode(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -103,10 +107,10 @@ def finalize_entity_partials(partials):
         return pa.table({"entity": t.column("entity"),
                          "enc": enc, "n": t.column("n")})
 
-    agg = (bytype.map_batches(encode, batch_format="pyarrow")
-           .groupby("entity")
-           .aggregate(Max("enc", alias_name="enc"),
-                      Sum("n", alias_name="n_mentions")))
+    agg = sorted_groupby_agg(
+        bytype.map_batches(encode, batch_format="pyarrow"),
+        key="entity", aggs={"enc": ("enc", "max"),
+                            "n_mentions": ("n", "sum")})
 
     def decode(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -116,56 +116,83 @@ def sorted_collect(ds, *, key: str, order_col: str, value: str,
                                            batch_format="pandas"))
 
 
-def sorted_groupby_sum(ds, *, key: str, sum_cols: dict[str, str]):
-    """Grouped SUM without Ray's ``groupby().aggregate`` reduce, whose
-    per-row combine costs ~100 µs (measured: 600 k input rows ≈ 60 s at
-    32 cpus — it dominates any aggregate whose input, even after
-    per-batch combiners, stays row-heavy, e.g. a per-customer total
-    where most batch rows carry distinct keys).
+def sorted_groupby_agg(ds, *, key, aggs: dict[str, tuple[str, str]]):
+    """Grouped SUM/MIN/MAX/COUNT without Ray's ``groupby().aggregate``
+    reduce, whose per-row combine costs ~100 µs (measured: 600 k input
+    rows ≈ 60 s at 32 cpus — it dominates any aggregate whose input,
+    even after per-batch combiners, stays row-heavy, e.g. a
+    per-customer total where most batch rows carry distinct keys, or a
+    corpus-sized per-content-hash min).
 
-    Same skeleton as :func:`sorted_collect`: one range sort by ``key``,
-    ONE vectorized pandas groupby-sum per block, and a driver-side
-    stitch of the O(#blocks) boundary keys. ``sum_cols`` maps output
-    alias → input column. Scale bound: per-block work is vectorized,
-    driver work is #blocks × 2 rows."""
+    Same skeleton as :func:`sorted_collect`: one range sort by ``key``
+    (a str or list of str), ONE vectorized pandas groupby per block,
+    and a driver-side stitch of the O(#blocks) boundary keys. ``aggs``
+    maps output alias → (input column, op) with op in
+    sum|min|max|count; every op re-combines exactly across the block
+    and stitch phases (count partials re-combine via sum). Scale
+    bound: per-block work is vectorized, driver work is #blocks × 2
+    rows."""
     import ray.data as rd
 
-    cols = dict(sum_cols)
+    keys = [key] if isinstance(key, str) else list(key)
+    ops = {"sum", "min", "max", "count"}
+    for a, (_, op) in aggs.items():
+        if op not in ops:
+            raise ValueError(f"unsupported op {op!r} for {a!r}")
+    spec = {a: (c, op) for a, (c, op) in aggs.items()}
+
+    def stitch_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False)
+        out = {}
+        for a, (_, op) in spec.items():
+            # partial counts COMBINE via sum; sum/min/max self-combine
+            out[a] = g[a].sum() if op == "count" else getattr(g[a], op)()
+        return pd.DataFrame(out).reset_index()
 
     def per_block(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            out = {key: pd.Series(dtype="object")}
-            out.update({a: pd.Series(dtype="float64") for a in cols})
+            out = {k: pd.Series(dtype="object") for k in keys}
+            out.update({a: pd.Series(dtype="float64") for a in spec})
             out["boundary"] = pd.Series(dtype="bool")
             return pd.DataFrame(out)
-        g = (df.groupby(key, sort=False)[list(cols.values())]
-             .sum().reset_index())
-        g = g.rename(columns={v: a for a, v in cols.items()})
+        part = df.groupby(keys, sort=False)
+        cols = {}
+        for a, (c, op) in spec.items():
+            cols[a] = (part[c].size() if op == "count"
+                       else getattr(part[c], op)())
+        g = pd.DataFrame(cols).reset_index()
         boundary = np.zeros(len(g), dtype=bool)
         boundary[0] = True
         boundary[-1] = True
         g["boundary"] = boundary
         return g
 
-    hydrated = ds.sort(key)
+    hydrated = ds.sort(keys)
     parts = hydrated.map_batches(per_block, batch_format="pandas",
                                  batch_size=None)
     # pin before the two consumers (interior / boundary): re-executing
     # the sort could move a key across the interior/boundary split
     parts = parts.materialize()
     interior = parts.filter(expr="boundary == False").map_batches(
-        lambda df: df[[key, *cols]], batch_format="pandas")
+        lambda df: df[[*keys, *spec]], batch_format="pandas")
     bdf = parts.filter(expr="boundary == True").to_pandas()
     if len(bdf):
-        merged = (bdf.groupby(key, sort=False)[list(cols)]
-                  .sum().reset_index())
+        merged = stitch_combine(bdf)[[*keys, *spec]]
     else:
-        merged = pd.DataFrame({key: pd.Series(dtype="object"),
+        merged = pd.DataFrame({**{k: pd.Series(dtype="object")
+                                  for k in keys},
                                **{a: pd.Series(dtype="float64")
-                                  for a in cols}})
+                                  for a in spec}})
     return interior.union(
         rd.from_pandas(merged).map_batches(lambda df: df,
                                            batch_format="pandas"))
+
+
+def sorted_groupby_sum(ds, *, key: str, sum_cols: dict[str, str]):
+    """Grouped SUM via :func:`sorted_groupby_agg` (kept as the common
+    special case). ``sum_cols`` maps output alias → input column."""
+    return sorted_groupby_agg(
+        ds, key=key, aggs={a: (c, "sum") for a, c in sum_cols.items()})
 
 
 def sorted_distinct(ds, keys: list[str]):

@@ -36,12 +36,20 @@ def add_md5(ds, text_col: str = "text"):
 
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Keep the minimum-id row per distinct text (hash-partition by
-    content digest + per-group min — 'hash-partition + per-group first'
-    from the brief). Returns (kept_ids Dataset)."""
+    """Keep the minimum-id row per distinct text (partition by content
+    digest + per-group min — 'hash-partition + per-group first' from
+    the brief). Returns (kept_ids Dataset). The grouped min runs as
+    the range-sort + blockwise stitch (stages/collect), not Ray's
+    aggregate reduce: exact dedup feeds ~one row per document into the
+    global phase, exactly the row-heavy shape whose per-row reduce
+    combine (~100 µs each) would dominate at corpus scale."""
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
     hashed = add_md5(ds, text_col)
-    return (hashed.groupby("content_md5")
-            .aggregate(Min(id_col, alias_name="kept_id")))
+    return sorted_groupby_agg(
+        hashed.map_batches(
+            lambda df: df[["content_md5", id_col]], batch_format="pandas"),
+        key="content_md5", aggs={"kept_id": (id_col, "min")})
 
 
 # --- MinHash + LSH near-dedup ----------------------------------------------
@@ -484,9 +492,15 @@ def simhash_candidates(ds, *, max_hamming: int = 3,
                           "simhash": sim, "mv": mv}),
             preserve_index=False)
 
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
     ex = sigs.map_batches(explode, batch_format="pandas").materialize()
-    anchors = ex.groupby(["seg", "seg_val"]).aggregate(
-        Min("mv", alias_name="mv"))
+    # anchors input is 4 rows per DOCUMENT (row-heavy): range-sort +
+    # blockwise stitch min, not Ray's per-row aggregate reduce
+    anchors = sorted_groupby_agg(
+        ex.map_batches(lambda t: t.select(["seg", "seg_val", "mv"]),
+                       batch_format="pyarrow"),
+        key=["seg", "seg_val"], aggs={"mv": ("mv", "min")})
     members = ex.map_batches(
         lambda t: t.select(["doc_id", "seg", "seg_val", "simhash"]),
         batch_format="pyarrow")
@@ -505,8 +519,10 @@ def simhash_candidates(ds, *, max_hamming: int = 3,
                                     preserve_index=False)
 
     pairs = joined.map_batches(hpairs, batch_format="pandas")
-    return pairs.groupby(["u", "v"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    # pair-heavy dedup (a pair can match in several segments): same
+    # stitch min instead of the aggregate reduce
+    return sorted_groupby_agg(pairs, key=["u", "v"],
+                              aggs={"hamming": ("hamming", "min")})
 
 
 # --- exact n-gram Jaccard near-dup pairs -----------------------------------

@@ -765,7 +765,10 @@ def sorted_materialize(graph: dict, out_dir: str) -> dict:
     }
     for name, keys in sort_keys.items():
         path = f"{out_dir}/{name}"
-        graph[name].sort(keys).write_parquet(path)
+        ds = graph[name].sort(keys)
+        # file index = sorted block position (see kg.sorted_materialize)
+        ds.context.execution_options.preserve_order = True
+        ds.write_parquet(path)
         paths[name] = path
     return paths
 

@@ -113,3 +113,27 @@ def test_sorted_distinct_matches_pandas(ray_session, blocks):
     want = (df.drop_duplicates(["u", "v"]).sort_values(["u", "v"])
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_sorted_groupby_agg_all_ops(ray_session, blocks):
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({"k": rng.integers(0, 30, 500),
+                       "x": rng.normal(size=500),
+                       "y": rng.integers(-50, 50, 500)})
+    ds = rd.from_pandas(df).repartition(blocks)
+    got = (sorted_groupby_agg(
+        ds, key="k", aggs={"sx": ("x", "sum"), "mn": ("y", "min"),
+                           "mx": ("y", "max"), "n": ("y", "count")})
+        .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (df.groupby("k")
+            .agg(sx=("x", "sum"), mn=("y", "min"), mx=("y", "max"),
+                 n=("y", "size")).reset_index()
+            .sort_values("k").reset_index(drop=True))
+    got["k"] = got["k"].astype(want["k"].dtype)
+    got["n"] = got["n"].astype(want["n"].dtype)
+    pd.testing.assert_frame_equal(got[["k", "sx", "mn", "mx", "n"]], want)

@@ -208,12 +208,22 @@ def test_sorted_materialize_roundtrip(ray_session, tmp_path):
 
     from sigraph_ray.pipelines import kg as K
 
+    def read_in_order(path):
+        # the O5 guarantee is "file order = global sort order"; a reader
+        # that wants the global order must keep block order on its side
+        # (preserve_order on the read dataset's context) — with the
+        # default False the streaming executor may emit blocks in
+        # completion order
+        ds = rd.read_parquet(path)
+        ds.context.execution_options.preserve_order = True
+        return ds.to_pandas()
+
     out = K.build_kg(K.synth_pages(60, parallelism=2), concurrency=2)
     paths = K.sorted_materialize(out, str(tmp_path / "kg"))
-    tri = rd.read_parquet(paths["triples"]).to_pandas()
+    tri = read_in_order(paths["triples"])
     key = tri[["doc_url", "subj", "pred", "obj"]].apply(tuple, axis=1)
     assert list(key) == sorted(key)
-    ents = rd.read_parquet(paths["entities"]).to_pandas()
+    ents = read_in_order(paths["entities"])
     assert list(ents["entity"]) == sorted(ents["entity"])
     assert len(tri) > 0 and len(ents) > 0
 
