@@ -252,12 +252,25 @@ def build_nodes_encoded(events):
     # sort shuffle's cost scales with map-blocks × reduce-partitions,
     # so coalesce first (measured: 7.3 s → sub-second for the same
     # 16k rows at sf0.1)
-    merged = (span_trace_rows.union(image_parent_rows)
-              .repartition(8)
-              .groupby("artifact")
-              .aggregate(AggMax("spans_enc", alias_name="spans_enc"),
-                         AggMax("traces_enc", alias_name="traces_enc"),
-                         AggMax("image_enc", alias_name="image_enc")))
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        # pandas groupby max rejects mixed str/None object columns; ""
+        # is a safe null stand-in (encoded values always carry an ord
+        # prefix, so "" sorts strictly below every real value) and
+        # ``finish`` already treats "" as absent
+        return df.fillna({"spans_enc": "", "traces_enc": "",
+                          "image_enc": ""})
+
+    # artifact-keyed pivot rows are row-heavy (a few per artifact):
+    # range-sort + blockwise stitch max, not Ray's per-row reduce
+    merged = sorted_groupby_agg(
+        span_trace_rows.union(image_parent_rows)
+        .map_batches(fill, batch_format="pandas").repartition(8),
+        key="artifact",
+        aggs={"spans_enc": ("spans_enc", "max"),
+              "traces_enc": ("traces_enc", "max"),
+              "image_enc": ("image_enc", "max")})
 
     def finish(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -345,12 +358,13 @@ def _trace_decode(batch: pa.Table) -> pa.Table:
 
 
 def build_traces(events):
-    from ray.data.aggregate import Min as AggMin
-    from ray.data.aggregate import Sum as AggSum
+    from sigraph_ray.stages.collect import sorted_groupby_agg
 
     partials = events.map_batches(_trace_partials, batch_format="pyarrow")
-    agg = partials.groupby("k").aggregate(
-        AggMin("v", alias_name="v"), AggSum("n", alias_name="span_count"))
+    # trace-keyed partials are row-heavy: stitch min/sum
+    agg = sorted_groupby_agg(partials, key="k",
+                             aggs={"v": ("v", "min"),
+                                   "span_count": ("n", "sum")})
     return agg.map_batches(_trace_decode, batch_format="pyarrow")
 
 
@@ -391,10 +405,12 @@ def _edge_decode(batch: pa.Table) -> pa.Table:
 
 
 def build_edges(events):
-    from ray.data.aggregate import Max as AggMax
+    from sigraph_ray.stages.collect import sorted_groupby_agg
 
     partials = events.map_batches(_edge_partials, batch_format="pyarrow")
-    agg = partials.groupby("k").aggregate(AggMax("v", alias_name="v"))
+    # edge-keyed partials are row-heavy: stitch max (last-writer enc)
+    agg = sorted_groupby_agg(partials, key="k",
+                             aggs={"v": ("v", "max")})
     return agg.map_batches(_edge_decode, batch_format="pyarrow")
 
 
@@ -442,18 +458,19 @@ def build_contains(events):
     trace contributes ONE pair, so both legs flow into a single
     distinct aggregate (Count-then-project — also one fewer shuffle
     than deduplicating the current leg separately)."""
-    from ray.data.aggregate import Count as AggCount
-    from ray.data.aggregate import Min as AggMin
+    from sigraph_ray.stages.collect import sorted_distinct, sorted_groupby_agg
 
     cur_partials = events.map_batches(_distinct_current_pairs,
                                       batch_format="pyarrow")
-    first = (events.map_batches(_appearance_partials, batch_format="pyarrow")
-             .groupby("artifact").aggregate(AggMin("v", alias_name="v")))
+    # artifact-keyed first-appearance min is row-heavy: stitch min;
+    # the set-union DISTINCT is a sorted_distinct (no Count shuffle)
+    first = sorted_groupby_agg(
+        events.map_batches(_appearance_partials, batch_format="pyarrow"),
+        key="artifact", aggs={"v": ("v", "min")})
     parent_pairs = first.map_batches(_decode_parent_first,
                                      batch_format="pyarrow")
-    return (cur_partials.union(parent_pairs)
-            .groupby(["unit_id", "trace_id", "artifact"])
-            .aggregate(AggCount(alias_name="_n"))
+    return (sorted_distinct(cur_partials.union(parent_pairs),
+                            ["unit_id", "trace_id", "artifact"])
             .map_batches(
                 lambda t: t.select(["unit_id", "trace_id", "artifact"]),
                 batch_format="pyarrow"))
@@ -636,16 +653,16 @@ def _subtract_by_key(table, doomed_keys, *, key: list[str],
         out["_tag"] = 1
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    from ray.data.aggregate import Max as AggMax
+    from sigraph_ray.stages.collect import sorted_groupby_agg
 
-    aggs = [AggMax("_tag", alias_name="_tag")]
+    aggs = {"_tag": ("_tag", "max")}
     if payload:
-        aggs.append(AggMax("_payload", alias_name="_payload"))
-    merged = (table.map_batches(encode, batch_format="pandas")
-              .union(doomed_keys.map_batches(tag_doomed,
-                                             batch_format="pandas"))
-              .groupby(key).aggregate(*aggs)
-              .filter(expr="_tag == 0"))
+        aggs["_payload"] = ("_payload", "max")
+    # table rows are keyed one-per-entity (row-heavy): stitch max
+    merged = sorted_groupby_agg(
+        table.map_batches(encode, batch_format="pandas")
+        .union(doomed_keys.map_batches(tag_doomed, batch_format="pandas")),
+        key=key, aggs=aggs).filter(expr="_tag == 0")
 
     def decode(df: pd.DataFrame) -> pa.Table:
         out = df[key].copy()

@@ -278,15 +278,15 @@ def sigma_trace_ids(syslog_ds, rule_yaml: str | bytes, *, unit_id: str,
     """get_trace_ids_with_lucene_query (db_session.py:346-413): the
     distinct trace ids of one unit whose syslog docs match the compiled
     query. Per-batch distinct combiner + one Count-distinct groupby."""
-    from ray.data.aggregate import Count
+    from sigraph_ray.stages.collect import sorted_distinct
 
-    return (syslog_ds.map_batches(
-        _TraceIdPartials, batch_format="pandas",
-        fn_constructor_kwargs={"rule_yaml": rule_yaml, "unit_id": unit_id},
-        concurrency=concurrency)
-        .groupby("trace_id").aggregate(Count(alias_name="_n"))
-        .map_batches(lambda t: t.select(["trace_id"]),
-                     batch_format="pyarrow"))
+    return sorted_distinct(
+        syslog_ds.map_batches(
+            _TraceIdPartials, batch_format="pandas",
+            fn_constructor_kwargs={"rule_yaml": rule_yaml,
+                                   "unit_id": unit_id},
+            concurrency=concurrency),
+        ["trace_id"])
 
 
 def label_sequences(syslog_ds, rule_yaml: str | bytes, *, unit_id: str,
