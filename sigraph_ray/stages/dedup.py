@@ -322,7 +322,14 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
             "bk": df["band"].astype(str) + "_" + df["band_hash"].astype(str),
             "doc_id": df["doc_id"]})
 
-    keyed = sigs.map_batches(bucket_key, batch_format="pandas")
+    from sigraph_ray.stages.blocks import right_size
+
+    # the band-row stream inherits the corpus read's block count; the
+    # range sort's task grid follows it, so coalesce to byte-
+    # proportional blocks first (the sort materializes its input
+    # anyway — this adds no extra residency class, just fewer blocks)
+    keyed = right_size(
+        sigs.map_batches(bucket_key, batch_format="pandas").materialize())
     # the cap rides the collect itself (zero extra shuffles): per-block
     # lists are truncated at cap+1 inside sorted_collect, so a
     # degenerate key can never blow a block or the boundary stitch, and

@@ -69,7 +69,7 @@ def _final_topk_factory(k: int):
 
 def knn_cosine(corpus, queries_df: pd.DataFrame, *, k: int = 5,
                id_col: str = "vec_id", emb_col: str = "embedding",
-               concurrency: int = 2):
+               concurrency: int | None = None):
     """corpus Dataset × small query set → (qid, rank, vec_id, cosine).
 
     ``queries_df`` needs columns (qid, vec). Two-phase: partial top-k
@@ -78,6 +78,10 @@ def knn_cosine(corpus, queries_df: pd.DataFrame, *, k: int = 5,
     """
     import ray
 
+    if concurrency is None:
+        from sigraph_ray.pipelines.queries import _conc
+
+        concurrency = _conc()
     ref = ray.put(queries_df)
     partial = corpus.map_batches(
         BruteForceTopK, batch_format="pandas",
