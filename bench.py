@@ -68,10 +68,11 @@ def bench_kg(concurrency: int):
 
     triples = K.extract_triples_pipeline(
         pages, concurrency=concurrency, batch_size=256)
-    # coalesce the small post-aggregation edge table so the entity
-    # aggregate's shuffle width follows its bytes, not the upstream
-    # partition count
-    edges = right_size(K.build_kg_edges(triples).materialize())
+    # staged at the combiner boundary: the extraction pool releases its
+    # CPUs before the edge stitch sort runs (see build_kg_edges_staged);
+    # then coalesce the small post-aggregation edge table so the entity
+    # aggregate's shuffle width follows its bytes
+    edges = right_size(K.build_kg_edges_staged(triples).materialize())
     n_edges = edges.count()
     n_triples = int(edges.sum("weight"))
     n_entities = K.entities_from_edges(edges).count()

@@ -160,6 +160,29 @@ def _edge_decode(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def build_kg_edges_staged(triples):
+    """:func:`build_kg_edges` with an explicit stage boundary at the
+    combiner output: the partial stream (≈ distinct-edges × blocks
+    rows, tiny next to the corpus) is MATERIALIZED before the stitch
+    sort. An actor pool RESERVES its CPUs for the whole streaming
+    execution — fused, the post-extraction sort runs on only the
+    leftover cores; staged, the pool releases at extraction end and
+    the sort gets the full cluster (measured at 1.2M pages/32 cpus:
+    117 s fused vs 62 s staged). This is also the natural
+    manifest/resume boundary (state/manifest)."""
+    from sigraph_ray.stages.blocks import right_size
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    partials = right_size(
+        triples.map_batches(_edge_partials, batch_format="pyarrow")
+        .materialize())
+    agg = sorted_groupby_agg(partials, key="edge_key",
+                             aggs={"weight": ("n_mentions", "sum")})
+    decoded = agg.map_batches(_edge_decode, batch_format="pyarrow")
+    return decoded.map_batches(T.triples_with_direction,
+                               batch_format="pyarrow")
+
+
 def build_kg_edges(triples):
     """Global edge table: one row per (subj, pred, obj) with mention
     count (= document count: the triple stream is already deduped per
