@@ -45,6 +45,19 @@ def _init_ray():
     ctx.read_op_min_num_blocks = max(NUM_CPUS * 2, 16)
 
 
+def _pool_size() -> int:
+    """Extraction actor-pool size. The pool RESERVES its CPUs whether
+    busy or idle, so a pool sized at num_cpus starves the page-producer
+    tasks and deadlocks outright (observed). With the edge build STAGED
+    (no wide op shares the extraction execution), the producer +
+    combiner tasks need only a small ABSOLUTE headroom — so large
+    sessions keep cpus-4 (28 of 32 measured 1.4x faster than 24) while
+    small sessions keep a fractional margin."""
+    if NUM_CPUS >= 16:
+        return max(2, NUM_CPUS - 4)
+    return max(2, (NUM_CPUS * 3) // 4)
+
+
 def _n_pages() -> int:
     import pyarrow.parquet as pq
 
@@ -136,12 +149,7 @@ def main():
     import ray
 
     _init_ray()
-    # extraction actor pool: ~3/4 of session CPUs. The pool RESERVES its
-    # CPUs whether busy or idle, so a pool sized near num_cpus starves
-    # the page-producer tasks and the downstream shuffle (observed: 30
-    # actors at 32 cpus ran 2x slower than 24, and a 32-actor pool
-    # deadlocks outright -- 0 CPUs left for the producer).
-    concurrency = max(2, (NUM_CPUS * 3) // 4)
+    concurrency = _pool_size()
     # warm the actor-pool path with one small untimed run at the SAME
     # pool size as the timed run: Ray reuses the prestarted worker
     # processes, so the timed region measures steady-state throughput
@@ -219,7 +227,7 @@ def kg_only():
     _init_ray()
     from sigraph_ray.pipelines import kg as K
 
-    conc = max(2, (NUM_CPUS * 3) // 4)
+    conc = _pool_size()
     # same-size warm-up as main() — see the comment there
     K.extract_triples_pipeline(K.synth_pages(max(256, conc * 16),
                                              parallelism=8),
