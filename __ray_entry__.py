@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": Q.q_top_customers,
         "events_hourly": Q.q_events_hourly,
         "supplier_nation": Q.q_supplier_nation,
+        "asof_attribution": Q.q_asof_attribution,
+        "sessionize": Q.q_sessionize,
         # text analysis (brief: token counting, quality, fingerprints)
         "text_stats": Q.q_text_stats,
         "quality_scores": Q.q_quality_scores,
@@ -120,6 +122,8 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": Q.SQL_TOP_CUSTOMERS,
         "events_hourly": Q.SQL_EVENTS_HOURLY,
         "supplier_nation": Q.SQL_SUPPLIER_NATION,
+        "asof_attribution": Q.SQL_ASOF_ATTRIBUTION,
+        "sessionize": Q.SQL_SESSIONIZE,
         "text_stats": Q.SQL_TEXT_STATS,
         "quality_scores": Q.SQL_QUALITY_SCORES,
         "fingerprints": Q.SQL_FINGERPRINTS,

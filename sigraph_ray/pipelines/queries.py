@@ -466,6 +466,73 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_asof_attribution(sf_dir: str):
+    """AS-OF JOIN (brief-named custom operator): each purchase joined
+    to the SAME user's latest click at-or-before it (inclusive, inner).
+    stages/temporal.sorted_asof_join — one range sort + grouped ffill
+    per block + driver stitch of the two boundary keys per block."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.temporal import sorted_asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    return sorted_asof_join(
+        purchases, clicks, key="user_id", ts="ts", tiebreak="event_id",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols={"click_event_id": "event_id"}).map_batches(
+            lambda df: df.assign(
+                click_event_id=df["click_event_id"].astype("int64")),
+            batch_format="pandas")
+
+
+SQL_ASOF_ATTRIBUTION = """
+SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Session-window aggregate (brief-named custom operator): per-user
+    sessions split at >12 h gaps; one row per session with count, span
+    and value sum. stages/temporal.sessionize (sort + vectorized
+    per-block gap/cumsum + boundary stitch)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.temporal import sessionize
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    return sessionize(ev, key="user_id", ts="ts", tiebreak="event_id",
+                      gap="12h", value="value")
+
+
+SQL_SESSIONIZE = """
+WITH b AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 12 HOUR THEN 1
+              ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+  FROM b
+)
+SELECT user_id, session, count(*) AS n_events, min(ts) AS session_start,
+       max(ts) AS session_end, sum(value) AS sum_value
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_supplier_nation(sf_dir: str):
     """Two-level broadcast join through a snowflake dimension chain."""
     import ray

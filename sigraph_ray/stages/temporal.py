@@ -1,0 +1,160 @@
+"""Temporal custom operators Ray Data lacks: as-of join and
+session-window aggregation (the build brief's named examples of
+operators to express as sort + blockwise pass when semantics allow).
+
+Both follow the ``sorted_collect`` architecture (stages/collect): one
+range sort by ``(key, ts)``, a fully VECTORIZED per-block resolution for
+every key interior to a block, and a driver-side re-resolution of the
+O(#blocks) boundary keys (only a block's FIRST and LAST key can
+continue into a neighboring block after the sort). Partitioning
+assumption, documented per the brief: one key's rows fit a worker
+block plus boundary fragments — true for per-user event streams at any
+realistic user cardinality; a pathologically hot key needs a
+prefix-broadcast second pass instead.
+
+Determinism: ties on ``ts`` are broken by an explicit tiebreak column
+(caller-supplied, e.g. event id), so outputs are identical across block
+counts and match a SQL oracle's ``ORDER BY ts, id`` window frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _boundary_split(df: pd.DataFrame, key: str):
+    """(interior rows, boundary rows) of one sorted block: boundary =
+    rows whose key equals the block's first or last key."""
+    if len(df) == 0:
+        return df, df
+    first, last = df[key].iloc[0], df[key].iloc[-1]
+    b = (df[key] == first) | (df[key] == last)
+    return df[~b], df[b]
+
+
+def _run(ds, sort_cols: list, key: str, resolve):
+    """Shared skeleton: sort → per-block resolve interior keys +
+    forward boundary rows → driver resolves boundary keys with the SAME
+    function → union."""
+    import ray.data as rd
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        interior, boundary = _boundary_split(df, key)
+        out = resolve(interior) if len(interior) else None
+        bnd = boundary.copy()
+        bnd["_boundary"] = True
+        if out is None or len(out) == 0:
+            return bnd.reindex(columns=list(bnd.columns))
+        out = out.copy()
+        out["_boundary"] = False
+        # boundary rows keep INPUT schema; resolved rows have OUTPUT
+        # schema — carry both column sets, NaN-filled crosswise
+        cols = list(dict.fromkeys([*out.columns, *bnd.columns]))
+        return pd.concat([out.reindex(columns=cols),
+                          bnd.reindex(columns=cols)], ignore_index=True)
+
+    parts = ds.sort(sort_cols).map_batches(
+        per_block, batch_format="pandas", batch_size=None)
+    parts = parts.materialize()  # pin the interior/boundary split
+    resolved = parts.filter(expr="_boundary == False").map_batches(
+        lambda df: df.drop(columns=["_boundary"]).dropna(axis=1, how="all"),
+        batch_format="pandas")
+    bdf = parts.filter(expr="_boundary == True").to_pandas()
+    if len(bdf):
+        bdf = (bdf.drop(columns=["_boundary"]).dropna(axis=1, how="all")
+               .sort_values(sort_cols, kind="stable"))
+        merged = resolve(bdf)
+    else:
+        merged = None
+    out = resolved
+    if merged is not None and len(merged):
+        out = out.union(rd.from_pandas(merged).map_batches(
+            lambda df: df, batch_format="pandas"))
+    return out
+
+
+def sorted_asof_join(left, right, *, key: str, ts: str,
+                     tiebreak: str, left_cols: list,
+                     right_cols: dict):
+    """AS-OF JOIN: for every left row, the right row of the same
+    ``key`` with the greatest ``ts`` ≤ the left row's ``ts``
+    (inclusive — SQL ``ASOF JOIN ... ON l.key = r.key AND l.ts >= r.ts``
+    semantics); left rows with no such right row are DROPPED (inner).
+
+    ``right_cols`` maps output alias → right column. Implementation:
+    union the two sides with a side marker (right sorts BEFORE left on
+    ts ties so an equal-ts right row is visible to the left row), one
+    range sort, grouped forward-fill per block, boundary keys re-filled
+    on the driver."""
+    lcols = list(left_cols)
+    rcols = dict(right_cols)
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[key, ts, tiebreak, *[c for c in lcols
+                                       if c not in (key, ts, tiebreak)]]]
+        out = out.copy()
+        out["_side"] = np.int8(1)
+        return out
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({key: df[key], ts: df[ts],
+                            tiebreak: df[tiebreak], "_side": np.int8(0)})
+        for alias, c in rcols.items():
+            out["_r_" + alias] = df[c]
+        return out
+
+    both = (left.map_batches(tag_left, batch_format="pandas")
+            .union(right.map_batches(tag_right, batch_format="pandas")))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)
+        filled = {}
+        for alias in rcols:
+            filled[alias] = g["_r_" + alias].ffill()
+        is_left = df["_side"] == 1
+        out = df.loc[is_left, lcols].copy()
+        ok = pd.Series(True, index=out.index)
+        for alias in rcols:
+            vals = filled[alias][is_left]
+            out[alias] = vals
+            ok &= vals.notna()
+        return out[ok]
+
+    return _run(both, [key, ts, "_side", tiebreak], key, resolve)
+
+
+def sessionize(ds, *, key: str, ts: str, tiebreak: str, gap,
+               value: str | None = None):
+    """Session-window aggregate: rows of one ``key`` ordered by
+    ``(ts, tiebreak)`` split into sessions wherever the gap to the
+    previous row exceeds ``gap`` (a pandas Timedelta / np.timedelta64);
+    emits one row per session: (key, session  — 1-based per key in
+    start order, n_events, session_start, session_end[, sum_value])."""
+    gap = pd.Timedelta(gap)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)
+        prev = g[ts].shift()
+        brk = (prev.isna() | ((df[ts] - prev) > gap)).astype("int64")
+        sess = brk.groupby(df[key], sort=False).cumsum()
+        keys = {key: df[key], "session": sess}
+        gb = df.assign(**keys).groupby([key, "session"], sort=False)
+        out = gb.agg(n_events=(ts, "size"),
+                     session_start=(ts, "min"),
+                     session_end=(ts, "max"),
+                     **({"sum_value": (value, "sum")} if value else {}))
+        return out.reset_index()
+
+    cols = [key, ts, tiebreak] + ([value] if value else [])
+    proj = ds.map_batches(lambda df: df[cols], batch_format="pandas")
+    out = _run(proj, [key, ts, tiebreak], key, resolve)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        # the boundary-carry concat upcasts int columns to float in
+        # blocks that mix resolved and forwarded rows — restore the
+        # declared output dtypes (values are exact ints)
+        return df.assign(session=df["session"].astype("int64"),
+                         n_events=df["n_events"].astype("int64"))
+
+    return out.map_batches(finalize, batch_format="pandas")

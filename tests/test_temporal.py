@@ -1,0 +1,118 @@
+"""Temporal operators: as-of join and sessionization vs brute-force
+pandas references, across block counts (the boundary stitch is the
+thing under test)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sigraph_ray.stages.temporal import sessionize, sorted_asof_join
+
+
+def _events(n=400, users=6, seed=9) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    ts = (pd.Timestamp("2024-01-01")
+          + pd.to_timedelta(np.sort(rng.integers(0, 3_000_000, n)), unit="s"))
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": ts,
+        "user_id": rng.integers(0, users, n).astype(np.int64),
+        "event_type": rng.choice(["click", "purchase", "view"], n),
+        "value": rng.integers(0, 10000, n) / 100.0,
+    })
+
+
+def _ref_asof(df: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for r in df[df["event_type"] == "purchase"].itertuples():
+        c = df[(df["event_type"] == "click")
+               & (df["user_id"] == r.user_id) & (df["ts"] <= r.ts)]
+        if len(c):
+            rows.append((r.event_id, r.user_id, r.ts,
+                         c.sort_values(["ts", "event_id"])
+                         .iloc[-1]["event_id"]))
+    return pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                       "click_event_id"])
+
+
+@pytest.mark.parametrize("blocks", [1, 3, 7])
+def test_asof_join_matches_bruteforce(ray_session, blocks):
+    import ray.data as rd
+
+    df = _events()
+    ds = rd.from_pandas(df).repartition(blocks)
+    got = sorted_asof_join(
+        ds.filter(expr="event_type == 'purchase'"),
+        ds.filter(expr="event_type == 'click'"),
+        key="user_id", ts="ts", tiebreak="event_id",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols={"click_event_id": "event_id"}).to_pandas()
+    got["click_event_id"] = got["click_event_id"].astype("int64")
+    want = _ref_asof(df)
+    key = ["event_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True), check_dtype=False)
+
+
+def _ref_sessions(df: pd.DataFrame, gap: str) -> pd.DataFrame:
+    gap = pd.Timedelta(gap)
+    rows = []
+    for uid, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        sess, prev = 0, None
+        agg = {}
+        for r in g.itertuples():
+            if prev is None or (r.ts - prev) > gap:
+                sess += 1
+                agg[sess] = [0, r.ts, r.ts, 0.0]
+            agg[sess][0] += 1
+            agg[sess][2] = r.ts
+            agg[sess][3] += r.value
+            prev = r.ts
+        for s, (n, st, en, sv) in agg.items():
+            rows.append((uid, s, n, st, en, sv))
+    return pd.DataFrame(rows, columns=[
+        "user_id", "session", "n_events", "session_start", "session_end",
+        "sum_value"])
+
+
+@pytest.mark.parametrize("blocks", [1, 4, 9])
+def test_sessionize_matches_bruteforce(ray_session, blocks):
+    import ray.data as rd
+
+    df = _events(seed=21)
+    ds = rd.from_pandas(df).repartition(blocks)
+    got = sessionize(ds, key="user_id", ts="ts", tiebreak="event_id",
+                     gap="6h", value="value").to_pandas()
+    want = _ref_sessions(df, "6h")
+    key = ["user_id", "session"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want,
+                                  check_dtype=False)
+
+
+def test_asof_equal_ts_inclusive(ray_session):
+    """A click at exactly the purchase's timestamp matches (SQL
+    ``p.ts >= c.ts``), and a later click never does."""
+    import ray.data as rd
+
+    t0 = pd.Timestamp("2024-05-05 12:00:00")
+    df = pd.DataFrame({
+        "event_id": np.arange(4, dtype=np.int64),
+        "ts": [t0, t0, t0 + pd.Timedelta("1h"), t0 + pd.Timedelta("2h")],
+        "user_id": np.int64(1),
+        "event_type": ["click", "purchase", "click", "purchase"],
+        "value": 1.0,
+    })
+    ds = rd.from_pandas(df)
+    got = sorted_asof_join(
+        ds.filter(expr="event_type == 'purchase'"),
+        ds.filter(expr="event_type == 'click'"),
+        key="user_id", ts="ts", tiebreak="event_id",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols={"click_event_id": "event_id"}).to_pandas()
+    m = dict(zip(got["event_id"], got["click_event_id"].astype("int64")))
+    assert m == {1: 0, 3: 2}
