@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": Q.q_events_hourly,
         "supplier_nation": Q.q_supplier_nation,
         "asof_attribution": Q.q_asof_attribution,
+        "range_join": Q.q_range_join,
         "sessionize": Q.q_sessionize,
         # text analysis (brief: token counting, quality, fingerprints)
         "text_stats": Q.q_text_stats,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": Q.SQL_EVENTS_HOURLY,
         "supplier_nation": Q.SQL_SUPPLIER_NATION,
         "asof_attribution": Q.SQL_ASOF_ATTRIBUTION,
+        "range_join": Q.SQL_RANGE_JOIN,
         "sessionize": Q.SQL_SESSIONIZE,
         "text_stats": Q.SQL_TEXT_STATS,
         "quality_scores": Q.SQL_QUALITY_SCORES,

@@ -498,6 +498,40 @@ ORDER BY p.event_id
 """
 
 
+def q_range_join(sf_dir: str):
+    """RANGE (band) JOIN (brief-named custom operator): every
+    (purchase, click) pair of one user with the click inside the 24 h
+    window before the purchase. stages/temporal.sorted_range_join —
+    vectorized composite-key searchsorted per block + boundary
+    stitch."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.temporal import sorted_range_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    return sorted_range_join(
+        purchases, clicks, key="user_id", ts="ts", tiebreak="event_id",
+        window="24h", left_cols=["event_id", "user_id", "ts"],
+        right_cols={"click_event_id": "event_id"}).map_batches(
+            lambda df: df.assign(
+                click_event_id=df["click_event_id"].astype("int64")),
+            batch_format="pandas")
+
+
+SQL_RANGE_JOIN = """
+SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
+ORDER BY p.event_id, c.event_id
+"""
+
+
 def q_sessionize(sf_dir: str):
     """Session-window aggregate (brief-named custom operator): per-user
     sessions split at >12 h gaps; one row per session with count, span

@@ -158,3 +158,90 @@ def sessionize(ds, *, key: str, ts: str, tiebreak: str, gap,
                          n_events=df["n_events"].astype("int64"))
 
     return out.map_batches(finalize, batch_format="pandas")
+
+
+# int64 headroom guard for the composite key (patched down in tests to
+# exercise the per-key fallback)
+_COMPOSITE_GUARD = 2**62
+
+
+def sorted_range_join(left, right, *, key: str, ts: str, tiebreak: str,
+                      window, left_cols: list, right_cols: dict):
+    """RANGE (band) JOIN: every (left, right) pair of the same ``key``
+    with ``right.ts`` in ``[left.ts - window, left.ts]`` (both ends
+    inclusive — SQL ``r.ts BETWEEN l.ts - window AND l.ts``). Same
+    sorted-stitch skeleton as the as-of join; the per-block expansion is
+    fully vectorized: rights arrive (key, ts)-sorted, so each left row's
+    match range is two ``searchsorted`` probes on an injective composite
+    ``key_code · scale + relative_ts`` (scale = block ts span + window;
+    falls back to per-key segment probes if the composite would overflow
+    int64 — only possible for >~10^5 keys × multi-decade spans in ONE
+    block), and the pairs expand with one repeat/arange pass.
+
+    Output volume is data-dependent (every in-window pair) — callers
+    bound it by the window size, as any band join must."""
+    window = pd.Timedelta(window)
+    lcols = list(left_cols)
+    rcols = dict(right_cols)
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[key, ts, tiebreak,
+                  *[c for c in lcols if c not in (key, ts, tiebreak)]]]
+        out = out.copy()
+        out["_side"] = np.int8(1)
+        return out
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({key: df[key], ts: df[ts],
+                            tiebreak: df[tiebreak], "_side": np.int8(0)})
+        for alias, c in rcols.items():
+            out["_r_" + alias] = df[c]
+        return out
+
+    both = (left.map_batches(tag_left, batch_format="pandas")
+            .union(right.map_batches(tag_right, batch_format="pandas")))
+    win_us = np.int64(window // pd.Timedelta("1ns"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        codes = pd.factorize(df[key], sort=True)[0].astype(np.int64)
+        # epoch NANOSECONDS regardless of the column's stored resolution
+        ts_us = (df[ts].astype("datetime64[ns]").astype("int64")
+                 .to_numpy())
+        is_left = (df["_side"] == 1).to_numpy()
+        rmask = ~is_left
+        rel = ts_us - ts_us.min()
+        scale = np.int64(rel.max() - rel.min()) + win_us + 2
+        n_codes = codes.max() + 1 if len(codes) else 0
+        if n_codes and n_codes < _COMPOSITE_GUARD // max(scale, 1):
+            comp = codes * scale + (rel - rel.min())
+            rcomp = comp[rmask]
+            lo = np.searchsorted(rcomp, comp[is_left] - win_us, "left")
+            hi = np.searchsorted(rcomp, comp[is_left], "right")
+        else:  # overflow fallback: per-key segment probes
+            rcodes, rts = codes[rmask], ts_us[rmask]
+            lo = np.empty(int(is_left.sum()), np.int64)
+            hi = np.empty_like(lo)
+            lcode, lts = codes[is_left], ts_us[is_left]
+            for i in range(len(lo)):
+                s = np.searchsorted(rcodes, lcode[i], "left")
+                e = np.searchsorted(rcodes, lcode[i], "right")
+                lo[i] = s + np.searchsorted(rts[s:e], lts[i] - win_us,
+                                            "left")
+                hi[i] = s + np.searchsorted(rts[s:e], lts[i], "right")
+        counts = hi - lo
+        rep = np.repeat(np.arange(len(lo)), counts)
+        if len(rep):
+            inner = (np.arange(len(rep))
+                     - np.repeat(np.concatenate(
+                         ([0], np.cumsum(counts)[:-1])), counts)
+                     + np.repeat(lo, counts))
+        else:
+            inner = np.empty(0, np.int64)
+        ldf = df[is_left].reset_index(drop=True)
+        rdf = df[rmask].reset_index(drop=True)
+        out = ldf.loc[rep, lcols].reset_index(drop=True)
+        for alias in rcols:
+            out[alias] = rdf["_r_" + alias].to_numpy()[inner]
+        return out
+
+    return _run(both, [key, ts, "_side", tiebreak], key, resolve)

@@ -116,3 +116,73 @@ def test_asof_equal_ts_inclusive(ray_session):
         right_cols={"click_event_id": "event_id"}).to_pandas()
     m = dict(zip(got["event_id"], got["click_event_id"].astype("int64")))
     assert m == {1: 0, 3: 2}
+
+
+def _ref_range(df: pd.DataFrame, window: str) -> pd.DataFrame:
+    w = pd.Timedelta(window)
+    rows = []
+    for r in df[df["event_type"] == "purchase"].itertuples():
+        c = df[(df["event_type"] == "click")
+               & (df["user_id"] == r.user_id)
+               & (df["ts"] >= r.ts - w) & (df["ts"] <= r.ts)]
+        for cr in c.itertuples():
+            rows.append((r.event_id, r.user_id, r.ts, cr.event_id))
+    return pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                       "click_event_id"])
+
+
+@pytest.mark.parametrize("blocks", [1, 3, 8])
+def test_range_join_matches_bruteforce(ray_session, blocks):
+    import ray.data as rd
+
+    from sigraph_ray.stages.temporal import sorted_range_join
+
+    df = _events(seed=33)
+    ds = rd.from_pandas(df).repartition(blocks)
+    got = sorted_range_join(
+        ds.filter(expr="event_type == 'purchase'"),
+        ds.filter(expr="event_type == 'click'"),
+        key="user_id", ts="ts", tiebreak="event_id", window="6h",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols={"click_event_id": "event_id"}).to_pandas()
+    got["click_event_id"] = got["click_event_id"].astype("int64")
+    want = _ref_range(df, "6h")
+    key = ["event_id", "click_event_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True), check_dtype=False)
+
+
+def test_range_join_overflow_fallback(ray_session, monkeypatch):
+    """The per-key segment fallback (used when the composite key would
+    overflow int64) produces identical pairs to the vectorized path."""
+    import ray.data as rd
+
+    import sigraph_ray.stages.temporal as T
+
+    df = _events(n=200, seed=5)
+    kw = dict(key="user_id", ts="ts", tiebreak="event_id", window="6h",
+              left_cols=["event_id", "user_id", "ts"],
+              right_cols={"click_event_id": "event_id"})
+
+    def run():
+        ds = rd.from_pandas(df).repartition(2)
+        out = T.sorted_range_join(
+            ds.filter(expr="event_type == 'purchase'"),
+            ds.filter(expr="event_type == 'click'"), **kw).to_pandas()
+        out["click_event_id"] = out["click_event_id"].astype("int64")
+        return (out.sort_values(["event_id", "click_event_id"])
+                .reset_index(drop=True))
+
+    fast = run()
+    want = (_ref_range(df, "6h")
+            .sort_values(["event_id", "click_event_id"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, want, check_dtype=False)
+    # the patch reaches the DRIVER-side boundary-key resolve (workers
+    # re-import the module unpatched), so this exercises the fallback
+    # on the boundary keys and verifies it agrees with the fast path
+    monkeypatch.setattr(T, "_COMPOSITE_GUARD", 0)
+    slow = run()
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, slow)
