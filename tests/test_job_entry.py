@@ -35,3 +35,30 @@ def test_job_runs_and_resumes(tmp_path):
     # completed ones were skipped
     assert s2["stages"]["triples"]["rows"] == s1["stages"]["triples"]["rows"]
     assert s2["stages"]["entities"]["rows"] == s1["stages"]["entities"]["rows"]
+
+
+def _run_dedup(out_dir: str) -> dict:
+    res = subprocess.run(
+        [sys.executable, "jobs/run_dedup.py", "--docs",
+         "/root/testdata/sf0.001/documents.parquet", "--out", out_dir,
+         "--concurrency", "2", "--num-cpus", "4"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def test_dedup_job_runs_and_resumes(tmp_path):
+    out = str(tmp_path / "dedupjob")
+    s1 = _run_dedup(out)
+    assert s1["stages"]["exact"]["rows"] > 0
+    # near-dup removal keeps strictly fewer docs than the corpus
+    assert 0 < s1["stages"]["kept"]["rows"] <= s1["stages"]["exact"]["rows"]
+
+    # lose one kept partition; re-submit re-creates it only
+    part = os.path.join(out, "kept", "part-00000")
+    man = os.path.join(out, "kept", "_manifest", "part-00000.json")
+    shutil.rmtree(part)
+    os.remove(man)
+    s2 = _run_dedup(out)
+    assert s2["stages"]["kept"]["rows"] == s1["stages"]["kept"]["rows"]
+    assert s2["stages"]["clusters"]["rows"] == s1["stages"]["clusters"]["rows"]
