@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation": Q.q_supplier_nation,
         "asof_attribution": Q.q_asof_attribution,
         "range_join": Q.q_range_join,
+        "approx_distinct": Q.q_approx_distinct,
         "sessionize": Q.q_sessionize,
         # text analysis (brief: token counting, quality, fingerprints)
         "text_stats": Q.q_text_stats,

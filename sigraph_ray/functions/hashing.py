@@ -116,3 +116,47 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
         return 1.0
     inter = np.intersect1d(a, b, assume_unique=True).size
     return inter / (len(a) + len(b) - inter)
+
+
+# --- HyperLogLog (mergeable distinct-count sketch) --------------------------
+
+HLL_P = 14  # 2^14 registers → ~0.8% relative error
+
+
+def hll_init(p: int = HLL_P) -> np.ndarray:
+    return np.zeros(1 << p, dtype=np.uint8)
+
+
+def hll_add_hashes(reg: np.ndarray, hs: np.ndarray, p: int = HLL_P) -> None:
+    """Fold 64-bit hashes into the register array in place — fully
+    vectorized (bucket = low p bits; rank = leading-zero count of the
+    remaining bits + 1, via log2 on the shifted value)."""
+    if not len(hs):
+        return
+    hs = hs.astype(np.uint64)
+    bucket = (hs & np.uint64((1 << p) - 1)).astype(np.int64)
+    w = hs >> np.uint64(p)
+    nbits = 64 - p
+    # rank = nbits - floor(log2(w)) for w > 0, else nbits + 1
+    wl = np.zeros(len(w), dtype=np.int64)
+    nz = w > 0
+    wl[nz] = np.frexp(w[nz].astype(np.float64))[1] - 1  # floor(log2)
+    rank = np.where(nz, nbits - wl, nbits + 1).astype(np.uint8)
+    np.maximum.at(reg, bucket, rank)
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_count(reg: np.ndarray, p: int = HLL_P) -> float:
+    """Standard HLL estimate with the small-range (linear counting)
+    correction — adequate for engine-side cardinality planning; exact
+    counts remain the oracle's job."""
+    m = float(1 << p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)

@@ -498,6 +498,21 @@ ORDER BY p.event_id
 """
 
 
+def q_approx_distinct(sf_dir: str):
+    """HLL approximate distinct (user_id, event_type) pairs — mergeable
+    sketch, no shuffle (stages/sketch). Approximate by design →
+    rows-only; the pytest gate bounds relative error vs the exact
+    distinct at 3%."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.sketch import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    est = approx_distinct(ds, ["user_id", "event_type"])
+    return pd.DataFrame({"approx_distinct_pairs": [round(est)]})
+
+
 def q_range_join(sf_dir: str):
     """RANGE (band) JOIN (brief-named custom operator): every
     (purchase, click) pair of one user with the click inside the 24 h

@@ -137,3 +137,19 @@ def test_sorted_groupby_agg_all_ops(ray_session, blocks):
     got["k"] = got["k"].astype(want["k"].dtype)
     got["n"] = got["n"].astype(want["n"].dtype)
     pd.testing.assert_frame_equal(got[["k", "sx", "mn", "mx", "n"]], want)
+
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_approx_distinct_accuracy(ray_session, blocks):
+    import ray.data as rd
+
+    from sigraph_ray.stages.sketch import approx_distinct
+
+    rng = np.random.default_rng(3)
+    n, true = 50_000, None
+    df = pd.DataFrame({"a": rng.integers(0, 4000, n),
+                       "b": rng.integers(0, 5, n)})
+    true = len(df.drop_duplicates(["a", "b"]))
+    ds = rd.from_pandas(df).repartition(blocks)
+    est = approx_distinct(ds, ["a", "b"])
+    assert abs(est - true) / true < 0.03, (est, true)
