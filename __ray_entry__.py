@@ -74,11 +74,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": Q.q_range_join,
         "approx_distinct": Q.q_approx_distinct,
         "sessionize": Q.q_sessionize,
+        "quantiles": Q.q_quantiles,
+        "top_orders_per_customer": Q.q_top_orders_per_customer,
         # text analysis (brief: token counting, quality, fingerprints)
         "text_stats": Q.q_text_stats,
         "quality_scores": Q.q_quality_scores,
         "fingerprints": Q.q_fingerprints,
         "lang_id": Q.q_lang_id,
+        "term_topk": Q.q_term_topk,
+        "stratified_sample": Q.q_stratified_sample,
         # dedup family
         "exact_dedup": Q.q_exact_dedup,
         "minhash_dedup": Q.q_minhash_dedup,
@@ -127,9 +131,13 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution": Q.SQL_ASOF_ATTRIBUTION,
         "range_join": Q.SQL_RANGE_JOIN,
         "sessionize": Q.SQL_SESSIONIZE,
+        "quantiles": Q.SQL_QUANTILES,
+        "top_orders_per_customer": Q.SQL_TOP_ORDERS_PER_CUSTOMER,
         "text_stats": Q.SQL_TEXT_STATS,
         "quality_scores": Q.SQL_QUALITY_SCORES,
         "fingerprints": Q.SQL_FINGERPRINTS,
+        "term_topk": Q.SQL_TERM_TOPK,
+        "stratified_sample": Q.SQL_STRATIFIED_SAMPLE,
         "exact_dedup": Q.SQL_EXACT_DEDUP,
         "simhash_pairs": Q.SQL_SIMHASH_PAIRS,
         "ngram_jaccard": Q.SQL_NGRAM_JACCARD,

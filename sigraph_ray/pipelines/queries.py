@@ -582,6 +582,58 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_quantiles(sf_dir: str):
+    """Exact distributed quantiles (stages/quantiles.exact_quantiles):
+    one range sort + O(#blocks) scalar probes + remote rank picks —
+    matches DuckDB quantile_disc bit-for-bit."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.quantiles import exact_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    return exact_quantiles(ds, "l_extendedprice",
+                           [0.01, 0.25, 0.5, 0.75, 0.99])
+
+
+SQL_QUANTILES = """
+SELECT CAST(0.01 AS DOUBLE) AS q,
+       quantile_disc(l_extendedprice, 0.01) AS value FROM lineitem
+UNION ALL SELECT 0.25, quantile_disc(l_extendedprice, 0.25) FROM lineitem
+UNION ALL SELECT 0.50, quantile_disc(l_extendedprice, 0.50) FROM lineitem
+UNION ALL SELECT 0.75, quantile_disc(l_extendedprice, 0.75) FROM lineitem
+UNION ALL SELECT 0.99, quantile_disc(l_extendedprice, 0.99) FROM lineitem
+ORDER BY q
+"""
+
+
+def q_top_orders_per_customer(sf_dir: str):
+    """Per-group top-k (window row_number ≤ k) via the sorted-stitch
+    grouped top-k (stages/collect.sorted_grouped_topk): one range sort,
+    vectorized per-block head(k)+rank, boundary-key stitch capped at
+    #blocks × 2 × k rows."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_grouped_topk
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    return sorted_grouped_topk(orders, key="o_custkey",
+                               order_by=["o_totalprice", "o_orderkey"],
+                               descending=[True, False], k=2)
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders)
+WHERE rank <= 2 ORDER BY o_custkey, rank
+"""
+
+
 def q_supplier_nation(sf_dir: str):
     """Two-level broadcast join through a snowflake dimension chain."""
     import ray
@@ -686,6 +738,51 @@ SQL_FINGERPRINTS = r"""
 SELECT doc_id,
        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
 FROM documents ORDER BY doc_id
+"""
+
+
+def q_term_topk(sf_dir: str):
+    """Global vocabulary heavy hitters (exact top-50 terms):
+    stages/textstats.term_topk — per-batch count partials + stitch sum
+    + two-phase deterministic top-k."""
+    import ray.data as rd
+
+    from sigraph_ray.stages import textstats as TS
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return TS.term_topk(ds, k=50)
+
+
+SQL_TERM_TOPK = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents)
+SELECT term, count(*) AS freq FROM tok
+GROUP BY term ORDER BY freq DESC, term LIMIT 50
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified holdout sample
+    (stages/sample.stratified_hash_sample): md5-nibble buckets, en kept
+    at 2/16 and minority languages oversampled at 4/16 — a pure
+    function of doc_id, identical at every parallelism level."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.sample import stratified_hash_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return stratified_hash_sample(ds, key="doc_id", stratum="lang",
+                                  buckets={"en": 2}, default_buckets=4)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE strpos('0123456789abcdef',
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+      < CASE WHEN lang = 'en' THEN 2 ELSE 4 END
+ORDER BY doc_id
 """
 
 

@@ -195,6 +195,53 @@ def sorted_groupby_sum(ds, *, key: str, sum_cols: dict[str, str]):
         ds, key=key, aggs={a: (c, "sum") for a, c in sum_cols.items()})
 
 
+def sorted_grouped_topk(ds, *, key: str, order_by: list[str],
+                        descending: list[bool], k: int,
+                        rank_col: str = "rank"):
+    """Per-key top-k rows with ranks — SQL
+    ``row_number() OVER (PARTITION BY key ORDER BY ...) <= k`` — on the
+    sorted-stitch skeleton: one range sort by ``(key, *order_by)``
+    (with the requested per-column direction), a vectorized
+    ``head(k)`` + cumcount rank per block, and a driver stitch of only
+    the boundary KEYS' fragments. Every fragment is already capped at
+    ``k`` rows, so the stitch holds at most ``#blocks × 2 × k`` rows
+    regardless of group sizes — no degenerate-key cliff.
+
+    ``order_by`` should end in a unique tiebreak column so ranks are
+    deterministic across parallelism levels."""
+    import ray.data as rd
+
+    cols = [key, *order_by]
+    asc = [not d for d in descending]
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(**{rank_col: pd.Series(dtype="int64"),
+                                "boundary": pd.Series(dtype="bool")})
+        top = df.groupby(key, sort=False).head(k).copy()
+        top[rank_col] = top.groupby(key, sort=False).cumcount() + 1
+        first, last = df[key].iloc[0], df[key].iloc[-1]
+        top["boundary"] = (top[key] == first) | (top[key] == last)
+        return top
+
+    parts = ds.sort(cols, descending=[False, *descending]).map_batches(
+        per_block, batch_format="pandas", batch_size=None)
+    parts = parts.materialize()  # pin the interior/boundary split
+    interior = parts.filter(expr="boundary == False").map_batches(
+        lambda df: df.drop(columns=["boundary"]), batch_format="pandas")
+    bdf = parts.filter(expr="boundary == True").to_pandas()
+    if len(bdf):
+        bdf = bdf.sort_values(cols, ascending=[True, *asc], kind="stable")
+        merged = bdf.groupby(key, sort=False).head(k).copy()
+        merged[rank_col] = merged.groupby(key, sort=False).cumcount() + 1
+        merged = merged.drop(columns=["boundary"])
+    else:
+        merged = bdf.drop(columns=["boundary"])
+    return interior.union(
+        rd.from_pandas(merged).map_batches(lambda df: df,
+                                           batch_format="pandas"))
+
+
 def sorted_distinct(ds, keys: list[str]):
     """DISTINCT over ``keys`` via one range sort + per-block vectorized
     drop_duplicates + a driver-side stitch of the O(#blocks) boundary

@@ -163,3 +163,42 @@ class LangId:
 def lang_id(ds, *, concurrency: int = 2, **kw):
     return ds.map_batches(LangId, batch_format="pandas",
                           fn_constructor_kwargs=kw, concurrency=concurrency)
+
+
+# token for the vocabulary operator = maximal [a-z0-9]+ run of
+# lower(text) — identical to the DuckDB oracle's
+# regexp_extract_all(lower(text), '[a-z0-9]+')
+_WORD_RE = r"[a-z0-9]+"
+
+
+def term_topk(ds, *, k: int = 50, text_col: str = "text") -> pd.DataFrame:
+    """Global top-k vocabulary terms (exact heavy hitters): per-batch
+    tokenize + count partials (at most |batch vocabulary| rows per
+    batch reach the shuffle), grouped sum on the sorted-stitch
+    operator, then a two-phase deterministic top-k
+    (freq DESC, term ASC). The corpus never materializes anywhere —
+    only per-batch vocabularies and the k-row partial tops move."""
+    import re
+
+    from sigraph_ray.stages.collect import sorted_groupby_sum
+
+    rx = re.compile(_WORD_RE)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        vc = (df[text_col].str.lower().str.findall(rx)
+              .explode().dropna().value_counts())
+        return pa.table({"term": vc.index.astype(str),
+                         "cnt": vc.to_numpy().astype("int64")})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    agg = sorted_groupby_sum(parts, key="term", sum_cols={"freq": "cnt"})
+
+    def ptop(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["freq", "term"],
+                              ascending=[False, True]).head(k)
+
+    partials = agg.map_batches(ptop, batch_format="pandas").to_pandas()
+    out = (partials.sort_values(["freq", "term"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    out["freq"] = out["freq"].astype("int64")
+    return out

@@ -1,0 +1,126 @@
+"""Unit tests for the round-3 additions: exact distributed quantiles,
+grouped top-k on the sorted stitch, vocabulary heavy hitters, and
+deterministic stratified sampling — each forced through multi-block
+layouts so the boundary/stitch paths are exercised."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sigraph_ray.stages.collect import sorted_grouped_topk
+from sigraph_ray.stages.quantiles import exact_quantiles
+from sigraph_ray.stages.sample import stratified_hash_sample
+from sigraph_ray.stages.textstats import term_topk
+
+QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+def _disc(values: np.ndarray, q: float) -> float:
+    """DuckDB quantile_disc reference: idx = max(0, ceil(q*n) - 1)."""
+    v = np.sort(values)
+    n = len(v)
+    return v[min(max(0, math.ceil(q * n) - 1), n - 1)]
+
+
+@pytest.mark.parametrize("blocks", [1, 4, 9])
+def test_exact_quantiles_matches_disc_rule(ray_session, blocks):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.normal(100.0, 25.0, size=5000), 2)
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(blocks)
+    out = exact_quantiles(ds, "x", QS)
+    assert list(out["q"]) == QS
+    for q, got in zip(out["q"], out["value"]):
+        assert got == _disc(vals, q), q
+
+
+def test_exact_quantiles_constant_column(ray_session):
+    """Blocks with identical (first, last) signatures — the ambiguous
+    block-order case — must still select the single repeated value."""
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({"x": np.full(600, 3.5)})).repartition(5)
+    out = exact_quantiles(ds, "x", [0.1, 0.9])
+    assert list(out["value"]) == [3.5, 3.5]
+
+
+@pytest.mark.parametrize("blocks,k", [(1, 2), (5, 2), (8, 3)])
+def test_sorted_grouped_topk_matches_pandas(ray_session, blocks, k):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 60, size=900),
+        "score": np.round(rng.random(900) * 100, 3),
+        "uid": np.arange(900),
+    })
+    want = df.sort_values(["g", "score", "uid"],
+                          ascending=[True, False, True]).copy()
+    want["rank"] = want.groupby("g").cumcount() + 1
+    want = want[want["rank"] <= k].reset_index(drop=True)
+
+    ds = rd.from_pandas(df.sample(frac=1, random_state=2)).repartition(blocks)
+    got = sorted_grouped_topk(ds, key="g", order_by=["score", "uid"],
+                              descending=[True, False], k=k).to_pandas()
+    got = got.sort_values(["g", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["g", "score", "uid", "rank"]],
+        want[["g", "score", "uid", "rank"]], check_dtype=False)
+
+
+def test_sorted_grouped_topk_hot_key(ray_session):
+    """One group spanning every block: fragments stitch to the true
+    global top-k, and small groups keep all their rows."""
+    import ray.data as rd
+
+    df = pd.DataFrame({"g": ["hot"] * 400 + ["cold"],
+                       "score": list(range(400)) + [5],
+                       "uid": range(401)})
+    ds = rd.from_pandas(df.sample(frac=1, random_state=3)).repartition(7)
+    got = sorted_grouped_topk(ds, key="g", order_by=["score", "uid"],
+                              descending=[True, False], k=3).to_pandas()
+    hot = got[got["g"] == "hot"].sort_values("rank")
+    assert list(hot["score"]) == [399, 398, 397]
+    assert len(got[got["g"] == "cold"]) == 1
+
+
+def test_term_topk_matches_pandas(ray_session):
+    import ray.data as rd
+
+    docs = pd.DataFrame({"text": [
+        "The cat and the dog", "Dog eats dog world", "a A a b B c",
+        "numbers 42 42 42 and words", ""] * 10})
+    want = (docs["text"].str.lower().str.findall(r"[a-z0-9]+")
+            .explode().dropna().value_counts())
+    want = (want.rename_axis("term").reset_index(name="freq")
+            .sort_values(["freq", "term"], ascending=[False, True])
+            .head(5).reset_index(drop=True))
+    ds = rd.from_pandas(docs).repartition(4)
+    got = term_topk(ds, k=5).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stratified_sample_deterministic_and_stratified(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"doc_id": np.arange(4000),
+                       "lang": ["en", "de", "fr", "en"] * 1000})
+    outs = []
+    for blocks in (1, 6):
+        ds = rd.from_pandas(df).repartition(blocks)
+        out = stratified_hash_sample(
+            ds, key="doc_id", stratum="lang",
+            buckets={"en": 2}, default_buckets=4).to_pandas()
+        outs.append(out.sort_values("doc_id").reset_index(drop=True))
+    # identical rows at every block layout (pure function of the key)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    rates = outs[0]["lang"].value_counts() / df["lang"].value_counts()
+    # en ≈ 2/16, minority ≈ 4/16 (binomial tolerance)
+    assert abs(rates["en"] - 2 / 16) < 0.04
+    assert abs(rates["de"] - 4 / 16) < 0.06
+    assert abs(rates["fr"] - 4 / 16) < 0.06
