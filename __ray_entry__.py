@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": Q.q_fingerprints,
         "lang_id": Q.q_lang_id,
         "term_topk": Q.q_term_topk,
+        "tfidf_keywords": Q.q_tfidf_keywords,
         "stratified_sample": Q.q_stratified_sample,
         # dedup family
         "exact_dedup": Q.q_exact_dedup,
@@ -137,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": Q.SQL_QUALITY_SCORES,
         "fingerprints": Q.SQL_FINGERPRINTS,
         "term_topk": Q.SQL_TERM_TOPK,
+        "tfidf_keywords": Q.SQL_TFIDF_KEYWORDS,
         "stratified_sample": Q.SQL_STRATIFIED_SAMPLE,
         "exact_dedup": Q.SQL_EXACT_DEDUP,
         "simhash_pairs": Q.SQL_SIMHASH_PAIRS,

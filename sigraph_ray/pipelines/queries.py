@@ -762,6 +762,42 @@ GROUP BY term ORDER BY freq DESC, term LIMIT 50
 """
 
 
+def q_tfidf_keywords(sf_dir: str):
+    """Per-document top-3 TF-IDF keywords
+    (stages/textstats.tfidf_topk): stitch-summed document frequencies
+    (vocab-sized, the only wide op), broadcast idf table, actor-pool
+    scoring. Scores rounded to 6 dp before ranking on BOTH sides so
+    float rank ties resolve identically."""
+    import ray.data as rd
+
+    from sigraph_ray.stages import textstats as TS
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return TS.tfidf_topk(ds, k=3, concurrency=_conc())
+
+
+SQL_TFIDF_KEYWORDS = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((SELECT n FROM n) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term)),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, term, tfidf, rank FROM ranked
+WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic stratified holdout sample
     (stages/sample.stratified_hash_sample): md5-nibble buckets, en kept

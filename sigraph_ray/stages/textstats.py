@@ -202,3 +202,99 @@ def term_topk(ds, *, k: int = 50, text_col: str = "text") -> pd.DataFrame:
            .head(k).reset_index(drop=True))
     out["freq"] = out["freq"].astype("int64")
     return out
+
+
+class TfIdfScorer:
+    """Actor-pool TF-IDF scorer: the (vocabulary-sized) document-
+    frequency table is fetched from the object store ONCE per actor in
+    ``__init__`` (zero-copy ``ray.get`` of a broadcast Arrow table) and
+    turned into a term→idf Series; ``__call__`` scores one batch of
+    documents vectorized. At 100 TB the vocab table is ~10⁷ terms
+    (hundreds of MB) — still broadcastable; beyond that swap the
+    broadcast for a hash join on ``term``."""
+
+    def __init__(self, *, df_ref, n_docs: int, k: int,
+                 text_col: str, id_col: str):
+        import re
+
+        import ray
+
+        t = ray.get(df_ref).to_pandas()
+        # idf = ln(N / df) — identical expression to the SQL oracle
+        self.idf = pd.Series(
+            np.log(float(n_docs) / t["df"].to_numpy(dtype="float64")),
+            index=t["term"])
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+        self.rx = re.compile(_WORD_RE)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            self.id_col: pd.Series(dtype="int64"),
+            "term": pd.Series(dtype="object"),
+            "tfidf": pd.Series(dtype="float64"),
+            "rank": pd.Series(dtype="int64")})
+        if len(df) == 0:
+            return empty
+        ex = (df[self.text_col].str.lower().str.findall(self.rx)
+              .explode().dropna())
+        if len(ex) == 0:
+            return empty
+        tf = (pd.DataFrame({"rid": ex.index, "term": ex.to_numpy()})
+              .groupby(["rid", "term"], sort=False).size()
+              .reset_index(name="tf"))
+        # scores rounded to 6 dp BEFORE ranking (the oracle does the
+        # same) so rank ties resolve by term identically on both sides
+        # even when ln() differs by 1 ulp between libm implementations
+        tf["tfidf"] = np.round(
+            tf["tf"].to_numpy(dtype="float64")
+            * self.idf.reindex(tf["term"]).to_numpy(), 6)
+        tf = tf.sort_values(["rid", "tfidf", "term"],
+                            ascending=[True, False, True], kind="stable")
+        top = tf.groupby("rid", sort=False).head(self.k).copy()
+        top["rank"] = top.groupby("rid", sort=False).cumcount() + 1
+        top[self.id_col] = df[self.id_col].to_numpy()[
+            top["rid"].to_numpy()]
+        return top[[self.id_col, "term", "tfidf", "rank"]]
+
+
+def tfidf_topk(ds, *, k: int = 3, text_col: str = "text",
+               id_col: str = "doc_id", concurrency: int = 2):
+    """Per-document top-k TF-IDF keyword extraction. Two passes over
+    the corpus, zero corpus-sized shuffles: (1) per-batch DISTINCT
+    (doc, term) partials → stitch-summed document frequencies (the only
+    wide op, vocabulary-sized); (2) the df table is broadcast and an
+    actor pool re-tokenizes + scores each batch locally (a document is
+    one row, so tf is batch-exact)."""
+    import ray
+    import ray.data as rd
+    import re
+
+    from sigraph_ray.stages.collect import sorted_groupby_sum
+
+    rx = re.compile(_WORD_RE)
+
+    def df_partial(df: pd.DataFrame) -> pa.Table:
+        ex = (df[text_col].str.lower().str.findall(rx)
+              .explode().dropna())
+        d = pd.DataFrame({"rid": ex.index,
+                          "term": ex.to_numpy()}).drop_duplicates()
+        vc = d["term"].value_counts()
+        return pa.table({"term": vc.index.astype(str),
+                         "cnt": vc.to_numpy().astype("int64")})
+
+    n_docs = ds.count()
+    dfds = sorted_groupby_sum(ds.map_batches(df_partial,
+                                             batch_format="pandas"),
+                              key="term", sum_cols={"df": "cnt"})
+    # vocabulary-sized driver collect + zero-copy broadcast (see
+    # TfIdfScorer docstring for the 100 TB bound)
+    vocab = dfds.to_pandas()
+    vocab["df"] = vocab["df"].astype("int64")
+    df_ref = ray.put(pa.Table.from_pandas(vocab, preserve_index=False))
+    return ds.map_batches(
+        TfIdfScorer, batch_format="pandas", concurrency=concurrency,
+        fn_constructor_kwargs={"df_ref": df_ref, "n_docs": n_docs,
+                               "k": k, "text_col": text_col,
+                               "id_col": id_col})

@@ -124,3 +124,49 @@ def test_stratified_sample_deterministic_and_stratified(ray_session):
     assert abs(rates["en"] - 2 / 16) < 0.04
     assert abs(rates["de"] - 4 / 16) < 0.06
     assert abs(rates["fr"] - 4 / 16) < 0.06
+
+
+def test_tfidf_topk_hand_checked(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import tfidf_topk
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["apple apple banana", "banana cherry", "cherry cherry date"],
+    })
+    out = (tfidf_topk(rd.from_pandas(docs).repartition(3), k=2)
+           .to_pandas().sort_values(["doc_id", "rank"])
+           .reset_index(drop=True))
+    # df: apple 1, banana 2, cherry 2, date 1; N=3
+    top1 = out[out["doc_id"] == 1]
+    assert list(top1["term"]) == ["apple", "banana"]
+    assert top1["tfidf"].iloc[0] == pytest.approx(2 * math.log(3 / 1), abs=1e-6)
+    # doc 3: date tf=1 df=1 → ln 3 ≈ 1.099 beats cherry tf=2 df=2 →
+    # 2·ln 1.5 ≈ 0.811
+    top3 = out[out["doc_id"] == 3]
+    assert list(top3["term"]) == ["date", "cherry"]
+    assert top3["tfidf"].iloc[0] == pytest.approx(math.log(3.0), abs=1e-6)
+
+
+def test_tfidf_topk_block_invariant(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import tfidf_topk
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(60),
+        "text": [" ".join(rng.choice(vocab, size=rng.integers(5, 25)))
+                 for _ in range(60)],
+    })
+    outs = []
+    for blocks in (1, 5):
+        out = (tfidf_topk(rd.from_pandas(docs).repartition(blocks), k=3)
+               .to_pandas().sort_values(["doc_id", "rank"])
+               .reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
