@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": Q.q_sessionize,
         "quantiles": Q.q_quantiles,
         "top_orders_per_customer": Q.q_top_orders_per_customer,
+        "sliding_window": Q.q_sliding_window,
         # text analysis (brief: token counting, quality, fingerprints)
         "text_stats": Q.q_text_stats,
         "quality_scores": Q.q_quality_scores,
@@ -134,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": Q.SQL_SESSIONIZE,
         "quantiles": Q.SQL_QUANTILES,
         "top_orders_per_customer": Q.SQL_TOP_ORDERS_PER_CUSTOMER,
+        "sliding_window": Q.SQL_SLIDING_WINDOW,
         "text_stats": Q.SQL_TEXT_STATS,
         "quality_scores": Q.SQL_QUALITY_SCORES,
         "fingerprints": Q.SQL_FINGERPRINTS,

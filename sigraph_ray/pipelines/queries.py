@@ -634,6 +634,33 @@ WHERE rank <= 2 ORDER BY o_custkey, rank
 """
 
 
+def q_sliding_window(sf_dir: str):
+    """Sliding RANGE-preceding window aggregate (brief-named custom
+    operator): per-user count + value sum over the trailing 1 h at
+    every event. stages/temporal.sliding_window_agg — sorted stitch +
+    two searchsorted probes + prefix-sum difference per row."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.temporal import sliding_window_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    return sliding_window_agg(ev, key="user_id", ts="ts",
+                              tiebreak="event_id", window="1h",
+                              value="value")
+
+
+SQL_SLIDING_WINDOW = """
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_window,
+       sum(value) OVER w AS sum_value_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 def q_supplier_nation(sf_dir: str):
     """Two-level broadcast join through a snowflake dimension chain."""
     import ray

@@ -245,3 +245,57 @@ def sorted_range_join(left, right, *, key: str, ts: str, tiebreak: str,
         return out
 
     return _run(both, [key, ts, "_side", tiebreak], key, resolve)
+
+
+def sliding_window_agg(ds, *, key: str, ts: str, tiebreak: str,
+                       window, value: str):
+    """Sliding (RANGE-preceding) window aggregate: for every row,
+    count and sum over the SAME key's rows with ``ts`` in
+    ``[row.ts - window, row.ts]`` — SQL
+    ``count(*)/sum(value) OVER (PARTITION BY key ORDER BY ts RANGE
+    BETWEEN window PRECEDING AND CURRENT ROW)`` (RANGE frames include
+    all equal-ts peers, matched here by probing ``ts`` bounds, not row
+    position). Same sorted-stitch skeleton and injective composite
+    searchsorted as :func:`sorted_range_join`; per-row work is two
+    binary-search probes + a prefix-sum difference — no pair expansion,
+    so output is exactly one row per input row."""
+    window = pd.Timedelta(window)
+    win_ns = np.int64(window // pd.Timedelta("1ns"))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        codes = pd.factorize(df[key], sort=True)[0].astype(np.int64)
+        ts_ns = (df[ts].astype("datetime64[ns]").astype("int64")
+                 .to_numpy())
+        rel = ts_ns - ts_ns.min()
+        scale = np.int64(rel.max()) + win_ns + 2
+        n_codes = codes.max() + 1 if len(codes) else 0
+        if n_codes and n_codes < _COMPOSITE_GUARD // max(scale, 1):
+            comp = codes * scale + rel
+            lo = np.searchsorted(comp, comp - win_ns, "left")
+            hi = np.searchsorted(comp, comp, "right")
+        else:  # overflow fallback: per-row segment probes
+            lo = np.empty(len(df), np.int64)
+            hi = np.empty_like(lo)
+            for i in range(len(df)):
+                s = np.searchsorted(codes, codes[i], "left")
+                e = np.searchsorted(codes, codes[i], "right")
+                lo[i] = s + np.searchsorted(ts_ns[s:e],
+                                            ts_ns[i] - win_ns, "left")
+                hi[i] = s + np.searchsorted(ts_ns[s:e], ts_ns[i],
+                                            "right")
+        vals = df[value].to_numpy(dtype="float64")
+        csum = np.concatenate(([0.0], np.cumsum(vals)))
+        out = df[[tiebreak, key, ts]].copy()
+        out["n_window"] = (hi - lo).astype("int64")
+        out["sum_value_window"] = csum[hi] - csum[lo]
+        return out
+
+    proj = ds.map_batches(lambda df: df[[key, ts, tiebreak, value]],
+                          batch_format="pandas")
+    out = _run(proj, [key, ts, tiebreak], key, resolve)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        # mixed resolved/boundary blocks upcast the count to float
+        return df.assign(n_window=df["n_window"].astype("int64"))
+
+    return out.map_batches(finalize, batch_format="pandas")

@@ -170,3 +170,35 @@ def test_tfidf_topk_block_invariant(ray_session):
                .reset_index(drop=True))
         outs.append(out)
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_sliding_window_peers_and_hot_key(ray_session):
+    """RANGE frames include equal-ts peers (even later by tiebreak),
+    and a key spanning every block resolves exactly in the stitch."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.temporal import sliding_window_agg
+
+    base = pd.Timestamp("2026-01-01")
+    hr = pd.Timedelta("1h")
+    df = pd.DataFrame({
+        "k": ["u"] * 5 + ["w"] * 200,
+        "ts": [base, base + hr / 2, base + hr / 2, base + 2 * hr,
+               base + 2 * hr + pd.Timedelta("1us")]
+        + [base + i * pd.Timedelta("10min") for i in range(200)],
+        "uid": range(205),
+        "v": [1.0] * 5 + [2.0] * 200,
+    })
+    got = (sliding_window_agg(
+        rd.from_pandas(df.sample(frac=1, random_state=4)).repartition(6),
+        key="k", ts="ts", tiebreak="uid", window="1h", value="v")
+        .to_pandas().sort_values("uid").reset_index(drop=True))
+    u = got[got["k"] == "u"]
+    # row0: itself; rows 1-2: equal-ts peers BOTH counted for BOTH rows
+    # (+ row0 in window); row3: only itself (gap > 1h from peers at
+    # +30min? no — 2h-0.5h = 1.5h > 1h ⇒ only itself); row4: row3+itself
+    assert list(u["n_window"]) == [1, 3, 3, 1, 2]
+    w = got[got["k"] == "w"]
+    # trailing 1h at 10min cadence: ramps 1..7 then stays 7 (inclusive)
+    assert list(w["n_window"][:8]) == [1, 2, 3, 4, 5, 6, 7, 7]
+    assert w["sum_value_window"].iloc[-1] == pytest.approx(14.0)
