@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles": Q.q_quantiles,
         "top_orders_per_customer": Q.q_top_orders_per_customer,
         "sliding_window": Q.q_sliding_window,
+        "customers_without_orders": Q.q_customers_without_orders,
+        "quality_filtered": Q.q_quality_filtered,
         # text analysis (brief: token counting, quality, fingerprints)
         "text_stats": Q.q_text_stats,
         "quality_scores": Q.q_quality_scores,
@@ -136,6 +138,8 @@ def oracle_sql() -> dict[str, str]:
         "quantiles": Q.SQL_QUANTILES,
         "top_orders_per_customer": Q.SQL_TOP_ORDERS_PER_CUSTOMER,
         "sliding_window": Q.SQL_SLIDING_WINDOW,
+        "customers_without_orders": Q.SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "quality_filtered": Q.SQL_QUALITY_FILTERED,
         "text_stats": Q.SQL_TEXT_STATS,
         "quality_scores": Q.SQL_QUALITY_SCORES,
         "fingerprints": Q.SQL_FINGERPRINTS,

@@ -661,6 +661,64 @@ ORDER BY event_id
 """
 
 
+def q_customers_without_orders(sf_dir: str):
+    """ANTI JOIN (NOT IN): customers with no big order (> 400 k) —
+    stages/joins.broadcast_semi_anti over the distinct probe-key set
+    (stitch-distinct → one sorted array → zero-copy broadcast →
+    per-batch searchsorted membership). The probe side is filtered at
+    the read (predicate pushdown) before the distinct."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.joins import broadcast_semi_anti
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"]).filter(
+            expr="o_totalprice > 400000")
+    return broadcast_semi_anti(cust, orders, left_key="c_custkey",
+                               right_key="o_custkey", anti=True)
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+ORDER BY c_custkey
+"""
+
+
+def q_quality_filtered(sf_dir: str):
+    """Percentile-threshold corpus filter (operator COMPOSITION:
+    text_stats → exact_quantiles → broadcast-scalar filter): keep
+    documents whose token count is at or above the corpus median —
+    the global-statistic-then-filter shape every quality-pruning
+    pipeline needs, in two passes and one tiny driver scalar."""
+    import ray.data as rd
+
+    from sigraph_ray.stages import textstats as TS
+    from sigraph_ray.stages.quantiles import exact_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    stats = TS.text_stats(ds).map_batches(
+        lambda df: df[["doc_id", "n_tokens"]],
+        batch_format="pandas").materialize()
+    median = int(exact_quantiles(stats, "n_tokens", [0.5])["value"][0])
+    return stats.filter(expr=f"n_tokens >= {median}")
+
+
+SQL_QUALITY_FILTERED = r"""
+WITH s AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens FROM s
+WHERE n_tokens >= (SELECT quantile_disc(n_tokens, 0.5) FROM s)
+ORDER BY doc_id
+"""
+
+
 def q_supplier_nation(sf_dir: str):
     """Two-level broadcast join through a snowflake dimension chain."""
     import ray

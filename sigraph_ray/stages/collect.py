@@ -265,9 +265,12 @@ def sorted_distinct(ds, keys: list[str]):
     interior = parts.filter(expr="boundary == False").map_batches(
         lambda df: df.drop(columns=["boundary"]), batch_format="pandas")
     bdf = parts.filter(expr="boundary == True").to_pandas()
-    merged = (bdf.drop(columns=["boundary"])
+    # errors="ignore": an EMPTY input dataset never runs per_block, so
+    # the collected frame has no boundary column at all
+    merged = (bdf.drop(columns=["boundary"], errors="ignore")
               .sort_values(keys, kind="stable").drop_duplicates(keys)
-              if len(bdf) else bdf.drop(columns=["boundary"]))
+              if len(bdf)
+              else bdf.drop(columns=["boundary"], errors="ignore"))
     return interior.union(
         rd.from_pandas(merged).map_batches(lambda df: df,
                                            batch_format="pandas"))

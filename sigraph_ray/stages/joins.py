@@ -89,3 +89,39 @@ def safe_join(left, right, join_type: str, num_partitions: int,
                      on=on, right_on=right_on,
                      aggregator_ray_remote_args=_aggregator_args(
                          num_partitions))
+
+
+def broadcast_semi_anti(left, right, *, left_key: str, right_key: str,
+                        anti: bool = False):
+    """Broadcast SEMI (``anti=False``) or ANTI (``anti=True``) join:
+    keep left rows whose key does / does not appear in ``right``.
+
+    The probe side is reduced to its DISTINCT key set first
+    (``sorted_distinct`` — one range sort, vectorized per-block dedup),
+    sorted into one numpy array, ``ray.put`` once, and membership-tested
+    per batch with a zero-copy ``searchsorted``. Bound, documented per
+    the brief: the probe side's DISTINCT key set must fit the object
+    store as one array (10⁹ int64 keys = 8 GB — fine for dimension /
+    id-set probes at 100 TB); beyond that, hash-partition both sides
+    and run the per-partition anti locally instead."""
+    import numpy as np
+    import ray
+
+    from sigraph_ray.stages.collect import sorted_distinct
+
+    kdf = sorted_distinct(right, [right_key]).to_pandas()
+    # an empty probe side comes back schema-less from the stitch
+    keys = (kdf[right_key].to_numpy() if right_key in kdf.columns
+            else np.empty(0))
+    keys_ref = ray.put(np.sort(keys))
+
+    def probe(df):
+        ks = ray.get(keys_ref)
+        if len(ks) == 0:
+            hit = np.zeros(len(df), dtype=bool)
+        else:
+            v = df[left_key].to_numpy()
+            hit = ks[np.searchsorted(ks, v).clip(max=len(ks) - 1)] == v
+        return df[~hit] if anti else df[hit]
+
+    return left.map_batches(probe, batch_format="pandas")

@@ -202,3 +202,26 @@ def test_sliding_window_peers_and_hot_key(ray_session):
     # trailing 1h at 10min cadence: ramps 1..7 then stays 7 (inclusive)
     assert list(w["n_window"][:8]) == [1, 2, 3, 4, 5, 6, 7, 7]
     assert w["sum_value_window"].iloc[-1] == pytest.approx(14.0)
+
+
+def test_broadcast_semi_anti_modes(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.joins import broadcast_semi_anti
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3, 4, 5], "v": list("abcde")}))
+    right = rd.from_pandas(pd.DataFrame({"rk": [2, 4, 4, 9]}))
+    semi = broadcast_semi_anti(left, right, left_key="k",
+                               right_key="rk").to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    anti = broadcast_semi_anti(left, right, left_key="k",
+                               right_key="rk", anti=True).to_pandas()
+    assert sorted(anti["k"]) == [1, 3, 5]
+    # empty probe side: semi keeps nothing, anti keeps everything
+    empty = rd.from_pandas(pd.DataFrame({"rk": pd.Series(dtype="int64")}))
+    assert len(broadcast_semi_anti(left, empty, left_key="k",
+                                   right_key="rk").to_pandas()) == 0
+    assert len(broadcast_semi_anti(left, empty, left_key="k",
+                                   right_key="rk",
+                                   anti=True).to_pandas()) == 5
