@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": Q.q_fingerprints,
         "lang_id": Q.q_lang_id,
         "term_topk": Q.q_term_topk,
+        "approx_term_topk": Q.q_approx_term_topk,
         "tfidf_keywords": Q.q_tfidf_keywords,
         "stratified_sample": Q.q_stratified_sample,
         # dedup family

@@ -883,6 +883,19 @@ WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+def q_approx_term_topk(sf_dir: str):
+    """Count-Min-sketch heavy hitters over the document vocabulary —
+    the approximate, shuffle-free tier under `term_topk` (rows-only:
+    estimates overcount by design; the pytest gate compares against
+    the exact operator on Zipf data)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.sketch import approx_heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return approx_heavy_hitters(ds, "text", k=20, tokenize=True)
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic stratified holdout sample
     (stages/sample.stratified_hash_sample): md5-nibble buckets, en kept

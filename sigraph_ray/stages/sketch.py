@@ -42,3 +42,75 @@ def approx_distinct(ds, cols: list[str], *, p: int = H.HLL_P) -> float:
     for row in sketches:
         reg = H.hll_merge(reg, np.frombuffer(row["sketch"], dtype=np.uint8))
     return H.hll_count(reg, p)
+
+
+# fixed odd 64-bit mixing seeds — one per count-min row; constants, so
+# sketches built on any worker/process merge exactly
+_CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                      dtype=np.uint64)
+
+
+def approx_heavy_hitters(ds, col: str, *, k: int = 20, w: int = 4096,
+                         d: int = 4, m: int = 256,
+                         tokenize: bool = False) -> pd.DataFrame:
+    """Approximate top-k heavy hitters via a Count-Min sketch (the
+    approximate tier under the exact ``textstats.term_topk``): every
+    block emits ONE fixed-size (d×w int64) sketch plus its local
+    top-``m`` candidate values; sketches merge by element-wise sum
+    (associative → partition-layout-independent counts), candidates by
+    set union; the driver queries the merged sketch for each candidate
+    and keeps the top ``k`` by estimated frequency (freq DESC, value
+    ASC). Driver work is O(#blocks × (d·w + m)) — the bounded-stitch
+    class; no shuffle anywhere. Estimates overcount by ≤ εN with
+    ε ≈ e/w (classic CM bound); a true top-k value missing from every
+    block's local top-m is the (Zipf-unlikely) miss mode — raise ``m``
+    for flat distributions."""
+    import re
+
+    rx = re.compile(r"[a-z0-9]+") if tokenize else None
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        if tokenize:
+            vals = (df[col].str.lower().str.findall(rx)
+                    .explode().dropna())
+        else:
+            vals = df[col].astype(str)
+        vc = vals.value_counts()
+        uniq = vc.index.to_numpy(dtype=object)
+        cnts = vc.to_numpy().astype(np.int64)
+        hs = H.splitmix64(pd.util.hash_pandas_object(
+            pd.Series(uniq, dtype="object"),
+            index=False).to_numpy().astype(np.uint64))
+        cms = np.zeros((d, w), dtype=np.int64)
+        for i in range(d):
+            idx = (H.splitmix64(hs ^ _CMS_SEEDS[i])
+                   % np.uint64(w)).astype(np.int64)
+            np.add.at(cms[i], idx, cnts)
+        cand = [str(v) for v in uniq[:m]]  # value_counts is desc-sorted
+        return pd.DataFrame({"sketch": [cms.tobytes()],
+                             "cands": [cand]})
+
+    parts = ds.map_batches(per_block, batch_format="pandas",
+                           batch_size=None).take_all()
+    if not parts:
+        return pd.DataFrame({"value": pd.Series(dtype="object"),
+                             "est_freq": pd.Series(dtype="int64")})
+    cms = np.zeros((d, w), dtype=np.int64)
+    cands: set[str] = set()
+    for row in parts:
+        cms += np.frombuffer(row["sketch"], dtype=np.int64).reshape(d, w)
+        cands.update(row["cands"])
+    cand_arr = np.array(sorted(cands), dtype=object)
+    hs = H.splitmix64(pd.util.hash_pandas_object(
+        pd.Series(cand_arr, dtype="object"),
+        index=False).to_numpy().astype(np.uint64))
+    est = np.full(len(cand_arr), np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(d):
+        idx = (H.splitmix64(hs ^ _CMS_SEEDS[i])
+               % np.uint64(w)).astype(np.int64)
+        est = np.minimum(est, cms[i][idx])
+    out = (pd.DataFrame({"value": cand_arr, "est_freq": est})
+           .sort_values(["est_freq", "value"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return out

@@ -225,3 +225,43 @@ def test_broadcast_semi_anti_modes(ray_session):
     assert len(broadcast_semi_anti(left, empty, left_key="k",
                                    right_key="rk",
                                    anti=True).to_pandas()) == 5
+
+
+def test_cms_heavy_hitters_vs_exact(ray_session):
+    """On Zipf data the CM-sketch top-k equals the exact top-k and
+    estimates only OVERcount, within the eN sketch bound."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.sketch import approx_heavy_hitters
+
+    rng = np.random.default_rng(9)
+    vals = (rng.zipf(1.6, size=20000) % 500).astype(str)
+    df = pd.DataFrame({"v": vals})
+    exact = df["v"].value_counts()
+    want = (exact.rename_axis("value").reset_index(name="freq")
+            .sort_values(["freq", "value"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+    got = approx_heavy_hitters(
+        rd.from_pandas(df).repartition(6), "v", k=10)
+    assert list(got["value"]) == list(want["value"])
+    over = got["est_freq"].to_numpy() - want["freq"].to_numpy()
+    assert (over >= 0).all()                       # CM never undercounts
+    assert over.max() <= np.e / 4096 * len(df) * 3  # well inside the bound
+
+
+def test_cms_heavy_hitters_tokenized_layout_invariant_topk(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.sketch import approx_heavy_hitters
+
+    docs = pd.DataFrame({"text": ["the quick brown fox the the"] * 30
+                         + ["lazy dog the dog"] * 20})
+    tops = []
+    for blocks in (1, 5):
+        got = approx_heavy_hitters(
+            rd.from_pandas(docs).repartition(blocks), "text",
+            k=4, tokenize=True)
+        tops.append(got)
+    pd.testing.assert_frame_equal(tops[0], tops[1])
+    assert tops[0]["value"].iloc[0] == "the"
+    assert tops[0]["est_freq"].iloc[0] >= 110
