@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filtered": Q.q_quality_filtered,
         # text analysis (brief: token counting, quality, fingerprints)
         "text_stats": Q.q_text_stats,
+        "pii_scrub": Q.q_pii_scrub,
         "quality_scores": Q.q_quality_scores,
         "fingerprints": Q.q_fingerprints,
         "lang_id": Q.q_lang_id,
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": Q.SQL_CUSTOMERS_WITHOUT_ORDERS,
         "quality_filtered": Q.SQL_QUALITY_FILTERED,
         "text_stats": Q.SQL_TEXT_STATS,
+        "pii_scrub": Q.SQL_PII_SCRUB,
         "quality_scores": Q.SQL_QUALITY_SCORES,
         "fingerprints": Q.SQL_FINGERPRINTS,
         "term_topk": Q.SQL_TERM_TOPK,

@@ -781,6 +781,48 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction scan (stages/textclean.pii_scrub): emails /
+    SSN-like ids / phones / IPv4 redacted in a fixed order with
+    per-document counts; RE2 kernels shared with the DuckDB oracle."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.textclean import pii_scrub
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return pii_scrub(ds)
+
+
+# CTE chain mirrors stages/textclean.PII_RULES order exactly: each
+# pattern's count is taken on the text BEFORE its own replacement.
+SQL_PII_SCRUB = r"""
+WITH c1 AS (
+  SELECT doc_id,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+  FROM documents
+), c2 AS (
+  SELECT doc_id,
+         regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS t,
+         n_emails,
+         len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ids
+  FROM c1
+), c3 AS (
+  SELECT doc_id,
+         regexp_replace(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS t,
+         n_emails, n_ids,
+         len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phones
+  FROM c2
+)
+SELECT doc_id,
+       regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text,
+       n_emails, n_ids, n_phones,
+       len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips
+FROM c3 ORDER BY doc_id
+"""
+
+
 def q_quality_scores(sf_dir: str):
     import ray.data as rd
 

@@ -1,0 +1,62 @@
+"""PII-redaction tests. The sf testdata word-soup contains no PII, so
+the driver's oracle run proves scan parity on clean text; these tests
+plant real PII and prove (a) the redaction semantics by hand-written
+expectations and (b) RE2 parity vs the SAME DuckDB oracle SQL on the
+planted corpus."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import ray.data as rd
+
+from sigraph_ray.stages.textclean import pii_scrub
+
+PLANTED = pd.DataFrame({
+    "doc_id": [0, 1, 2, 3, 4],
+    "text": [
+        "contact bob.smith+spam@mail-host.example.org or alice@ex.io now",
+        "ssn 123-45-6789 phone 555-867-5309 mixed 123-456-7890",
+        "server at 10.0.42.7 and 192.168.1.255, dotted phone 123.456.7890",
+        "no pii here, just words and 42 numbers like 3.14",
+        "dup alice@ex.io alice@ex.io and ip 8.8.8.8",
+    ],
+})
+
+
+def _scrub(df: pd.DataFrame) -> pd.DataFrame:
+    out = pii_scrub(rd.from_pandas(df).repartition(3)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_planted_pii_redaction_and_counts(ray_session):
+    got = _scrub(PLANTED)
+    assert got.loc[0, "text"] == "contact <EMAIL> or <EMAIL> now"
+    assert got.loc[0, "n_emails"] == 2
+    # SSN claimed before the generic phone pattern sees it
+    assert got.loc[1, "text"] == "ssn <ID> phone <PHONE> mixed <PHONE>"
+    assert (got.loc[1, ["n_ids", "n_phones"]] == [1, 2]).all()
+    # dotted phone consumed by PHONE (runs before IPv4); real IPs by IP
+    assert got.loc[2, "text"] == \
+        "server at <IP> and <IP>, dotted phone <PHONE>"
+    assert (got.loc[2, ["n_ips", "n_phones"]] == [2, 1]).all()
+    # short decimals are not IPv4; bare ints are not phones
+    assert got.loc[3, "text"] == PLANTED.loc[3, "text"]
+    assert (got.loc[3, ["n_emails", "n_ids", "n_phones", "n_ips"]]
+            == 0).all()
+    assert got.loc[4, "n_emails"] == 2 and got.loc[4, "n_ips"] == 1
+
+
+def test_planted_pii_matches_duckdb_oracle(ray_session):
+    """The exact oracle SQL the driver runs, but over a corpus that
+    actually exercises every pattern."""
+    from sigraph_ray.pipelines.queries import SQL_PII_SCRUB
+
+    got = _scrub(PLANTED)
+    con = duckdb.connect()
+    con.register("documents", PLANTED)
+    want = con.sql(SQL_PII_SCRUB).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)],
+        want[sorted(want.columns)].astype(got[sorted(got.columns)].dtypes),
+    )
