@@ -781,6 +781,51 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals (stages/textstats
+    .repetition_stats): top-token fraction + duplicate-2-gram fraction
+    per document (doc-local, shuffle-free)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import repetition_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return repetition_stats(ds)
+
+
+SQL_REPETITION_STATS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS arr FROM documents
+), toks AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS ord
+  FROM t
+), grams AS (
+  SELECT doc_id,
+         term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY ord)
+           AS gram
+  FROM toks
+), top AS (
+  SELECT doc_id, max(c) AS top_cnt FROM (
+    SELECT doc_id, term, count(*) AS c FROM toks GROUP BY doc_id, term
+  ) GROUP BY doc_id
+), g2 AS (
+  SELECT doc_id, count(DISTINCT gram) AS distinct2
+  FROM grams WHERE gram IS NOT NULL GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(t.arr) AS n_tokens,
+       CAST(coalesce(top.top_cnt, 0) AS DOUBLE)
+         / greatest(len(t.arr), 1) AS top_token_frac,
+       CASE WHEN len(t.arr) > 1
+            THEN 1.0 - CAST(coalesce(g2.distinct2, 0) AS DOUBLE)
+                         / (len(t.arr) - 1)
+            ELSE 0.0 END AS dup_2gram_frac
+FROM t LEFT JOIN top USING (doc_id) LEFT JOIN g2 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction scan (stages/textclean.pii_scrub): emails /
     SSN-like ids / phones / IPv4 redacted in a fixed order with

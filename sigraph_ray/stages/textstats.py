@@ -298,3 +298,45 @@ def tfidf_topk(ds, *, k: int = 3, text_col: str = "text",
         fn_constructor_kwargs={"df_ref": df_ref, "n_docs": n_docs,
                                "k": k, "text_col": text_col,
                                "id_col": id_col})
+
+
+def repetition_stats_batch(df: pd.DataFrame, *, text_col: str = "text",
+                           id_col: str = "doc_id") -> pd.DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021
+    §A1.1, public): per document, the fraction of tokens that are the
+    single most frequent token and the fraction of 2-gram occurrences
+    that are repeats (1 − distinct/total). Document-local by
+    construction — embarrassingly parallel, no shuffle, and the whole
+    batch is processed with vectorized pandas group-bys (no per-row
+    Python). Tokens are raw ``\\S+`` runs (same tokenizer as
+    ``text_stats``) so the DuckDB oracle reproduces it exactly."""
+    toks = df[text_col].str.findall(r"\S+")
+    n_tokens = toks.str.len().to_numpy(dtype="int64")
+    s = toks.explode().dropna()
+    doc = df[id_col].reindex(s.index)
+    # most-frequent-token count per doc (0 for empty docs)
+    top = (pd.DataFrame({"d": doc.to_numpy(), "t": s.to_numpy()})
+           .groupby(["d", "t"], sort=False).size()
+           .groupby(level=0).max())
+    top_cnt = (top.reindex(df[id_col]).fillna(0)
+               .to_numpy(dtype="int64"))
+    # 2-grams: join each token with its successor inside the same doc
+    nxt = s.groupby(level=0).shift(-1)
+    g = pd.DataFrame({"d": doc.to_numpy(),
+                      "g": (s + " " + nxt).to_numpy()}).dropna()
+    distinct2 = (g.drop_duplicates().groupby("d").size()
+                 .reindex(df[id_col]).fillna(0).to_numpy(dtype="int64"))
+    total2 = np.maximum(n_tokens - 1, 0)
+    dup_frac = np.where(total2 > 0, 1.0 - distinct2 / np.maximum(total2, 1),
+                        0.0)
+    return pd.DataFrame({
+        id_col: df[id_col].to_numpy(),
+        "n_tokens": n_tokens,
+        "top_token_frac": top_cnt / np.maximum(n_tokens, 1),
+        "dup_2gram_frac": dup_frac,
+    })
+
+
+def repetition_stats(ds, **kw):
+    return ds.map_batches(lambda b: repetition_stats_batch(b, **kw),
+                          batch_format="pandas")

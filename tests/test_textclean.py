@@ -60,3 +60,40 @@ def test_planted_pii_matches_duckdb_oracle(ray_session):
         got[sorted(got.columns)],
         want[sorted(want.columns)].astype(got[sorted(got.columns)].dtypes),
     )
+
+
+REP_PLANTED = pd.DataFrame({
+    "doc_id": [0, 1, 2, 3, 4],
+    "text": ["a a a b", "x y x y x", "", "solo",
+             "the cat sat on the mat the cat sat"],
+})
+
+
+def test_repetition_stats_hand_values(ray_session):
+    from sigraph_ray.stages.textstats import repetition_stats
+
+    got = (repetition_stats(rd.from_pandas(REP_PLANTED).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(got["n_tokens"]) == [4, 5, 0, 1, 9]
+    # doc0: top 'a'=3/4; 2-grams {a a ×2, a b} → 1 - 2/3
+    assert got.loc[0, "top_token_frac"] == 0.75
+    assert abs(got.loc[0, "dup_2gram_frac"] - (1 - 2 / 3)) < 1e-12
+    # doc1: alternating → every 2-gram is one of 2 distinct among 4
+    assert got.loc[1, "dup_2gram_frac"] == 0.5
+    # empty and single-token docs are 0/0 by definition
+    assert (got.loc[2:3, "dup_2gram_frac"] == 0.0).all()
+    assert got.loc[3, "top_token_frac"] == 1.0
+
+
+def test_repetition_stats_matches_duckdb_on_planted(ray_session):
+    from sigraph_ray.pipelines.queries import SQL_REPETITION_STATS
+    from sigraph_ray.stages.textstats import repetition_stats
+
+    got = (repetition_stats(rd.from_pandas(REP_PLANTED).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", REP_PLANTED)
+    want = con.sql(SQL_REPETITION_STATS).df()
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)],
+                                  check_dtype=False)
