@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": Q.q_top_orders_per_customer,
         "sliding_window": Q.q_sliding_window,
         "customers_without_orders": Q.q_customers_without_orders,
+        "bloom_semi_lineitem": Q.q_bloom_semi_lineitem,
         "quality_filtered": Q.q_quality_filtered,
         # text analysis (brief: token counting, quality, fingerprints)
         "text_stats": Q.q_text_stats,
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_customer": Q.SQL_TOP_ORDERS_PER_CUSTOMER,
         "sliding_window": Q.SQL_SLIDING_WINDOW,
         "customers_without_orders": Q.SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "bloom_semi_lineitem": Q.SQL_BLOOM_SEMI_LINEITEM,
         "quality_filtered": Q.SQL_QUALITY_FILTERED,
         "text_stats": Q.SQL_TEXT_STATS,
         "pii_scrub": Q.SQL_PII_SCRUB,

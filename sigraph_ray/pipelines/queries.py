@@ -661,6 +661,52 @@ ORDER BY event_id
 """
 
 
+def q_bloom_semi_lineitem(sf_dir: str):
+    """Bloom-prefiltered exact SEMI join (stages/bloom
+    .bloom_semi_anti): lineitems of high-value orders, then a combined
+    per-flag aggregate. Only Bloom-positive lineitem rows reach the
+    verification shuffle; semantics are exact, so the oracle is the
+    plain IN-subquery SQL."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from sigraph_ray.stages.bloom import bloom_semi_anti
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_quantity"])
+    hi = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_totalprice"])
+          .filter(expr="o_totalprice > 400000.0")
+          .select_columns(["o_orderkey"]))
+    semi = bloom_semi_anti(li, hi, left_key="l_orderkey",
+                           right_key="o_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (df.groupby("l_returnflag", sort=False)
+             .agg(sum_qty=("l_quantity", "sum"),
+                  n_rows=("l_quantity", "size")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (semi.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                       Sum("n_rows", alias_name="n_rows"))
+            .sort("l_returnflag"))
+
+
+SQL_BLOOM_SEMI_LINEITEM = """
+SELECT l_returnflag,
+       sum(l_quantity) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > 400000.0)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_customers_without_orders(sf_dir: str):
     """ANTI JOIN (NOT IN): customers with no big order (> 400 k) —
     stages/joins.broadcast_semi_anti over the distinct probe-key set

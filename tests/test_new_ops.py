@@ -265,3 +265,50 @@ def test_cms_heavy_hitters_tokenized_layout_invariant_topk(ray_session):
     pd.testing.assert_frame_equal(tops[0], tops[1])
     assert tops[0]["value"].iloc[0] == "the"
     assert tops[0]["est_freq"].iloc[0] >= 110
+
+
+def test_bloom_semi_anti_exact_vs_broadcast(ray_session):
+    """Bloom tier must agree exactly with the broadcast exact tier on
+    string keys, in both semi and anti modes."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.bloom import bloom_semi_anti
+    from sigraph_ray.stages.joins import broadcast_semi_anti
+
+    rng = np.random.default_rng(17)
+    left = pd.DataFrame({"k": [f"key{int(i)}" for i in
+                               rng.integers(0, 400, 3000)],
+                         "v": np.arange(3000)})
+    right = pd.DataFrame({"rk": [f"key{int(i)}" for i in
+                                 rng.integers(0, 200, 500)]})
+    lds = rd.from_pandas(left).repartition(5)
+    rds = rd.from_pandas(right).repartition(4)
+    for anti in (False, True):
+        got = (bloom_semi_anti(lds, rds, left_key="k", right_key="rk",
+                               anti=anti, num_partitions=4)
+               .to_pandas().sort_values("v").reset_index(drop=True))
+        want = (broadcast_semi_anti(lds, rds, left_key="k",
+                                    right_key="rk", anti=anti)
+                .to_pandas().sort_values("v").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]])
+
+
+def test_bloom_semi_anti_exact_under_heavy_false_positives(ray_session):
+    """A deliberately tiny bitmap (64 bits, 500 keys → ~every probe is
+    Bloom-positive) must still give the exact answer: the verify join
+    carries correctness, the bloom only prunes."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.bloom import bloom_semi_anti
+
+    left = pd.DataFrame({"k": np.arange(1000, 2000, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 500, dtype=np.int64)})
+    lds = rd.from_pandas(left).repartition(3)
+    rds = rd.from_pandas(right).repartition(2)
+    semi = bloom_semi_anti(lds, rds, left_key="k", right_key="k",
+                           m_bits=64, k=2, num_partitions=4).to_pandas()
+    assert len(semi) == 0          # disjoint key ranges
+    anti = bloom_semi_anti(lds, rds, left_key="k", right_key="k",
+                           anti=True, m_bits=64, k=2,
+                           num_partitions=4).to_pandas()
+    assert sorted(anti["k"]) == list(range(1000, 2000))
