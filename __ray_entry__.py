@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": Q.q_approx_distinct,
         "sessionize": Q.q_sessionize,
         "quantiles": Q.q_quantiles,
+        "approx_quantiles": Q.q_approx_quantiles,
         "top_orders_per_customer": Q.q_top_orders_per_customer,
         "sliding_window": Q.q_sliding_window,
         "customers_without_orders": Q.q_customers_without_orders,

@@ -596,6 +596,21 @@ def q_quantiles(sf_dir: str):
                            [0.01, 0.25, 0.5, 0.75, 0.99])
 
 
+def q_approx_quantiles(sf_dir: str):
+    """Shuffle-free approximate quantiles (stages/quantiles
+    .approx_quantiles): per-block weighted summaries merged by
+    concatenation, ε ≈ 1/per_block rank error (rows-only: approximate
+    by design; the pytest gate bounds the rank error vs exact)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.quantiles import approx_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    return approx_quantiles(ds, "l_extendedprice",
+                            [0.01, 0.25, 0.5, 0.75, 0.99])
+
+
 SQL_QUANTILES = """
 SELECT CAST(0.01 AS DOUBLE) AS q,
        quantile_disc(l_extendedprice, 0.01) AS value FROM lineitem

@@ -312,3 +312,43 @@ def test_bloom_semi_anti_exact_under_heavy_false_positives(ray_session):
                            anti=True, m_bits=64, k=2,
                            num_partitions=4).to_pandas()
     assert sorted(anti["k"]) == list(range(1000, 2000))
+
+
+def test_approx_quantiles_rank_error_bound(ray_session):
+    """Merged-summary quantiles stay within the documented rank-error
+    bound (N/per_block + #blocks) of the exact answer."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.quantiles import approx_quantiles
+
+    rng = np.random.default_rng(11)
+    x = np.sort(rng.lognormal(0.0, 1.0, size=60000))
+    blocks = 8
+    ds = rd.from_pandas(pd.DataFrame({"v": rng.permutation(x)})) \
+        .repartition(blocks)
+    per_block = 512
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    got = approx_quantiles(ds, "v", qs, per_block=per_block)
+    bound = len(x) / per_block + blocks
+    for q, v in zip(got["q"], got["value"]):
+        target = min(max(0, int(np.ceil(q * len(x))) - 1), len(x) - 1)
+        rank = np.searchsorted(x, v)
+        assert abs(rank - target) <= bound, (q, rank, target)
+
+
+def test_approx_quantiles_exact_on_tiny_blocks(ray_session):
+    """When every block fits inside per_block the summary is lossless,
+    so the result must equal the exact tier."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.quantiles import approx_quantiles, \
+        exact_quantiles
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"v": rng.integers(0, 1000, 5000).astype("int64")})
+    ds = rd.from_pandas(df).repartition(7)
+    qs = [0.1, 0.5, 0.9]
+    got = approx_quantiles(ds, "v", qs, per_block=10000)
+    want = exact_quantiles(ds, "v", qs)
+    pd.testing.assert_frame_equal(got.astype({"value": "int64"}),
+                                  want.astype({"value": "int64"}))
