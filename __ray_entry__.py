@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": Q.q_text_stats,
         "pii_scrub": Q.q_pii_scrub,
         "repetition_stats": Q.q_repetition_stats,
+        "decontaminate": Q.q_decontaminate,
         "quality_scores": Q.q_quality_scores,
         "fingerprints": Q.q_fingerprints,
         "lang_id": Q.q_lang_id,
@@ -149,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": Q.SQL_TEXT_STATS,
         "pii_scrub": Q.SQL_PII_SCRUB,
         "repetition_stats": Q.SQL_REPETITION_STATS,
+        "decontaminate": Q.SQL_DECONTAMINATE,
         "quality_scores": Q.SQL_QUALITY_SCORES,
         "fingerprints": Q.SQL_FINGERPRINTS,
         "term_topk": Q.SQL_TERM_TOPK,

@@ -842,6 +842,49 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/decontam.decontaminate):
+    corpus docs sharing any 4-token shingle with the doc_id%20==0 eval
+    split — eval shingle set broadcast once, corpus probed shuffle-free."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.decontam import decontaminate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return decontaminate(ds, n=4, eval_mod=20)
+
+
+SQL_DECONTAMINATE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS arr FROM documents
+), toks AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS ord
+  FROM t
+), grams AS (
+  SELECT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' '
+              || lead(term, 2) OVER w || ' '
+              || lead(term, 3) OVER w AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+), eval_g AS (
+  SELECT DISTINCT gram FROM grams
+  WHERE doc_id % 20 = 0 AND gram IS NOT NULL
+), corpus AS (
+  SELECT doc_id, count(gram) AS n_grams FROM grams
+  WHERE doc_id % 20 <> 0 GROUP BY doc_id
+), hits AS (
+  SELECT doc_id, count(*) AS n_contaminated FROM grams
+  WHERE doc_id % 20 <> 0 AND gram IN (SELECT gram FROM eval_g)
+  GROUP BY doc_id
+)
+SELECT c.doc_id, c.n_grams,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       coalesce(h.n_contaminated, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN hits h USING (doc_id) ORDER BY c.doc_id
+"""
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition signals (stages/textstats
     .repetition_stats): top-token fraction + duplicate-2-gram fraction

@@ -97,3 +97,29 @@ def test_repetition_stats_matches_duckdb_on_planted(ray_session):
     pd.testing.assert_frame_equal(got[sorted(got.columns)],
                                   want[sorted(want.columns)],
                                   check_dtype=False)
+
+
+def test_decontaminate_planted(ray_session):
+    """Planted 4-gram leak: corpus docs that quote the eval doc are
+    flagged with the right occurrence counts; clean docs are not."""
+    from sigraph_ray.stages.decontam import decontaminate
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 20],   # 0 and 20 are eval (mod 20)
+        "text": [
+            "the secret answer is fourty two okay",       # eval
+            "i think the secret answer is hidden",        # 1 leaked gram
+            "totally clean text with no overlap at all",  # clean
+            "tiny doc",                                   # <4 tokens
+            "another eval doc entirely",                  # eval
+        ],
+    })
+    got = (decontaminate(rd.from_pandas(docs).repartition(2),
+                         n=4, eval_mod=20)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # eval docs excluded; <4-token doc present with zero grams
+    assert list(got["doc_id"]) == [1, 2, 3]
+    assert list(got["n_grams"]) == [4, 5, 0]
+    # doc1 contains "the secret answer is" exactly once
+    assert list(got["n_contaminated"]) == [1, 0, 0]
+    assert list(got["contaminated"]) == [True, False, False]
