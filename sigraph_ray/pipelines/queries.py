@@ -842,6 +842,68 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_mixture_sample(sf_dir: str):
+    """Source-mixture resampling (stages/sample.mixture_sample):
+    per-source keep rates as a pure function of doc_id (16-bit md5
+    prefix), deterministic at every parallelism level."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.sample import mixture_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return mixture_sample(ds, key="doc_id", stratum="source",
+                          rates={"src0": 1.0, "src1": 0.5},
+                          default_rate=0.25)
+
+
+SQL_MIXTURE_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, source,
+         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS h16
+  FROM documents
+)
+SELECT doc_id, source FROM h
+WHERE h16 < CASE source WHEN 'src0' THEN 65536
+                        WHEN 'src1' THEN 32768
+                        ELSE 16384 END
+ORDER BY doc_id
+"""
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Perplexity-proxy importance score (stages/textstats
+    .unigram_logprob): mean ln(corpus unigram frequency) per document;
+    global term totals broadcast once."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import unigram_logprob
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return unigram_logprob(ds)
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, count(*) AS c FROM toks GROUP BY term
+), tot AS (
+  SELECT sum(c) AS n FROM tf
+)
+SELECT toks.doc_id,
+       count(*) AS n_tokens,
+       avg(ln(tf.c / tot.n)) AS mean_log_freq
+FROM toks JOIN tf USING (term), tot
+GROUP BY toks.doc_id ORDER BY toks.doc_id
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (stages/decontam.decontaminate):
     corpus docs sharing any 4-token shingle with the doc_id%20==0 eval

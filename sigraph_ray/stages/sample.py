@@ -37,3 +37,28 @@ def stratified_hash_sample(ds, *, key: str, stratum: str,
         return df[nib < limit]
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def mixture_sample(ds, *, key: str, stratum: str,
+                   rates: dict[str, float], default_rate: float):
+    """Source-mixture resampling — the training-mixture balancing pass
+    (keep each stratum at its own rate, e.g. up/down-weighting domains
+    before tokenization; public practice per GPT-3/Pile mixture
+    weights). Same determinism contract as
+    :func:`stratified_hash_sample` but with 16-bit resolution: row kept
+    iff ``int(md5(str(key))[:4], 16) < round(rate · 65536)``, a pure
+    function of the row key — identical across re-runs, resumes, block
+    layouts and cluster sizes, and reproducible in SQL nibble-by-nibble."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        h16 = np.fromiter(
+            (int(h[:4], 16)
+             for h in md5_hex(df[key].astype(str).tolist())),
+            dtype=np.int64, count=len(df))
+        limit = (df[stratum]
+                 .map(lambda s: round(rates.get(s, default_rate) * 65536))
+                 .to_numpy())
+        return df[h16 < limit]
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -340,3 +340,52 @@ def repetition_stats_batch(df: pd.DataFrame, *, text_col: str = "text",
 def repetition_stats(ds, **kw):
     return ds.map_batches(lambda b: repetition_stats_batch(b, **kw),
                           batch_format="pandas")
+
+
+def unigram_logprob(ds, *, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Per-document mean unigram log-probability — the classic
+    perplexity-proxy importance score (CCNet/Dolma-style corpus
+    filtering signal, computed against the corpus's own unigram LM).
+
+    Two-pass corpus-level composition: (1) global term totals via
+    per-batch count partials + one grouped-sum stitch (the term_topk
+    machinery); (2) the vocabulary table is ``ray.put`` ONCE and every
+    probe batch scores its tokens by vectorized index lookup + ln —
+    broadcast-small-side, never re-shipped per batch. Documents with
+    zero tokens have no defined score and are excluded (matches the
+    SQL oracle's join semantics). Tokens are raw ``\\S+`` runs shared
+    with text_stats so the oracle reproduces the scan exactly."""
+    import ray
+
+    from sigraph_ray.stages.collect import sorted_groupby_sum
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        vc = (df[text_col].str.findall(r"\S+")
+              .explode().dropna().value_counts())
+        return pa.table({"term": vc.index.astype(str),
+                         "cnt": vc.to_numpy().astype("int64")})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    vocab = (sorted_groupby_sum(parts, key="term",
+                                sum_cols={"c": "cnt"}).to_pandas())
+    counts = vocab["c"].to_numpy().astype("float64")
+    ref = ray.put((pd.Index(vocab["term"]), counts,
+                   float(counts.sum())))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        idx, cnts, total = ray.get(ref)
+        s = df[text_col].str.findall(r"\S+").explode().dropna()
+        if not len(s):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "n_tokens": pd.Series(dtype="int64"),
+                                 "mean_log_freq": pd.Series(dtype="float64")})
+        doc = df[id_col].reindex(s.index)
+        lp = np.log(cnts[idx.get_indexer(s.to_numpy())] / total)
+        g = (pd.DataFrame({id_col: doc.to_numpy(), "lp": lp})
+             .groupby(id_col)["lp"].agg(["size", "mean"]).reset_index())
+        return pd.DataFrame({id_col: g[id_col],
+                             "n_tokens": g["size"].astype("int64"),
+                             "mean_log_freq": g["mean"]})
+
+    return ds.map_batches(probe, batch_format="pandas")

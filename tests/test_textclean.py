@@ -7,6 +7,7 @@ planted corpus."""
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -123,3 +124,38 @@ def test_decontaminate_planted(ray_session):
     # doc1 contains "the secret answer is" exactly once
     assert list(got["n_contaminated"]) == [1, 0, 0]
     assert list(got["contaminated"]) == [True, False, False]
+
+
+def test_mixture_sample_rates_and_layout_invariance(ray_session):
+    from sigraph_ray.stages.sample import mixture_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(4000),
+                       "source": np.where(np.arange(4000) % 2 == 0,
+                                          "keep_all", "keep_some")})
+    outs = []
+    for blocks in (1, 6):
+        got = (mixture_sample(rd.from_pandas(df).repartition(blocks),
+                              key="doc_id", stratum="source",
+                              rates={"keep_all": 1.0}, default_rate=0.25)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    kept = outs[0]
+    assert (kept["source"] == "keep_all").sum() == 2000   # rate 1.0 keeps all
+    frac = (kept["source"] == "keep_some").sum() / 2000   # ≈ 0.25
+    assert 0.2 < frac < 0.3
+
+
+def test_unigram_logprob_hand_values(ray_session):
+    from sigraph_ray.stages.textstats import unigram_logprob
+
+    docs = pd.DataFrame({"doc_id": [0, 1, 2],
+                         "text": ["a a b", "b c", ""]})
+    got = (unigram_logprob(rd.from_pandas(docs).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # vocab: a=2, b=2, c=1, total=5; empty doc excluded
+    assert list(got["doc_id"]) == [0, 1]
+    assert list(got["n_tokens"]) == [3, 2]
+    assert abs(got.loc[0, "mean_log_freq"] - np.log(0.4)) < 1e-12
+    want1 = (np.log(0.4) + np.log(0.2)) / 2
+    assert abs(got.loc[1, "mean_log_freq"] - want1) < 1e-12
