@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": Q.q_pii_scrub,
         "repetition_stats": Q.q_repetition_stats,
         "decontaminate": Q.q_decontaminate,
+        "pack_sequences": Q.q_pack_sequences,
         "mixture_sample": Q.q_mixture_sample,
         "unigram_logprob": Q.q_unigram_logprob,
         "quality_scores": Q.q_quality_scores,
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": Q.SQL_PII_SCRUB,
         "repetition_stats": Q.SQL_REPETITION_STATS,
         "decontaminate": Q.SQL_DECONTAMINATE,
+        "pack_sequences": Q.SQL_PACK_SEQUENCES,
         "mixture_sample": Q.SQL_MIXTURE_SAMPLE,
         "unigram_logprob": Q.SQL_UNIGRAM_LOGPROB,
         "quality_scores": Q.SQL_QUALITY_SCORES,

@@ -842,6 +842,42 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing (stages/packing.pack_sequences):
+    doc→fixed-512-token-sequence span mapping over the doc_id-ordered
+    concatenation; prefix-sum stitch, text never moves."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.packing import pack_sequences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return pack_sequences(ds, max_tokens=512)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+         sum(n) OVER (ORDER BY doc_id) - n AS start
+  FROM t
+), s AS (
+  SELECT doc_id, n, start,
+         unnest(generate_series(CAST(start // 512 AS BIGINT),
+                                 CAST((start + n - 1) // 512 AS BIGINT)))
+           AS seq_id
+  FROM c WHERE n > 0
+)
+SELECT doc_id, seq_id,
+       greatest(start, seq_id * 512) - start AS doc_offset,
+       least(start + n, (seq_id + 1) * 512)
+         - greatest(start, seq_id * 512) AS n_tokens
+FROM s ORDER BY doc_id, seq_id
+"""
+
+
 def q_mixture_sample(sf_dir: str):
     """Source-mixture resampling (stages/sample.mixture_sample):
     per-source keep rates as a pure function of doc_id (16-bit md5

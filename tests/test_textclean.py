@@ -159,3 +159,40 @@ def test_unigram_logprob_hand_values(ray_session):
     assert abs(got.loc[0, "mean_log_freq"] - np.log(0.4)) < 1e-12
     want1 = (np.log(0.4) + np.log(0.2)) / 2
     assert abs(got.loc[1, "mean_log_freq"] - want1) < 1e-12
+
+
+def test_pack_sequences_invariants(ray_session):
+    from sigraph_ray.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(23)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(40),
+        "text": [" ".join(["w"] * int(k))
+                 for k in rng.integers(0, 70, 40)],
+    })
+    n_per_doc = docs["text"].str.split().str.len().fillna(0).astype(int)
+    outs = []
+    for blocks in (1, 5):
+        got = (pack_sequences(rd.from_pandas(docs).repartition(blocks),
+                              max_tokens=32)
+               .to_pandas().sort_values(["doc_id", "seq_id"])
+               .reset_index(drop=True))
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # layout-invariant
+    got = outs[0]
+    # every token of every non-empty doc is packed exactly once
+    per_doc = got.groupby("doc_id")["n_tokens"].sum()
+    want = n_per_doc[n_per_doc > 0]
+    assert per_doc.to_dict() == {i: int(v) for i, v in want.items()}
+    # every sequence except the last is exactly full
+    per_seq = got.groupby("seq_id")["n_tokens"].sum().sort_index()
+    assert (per_seq.iloc[:-1] == 32).all()
+    assert 0 < per_seq.iloc[-1] <= 32
+    # a >max_tokens doc spans consecutive sequences with contiguous
+    # offsets
+    big = got[got["doc_id"] == int(n_per_doc.idxmax())]
+    if len(big) > 1:
+        assert (np.diff(big["seq_id"]) == 1).all()
+        assert (big["doc_offset"].iloc[1:].to_numpy()
+                == big["doc_offset"].iloc[:-1].to_numpy()
+                + big["n_tokens"].iloc[:-1].to_numpy()).all()
