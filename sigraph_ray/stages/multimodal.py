@@ -112,3 +112,109 @@ def extract_media_features(media, *, concurrency: int = 2,
         MediaFeatureExtractor, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency,
         fn_constructor_kwargs={"decoder": decoder})
+
+
+class MediaResizer:
+    """Actor-pool resize stage (images/video posters): payload in →
+    resized payload out, width/height metadata rewritten. Same stub
+    boundary as :class:`MediaFeatureExtractor`: ``decoder="real"``
+    names the PIL resize call and raises (library absent);
+    ``decoder="fake"`` produces a deterministic size-proportional byte
+    subsample so tests exercise the real Ray plumbing — binary column
+    REPLACED in place (not duplicated: peak block width stays one
+    payload per row), metadata columns rewritten, non-image rows passed
+    through untouched."""
+
+    def __init__(self, decoder: str = "fake", target: int = 64):
+        if decoder not in ("fake", "real"):
+            raise ValueError(decoder)
+        if decoder == "real":
+            raise NotImplementedError(
+                "real resize (PIL.Image.open(...).resize((t, t))) needs "
+                "PIL; use decoder='fake'")
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.target
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        widths = batch.column("width").to_pylist()
+        heights = batch.column("height").to_pylist()
+        out_p, out_w, out_h = [], [], []
+        for kind, p, w, h in zip(kinds, payloads, widths, heights):
+            if kind != "image" or not w or not h:
+                out_p.append(p); out_w.append(w); out_h.append(h)
+                continue
+            # fake resize: keep bytes proportional to t²/(w·h)
+            a = np.frombuffer(p, dtype=np.uint8)
+            keep = max(1, int(len(a) * min(1.0, (t * t) / (w * h))))
+            stride = max(1, len(a) // keep)
+            out_p.append(a[::stride][:keep].tobytes())
+            out_w.append(min(w, t)); out_h.append(min(h, t))
+        i = batch.schema.get_field_index
+        out = batch.set_column(i("payload"), "payload",
+                               pa.array(out_p, pa.binary()))
+        out = out.set_column(i("width"), "width",
+                             pa.array(out_w, pa.int32()))
+        out = out.set_column(i("height"), "height",
+                             pa.array(out_h, pa.int32()))
+        return out
+
+
+def resize_media(media, *, concurrency: int = 2, batch_size: int = 64,
+                 decoder: str = "fake", target: int = 64):
+    return media.map_batches(
+        MediaResizer, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"decoder": decoder, "target": target})
+
+
+class FrameSampler:
+    """Video frame-sampling stage: one video row → ``n_frames`` frame
+    rows (uniform over the duration), the 1→N expansion every video
+    pipeline needs. ``decoder="real"`` names the PyAV keyframe seek and
+    raises; ``decoder="fake"`` emits deterministic payload slices.
+    Output schema: (media_id, frame_idx, ts_ms, frame_payload) — the
+    source payload does NOT propagate (each output row carries only its
+    own frame), keeping the expansion's block width bounded by
+    n_frames × frame size, not n_frames × video size."""
+
+    def __init__(self, decoder: str = "fake", n_frames: int = 4):
+        if decoder not in ("fake", "real"):
+            raise ValueError(decoder)
+        if decoder == "real":
+            raise NotImplementedError(
+                "real frame sampling (av.open(...).seek + decode) needs "
+                "PyAV; use decoder='fake'")
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, tss, frames = [], [], [], []
+        n = self.n_frames
+        for mid, kind, p, dur in zip(batch.column("media_id").to_pylist(),
+                                     batch.column("kind").to_pylist(),
+                                     batch.column("payload").to_pylist(),
+                                     batch.column("duration_ms").to_pylist()):
+            if kind != "video":
+                continue
+            a = np.frombuffer(p, dtype=np.uint8)
+            step = max(1, len(a) // n)
+            for f in range(n):
+                ids.append(mid)
+                idxs.append(f)
+                tss.append(int((dur or 0) * f / n))
+                frames.append(a[f * step:(f + 1) * step].tobytes())
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "ts_ms": pa.array(tss, pa.int64()),
+            "frame_payload": pa.array(frames, pa.binary()),
+        })
+
+
+def sample_frames(media, *, concurrency: int = 2, batch_size: int = 32,
+                  decoder: str = "fake", n_frames: int = 4):
+    return media.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"decoder": decoder, "n_frames": n_frames})
