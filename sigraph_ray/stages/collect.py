@@ -274,3 +274,48 @@ def sorted_distinct(ds, keys: list[str]):
     return interior.union(
         rd.from_pandas(merged).map_batches(lambda df: df,
                                            batch_format="pandas"))
+
+
+def salted_groupby_agg(ds, *, key, aggs: dict[str, tuple[str, str]],
+                       salt_buckets: int = 16):
+    """Two-stage EXPLICITLY SALTED aggregation for Zipf-hot keys — the
+    skew treatment the north star names alongside the per-batch
+    combiners used elsewhere (stages/canonicalize docstring).
+
+    Combiners bound a hot key to ≤ one partial per BLOCK; that is the
+    right tool when partials are small. When they are not — a hot key
+    whose per-block partials are still numerous or wide (distinct
+    sketches, long collected lists) — no single reducer should own the
+    key at all. Stage 1 groups by ``(key, salt)`` where
+    ``salt = value-hash % salt_buckets`` spreads one hot key over
+    ``salt_buckets`` reducers; stage 2 re-aggregates the ≤
+    ``salt_buckets`` salted partials per key. Only re-combinable aggs
+    are offered (sum / min / max / count — count re-combines as sum),
+    so the result is exactly the unsalted answer for any bucket count
+    (property-tested in tests/test_collect.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    keys = [key] if isinstance(key, str) else list(key)
+    # stage-2 re-combines stage-1's output column (named alias);
+    # count partials re-combine via sum
+    stage2 = {alias: (alias, "sum" if op == "count" else op)
+              for alias, (_col, op) in aggs.items()}
+
+    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            df = df.copy()
+            df["_salt"] = pd.Series(dtype="int64")
+            return df
+        h = pd.util.hash_pandas_object(
+            df.index.to_series().reset_index(drop=True), index=False)
+        df = df.reset_index(drop=True)
+        df["_salt"] = (h.to_numpy().astype(np.uint64)
+                       % np.uint64(salt_buckets)).astype(np.int64)
+        return df
+
+    salted = ds.map_batches(add_salt, batch_format="pandas")
+    part = sorted_groupby_agg(salted, key=keys + ["_salt"], aggs=aggs)
+    out = sorted_groupby_agg(part, key=keys, aggs=stage2)
+    return out

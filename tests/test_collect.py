@@ -153,3 +153,30 @@ def test_approx_distinct_accuracy(ray_session, blocks):
     ds = rd.from_pandas(df).repartition(blocks)
     est = approx_distinct(ds, ["a", "b"])
     assert abs(est - true) / true < 0.03, (est, true)
+
+
+def test_salted_groupby_agg_equals_unsalted(ray_session):
+    """Explicit salting spreads a Zipf-hot key across reducers without
+    changing any aggregate, for any bucket count."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import salted_groupby_agg, \
+        sorted_groupby_agg
+
+    rng = np.random.default_rng(31)
+    # one key owns 80 % of the rows (the hot-entity shape)
+    keys = np.where(rng.random(20000) < 0.8, "hot",
+                    rng.integers(0, 200, 20000).astype(str))
+    df = pd.DataFrame({"k": keys,
+                       "v": rng.integers(0, 1000, 20000).astype("int64")})
+    ds = rd.from_pandas(df).repartition(6)
+    aggs = {"total": ("v", "sum"), "lo": ("v", "min"),
+            "hi": ("v", "max"), "n": ("v", "count")}
+    want = (sorted_groupby_agg(ds, key="k", aggs=aggs).to_pandas()
+            .sort_values("k").reset_index(drop=True))
+    for buckets in (1, 4, 32):
+        got = (salted_groupby_agg(ds, key="k", aggs=aggs,
+                                  salt_buckets=buckets).to_pandas()
+               .sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.astype(want.dtypes), want, check_dtype=False)
