@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": Q.q_repetition_stats,
         "decontaminate": Q.q_decontaminate,
         "pack_sequences": Q.q_pack_sequences,
+        "node_pagerank": Q.q_node_pagerank,
         "mixture_sample": Q.q_mixture_sample,
         "unigram_logprob": Q.q_unigram_logprob,
         "quality_scores": Q.q_quality_scores,

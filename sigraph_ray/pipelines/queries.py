@@ -842,6 +842,21 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_node_pagerank(sf_dir: str):
+    """PageRank over the provenance edge table (stages/graphalgo
+    .pagerank, broadcast tier): artifact importance in the constructed
+    graph. Rows-only — iterative/fixed-point, not SQL-expressible; the
+    pytest gate matches a dense power iteration iteration-exactly."""
+    from sigraph_ray.stages import provenance_graph as G
+    from sigraph_ray.stages.graphalgo import pagerank
+
+    parsed = _parsed_events(sf_dir)
+    ok, _ = G.split_quarantine(parsed)
+    edges = G.build_edges(ok)
+    out = pagerank(edges, src="src", dst="dst", n_iter=10)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_pack_sequences(sf_dir: str):
     """GPT-style sequence packing (stages/packing.pack_sequences):
     doc→fixed-512-token-sequence span mapping over the doc_id-ordered

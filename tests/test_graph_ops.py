@@ -90,3 +90,65 @@ def test_entity_link_scorer(ray_session):
     assert by_subj.loc["completely different", "subj_link"] == \
         "completely different"  # below threshold keeps mention
     assert by_subj.loc["xen0rat", "obj_link"] == "evil.com"
+
+
+def _dense_pagerank(edges: pd.DataFrame, n_iter: int,
+                    d: float = 0.85) -> pd.DataFrame:
+    """Independent dense power iteration (textbook formulation) the
+    distributed tiers must match iteration-exactly."""
+    import numpy as np
+
+    nodes = np.sort(pd.unique(pd.concat([edges["src"], edges["dst"]])))
+    idx = pd.Index(nodes)
+    n = len(nodes)
+    si = idx.get_indexer(edges["src"])
+    di = idx.get_indexer(edges["dst"])
+    outdeg = np.bincount(si, minlength=n)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        share = np.where(outdeg > 0, r / np.maximum(outdeg, 1), 0.0)
+        s = np.zeros(n)
+        np.add.at(s, di, share[si])
+        dm = r[outdeg == 0].sum()
+        r = (1 - d) / n + d * (s + dm / n)
+    return pd.DataFrame({"node": nodes, "rank": r})
+
+
+def _rand_edges(n_nodes=60, n_edges=400, seed=41) -> pd.DataFrame:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "src": [f"n{i}" for i in rng.integers(0, n_nodes, n_edges)],
+        "dst": [f"n{i}" for i in rng.integers(0, n_nodes, n_edges)],
+    })
+
+
+def test_pagerank_broadcast_matches_dense(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from sigraph_ray.stages.graphalgo import pagerank
+
+    edges = _rand_edges()
+    got = (pagerank(rd.from_pandas(edges).repartition(4), n_iter=8)
+           .sort_values("node").reset_index(drop=True))
+    want = _dense_pagerank(edges, 8)
+    assert list(got["node"]) == list(want["node"])
+    np.testing.assert_allclose(got["rank"], want["rank"], rtol=1e-10)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_join_tier_matches_dense(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from sigraph_ray.stages.graphalgo import pagerank
+
+    edges = _rand_edges(n_nodes=30, n_edges=120, seed=7)
+    got = pagerank(rd.from_pandas(edges).repartition(3), n_iter=2,
+                   tier="join", num_partitions=2)
+    got = (got.to_pandas().sort_values("node").reset_index(drop=True))
+    want = _dense_pagerank(edges, 2)
+    assert list(got["node"]) == list(want["node"])
+    np.testing.assert_allclose(got["rank"], want["rank"], rtol=1e-10)
