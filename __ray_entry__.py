@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": Q.q_decontaminate,
         "pack_sequences": Q.q_pack_sequences,
         "node_pagerank": Q.q_node_pagerank,
+        "node_degrees": Q.q_node_degrees,
+        "component_labels": Q.q_component_labels,
         "mixture_sample": Q.q_mixture_sample,
         "unigram_logprob": Q.q_unigram_logprob,
         "quality_scores": Q.q_quality_scores,
@@ -156,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": Q.SQL_REPETITION_STATS,
         "decontaminate": Q.SQL_DECONTAMINATE,
         "pack_sequences": Q.SQL_PACK_SEQUENCES,
+        "node_degrees": Q.SQL_NODE_DEGREES,
+        "component_labels": Q.SQL_COMPONENT_LABELS,
         "mixture_sample": Q.SQL_MIXTURE_SAMPLE,
         "unigram_logprob": Q.SQL_UNIGRAM_LOGPROB,
         "quality_scores": Q.SQL_QUALITY_SCORES,

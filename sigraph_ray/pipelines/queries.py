@@ -842,6 +842,101 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_node_degrees(sf_dir: str):
+    """Per-node in/out degree over the aggregated edge table — the
+    degree-distribution scan every graph pipeline starts analytics
+    with; two tagged partial streams + one grouped-sum stitch."""
+    import ray.data as rd
+
+    from sigraph_ray.stages import provenance_graph as G
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    parsed = _parsed_events(sf_dir)
+    ok, _ = G.split_quarantine(parsed)
+    edges = G.build_edges(ok)
+
+    def partial(df):
+        out_p = (df.groupby("src", sort=False).size()
+                 .rename("o").reset_index()
+                 .rename(columns={"src": "node"}))
+        out_p["i"] = 0
+        in_p = (df.groupby("dst", sort=False).size()
+                .rename("i").reset_index()
+                .rename(columns={"dst": "node"}))
+        in_p["o"] = 0
+        import pandas as pd
+        return pd.concat([out_p, in_p], ignore_index=True)[
+            ["node", "o", "i"]]
+
+    parts = edges.map_batches(partial, batch_format="pandas")
+    return sorted_groupby_agg(parts, key="node",
+                              aggs={"out_degree": ("o", "sum"),
+                                    "in_degree": ("i", "sum")})
+
+
+SQL_NODE_DEGREES = f"""
+WITH {_SQL_BASE},
+edges_raw AS (
+  SELECT CASE WHEN actor_type = 'READ_RECV' THEN artifact ELSE parent_key END AS src,
+         CASE WHEN actor_type = 'READ_RECV' THEN parent_key ELSE artifact END AS dst,
+         action_type AS type, ts, weight, ord
+  FROM valid WHERE parent_key IS NOT NULL AND parent_span_id IS NOT NULL
+),
+edges AS (
+  SELECT src, dst FROM edges_raw GROUP BY src, dst, type
+),
+tagged AS (
+  SELECT src AS node, 1 AS o, 0 AS i FROM edges
+  UNION ALL
+  SELECT dst AS node, 0 AS o, 1 AS i FROM edges
+)
+SELECT node, sum(o) AS out_degree, sum(i) AS in_degree
+FROM tagged GROUP BY node ORDER BY node
+"""
+
+
+def q_component_labels(sf_dir: str):
+    """G4 connected components over the undirected edge set — the
+    min-label output directly, giving the alias-merge operator a SQL
+    oracle (recursive-CTE transitive closure) on top of its pytest
+    equivalence suite."""
+    from sigraph_ray.stages import provenance_graph as G
+    from sigraph_ray.stages.canonicalize import connected_components
+
+    parsed = _parsed_events(sf_dir)
+    ok, _ = G.split_quarantine(parsed)
+    edges = G.build_edges(ok).map_batches(
+        lambda t: pa.table({"u": t.column("src"), "v": t.column("dst")}),
+        batch_format="pyarrow")
+    out = connected_components(edges)
+    return out.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "component": t.column("comp")}),
+        batch_format="pyarrow")
+
+
+SQL_COMPONENT_LABELS = f"""
+WITH RECURSIVE {_SQL_BASE},
+edges_raw AS (
+  SELECT CASE WHEN actor_type = 'READ_RECV' THEN artifact ELSE parent_key END AS src,
+         CASE WHEN actor_type = 'READ_RECV' THEN parent_key ELSE artifact END AS dst,
+         action_type AS type
+  FROM valid WHERE parent_key IS NOT NULL AND parent_span_id IS NOT NULL
+),
+und AS (
+  SELECT src AS a, dst AS b FROM edges_raw
+  UNION
+  SELECT dst, src FROM edges_raw
+),
+reach(node, r) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT und.b, reach.r FROM reach JOIN und ON und.a = reach.node
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node
+"""
+
+
 def q_node_pagerank(sf_dir: str):
     """PageRank over the provenance edge table (stages/graphalgo
     .pagerank, broadcast tier): artifact importance in the constructed
