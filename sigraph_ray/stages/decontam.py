@@ -40,13 +40,23 @@ def _doc_grams(df: pd.DataFrame, n: int, text_col: str,
 
 
 def decontaminate(ds, *, n: int = 4, eval_mod: int = 20,
-                  text_col: str = "text", id_col: str = "doc_id"):
+                  text_col: str = "text", id_col: str = "doc_id",
+                  member: str = "string"):
     """Split ``ds`` into eval (``doc_id % eval_mod == 0``) and corpus
     rows; return per-corpus-document shingle totals, the count of
     shingle occurrences also present in the eval split, and a
     contamination flag. Documents with zero tokens are excluded
-    (they have no shingles to test)."""
+    (they have no shingles to test).
+
+    ``member="string"`` broadcasts the eval shingles verbatim (exactly
+    SQL-checkable); ``member="hash"`` broadcasts their 64-bit hashes —
+    8 bytes per shingle, the 100 TB-eval-set path — admitting a ~2⁻⁶⁴
+    per-probe false-positive rate that only ever OVER-flags (pytest
+    pins both variants equal on planted corpora)."""
     import ray
+
+    if member not in ("string", "hash"):
+        raise ValueError(member)
 
     def eval_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df[id_col] % eval_mod == 0]
@@ -60,7 +70,12 @@ def decontaminate(ds, *, n: int = 4, eval_mod: int = 20,
          ds.map_batches(eval_partial, batch_format="pandas")
          .iter_batches(batch_format="pandas")] or
         [np.empty(0, dtype=object)]))
-    grams_ref = ray.put(pd.Index(eval_grams))
+    if member == "hash":
+        grams_ref = ray.put(np.unique(pd.util.hash_pandas_object(
+            pd.Series(eval_grams, dtype="object"),
+            index=False).to_numpy().astype(np.uint64)))
+    else:
+        grams_ref = ray.put(pd.Index(eval_grams))
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         df = df[(df[id_col] % eval_mod != 0)].reset_index(drop=True)
@@ -71,10 +86,19 @@ def decontaminate(ds, *, n: int = 4, eval_mod: int = 20,
                                  "n_grams": pd.Series(dtype="int64"),
                                  "n_contaminated": pd.Series(dtype="int64"),
                                  "contaminated": pd.Series(dtype="bool")})
-        idx: pd.Index = ray.get(grams_ref)
+        idx = ray.get(grams_ref)
         doc, gram, n_tokens = _doc_grams(df, n, text_col, id_col)
-        hit = (pd.DataFrame({"d": doc.to_numpy(),
-                             "h": gram.isin(idx).to_numpy()})
+        if member == "hash":
+            gh = pd.util.hash_pandas_object(
+                gram.reset_index(drop=True),
+                index=False).to_numpy().astype(np.uint64)
+            pos = np.searchsorted(idx, gh)
+            ok = pos < len(idx)
+            ok[ok] = idx[pos[ok]] == gh[ok]
+            hits = ok
+        else:
+            hits = gram.isin(idx).to_numpy()
+        hit = (pd.DataFrame({"d": doc.to_numpy(), "h": hits})
                .groupby("d")["h"].sum())
         n_cont = (hit.reindex(df[id_col]).fillna(0)
                   .to_numpy(dtype="int64"))

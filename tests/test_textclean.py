@@ -196,3 +196,21 @@ def test_pack_sequences_invariants(ray_session):
         assert (big["doc_offset"].iloc[1:].to_numpy()
                 == big["doc_offset"].iloc[:-1].to_numpy()
                 + big["n_tokens"].iloc[:-1].to_numpy()).all()
+
+
+def test_decontaminate_hash_variant_matches_string(ray_session):
+    from sigraph_ray.stages.decontam import decontaminate
+
+    rng = np.random.default_rng(51)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(120),
+        "text": [" ".join(rng.choice(vocab, size=30)) for _ in range(120)],
+    })
+    ds = rd.from_pandas(docs).repartition(4)
+    a = (decontaminate(ds, n=3, eval_mod=10, member="string")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (decontaminate(ds, n=3, eval_mod=10, member="hash")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["contaminated"].any()   # dense vocab → real overlaps
