@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (brief: token counting, quality, fingerprints)
         "text_stats": Q.q_text_stats,
         "pii_scrub": Q.q_pii_scrub,
+        "corpus_summary": Q.q_corpus_summary,
         "repetition_stats": Q.q_repetition_stats,
         "decontaminate": Q.q_decontaminate,
         "pack_sequences": Q.q_pack_sequences,
@@ -155,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filtered": Q.SQL_QUALITY_FILTERED,
         "text_stats": Q.SQL_TEXT_STATS,
         "pii_scrub": Q.SQL_PII_SCRUB,
+        "corpus_summary": Q.SQL_CORPUS_SUMMARY,
         "repetition_stats": Q.SQL_REPETITION_STATS,
         "decontaminate": Q.SQL_DECONTAMINATE,
         "pack_sequences": Q.SQL_PACK_SEQUENCES,

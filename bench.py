@@ -207,7 +207,8 @@ def scaling():
                              check=True)
         return json.loads(res.stdout.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = lo * 4
     # Best-of-N per leg (default 2, GRAFT_SCALING_ATTEMPTS): this
     # sandbox has ambient load waves from outside the session (loadavg
     # >10 with zero session processes, see BENCH/BASELINE.md); a wave

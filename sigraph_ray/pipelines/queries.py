@@ -1138,6 +1138,54 @@ ORDER BY doc_id
 """
 
 
+def q_corpus_summary(sf_dir: str):
+    """One-row corpus roll-up (docs, token totals, source cardinality,
+    length extremes) — the pre-flight sanity scan a training-data run
+    starts with. Per-batch combiner emits one partial row per block;
+    the driver folds O(#blocks) partials (HLL-style bounded stitch,
+    exact because the per-block partials are exact and re-combinable;
+    distinct sources fold as a set union bounded by the source
+    cardinality)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        nt = df["text"].str.count(r"\S+")
+        return pd.DataFrame({
+            "n_docs": [len(df)],
+            "total_tokens": [int(nt.sum())],
+            "min_tokens": [int(nt.min()) if len(df) else None],
+            "max_tokens": [int(nt.max()) if len(df) else None],
+            "sources": [sorted(df["source"].unique())],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    srcs = sorted({s for row in parts["sources"] for s in row})
+    return pd.DataFrame({
+        "n_docs": pd.Series([int(parts["n_docs"].sum())], dtype="int64"),
+        "total_tokens": pd.Series([int(parts["total_tokens"].sum())],
+                                  dtype="int64"),
+        "min_tokens": pd.Series([int(parts["min_tokens"].min())],
+                                dtype="int64"),
+        "max_tokens": pd.Series([int(parts["max_tokens"].max())],
+                                dtype="int64"),
+        "n_sources": pd.Series([len(srcs)], dtype="int64"),
+    })
+
+
+SQL_CORPUS_SUMMARY = r"""
+SELECT count(*) AS n_docs,
+       sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+       min(len(regexp_extract_all(text, '\S+'))) AS min_tokens,
+       max(len(regexp_extract_all(text, '\S+'))) AS max_tokens,
+       count(DISTINCT source) AS n_sources
+FROM documents
+"""
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction scan (stages/textclean.pii_scrub): emails /
     SSN-like ids / phones / IPv4 redacted in a fixed order with
