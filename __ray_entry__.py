@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": Q.q_knn_cosine_lsh,
         "knn_cosine_ivf": Q.q_knn_cosine_ivf,
         "doc_embed_knn": Q.q_doc_embed_knn,
+        "knn_self_join": Q.q_knn_self_join,
         # query/RAG surface (F3 + graph retriever)
         "kg_neighborhood": Q.q_kg_neighborhood,
         # KG pipeline (oracle = generator intent, enforced in pytest)
@@ -174,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": Q.SQL_NGRAM_JACCARD,
         "embed_cosine_pairs": Q.SQL_EMBED_COSINE_PAIRS,
         "knn_cosine": Q.SQL_KNN_COSINE,
+        "knn_self_join": Q.SQL_KNN_SELF_JOIN,
         # lang_id, minhash_dedup, knn_cosine_lsh/ivf, doc_embed_knn,
         # kg_neighborhood, kg_triples, kg_entities: not
         # SQL-expressible → rows-only (approximate / non-relational).

@@ -2151,6 +2151,39 @@ SELECT seed, line FROM ranked WHERE rn <= 50 ORDER BY seed, line
 """
 
 
+def q_knn_self_join(sf_dir: str):
+    """All-pairs exact top-5 neighbor self-join (stages/similarity
+    .knn_self_join): broadcast corpus matrix, per-block matmul + full
+    deterministic ranking."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.similarity import knn_self_join
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return knn_self_join(ds, k=5)
+
+
+SQL_KNN_SELF_JOIN = """
+WITH scored AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         round(list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])), 9) AS cos
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, nbr_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT vec_id, rank, nbr_id FROM ranked WHERE rank <= 5
+ORDER BY vec_id, rank
+"""
+
+
 def q_kg_neighborhood(sf_dir: str):
     """F3 + neighborhood over the LLM knowledge graph: entities are
     extracted from a question (deterministic F3 stand-in,

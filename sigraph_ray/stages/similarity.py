@@ -397,3 +397,58 @@ def embed_cosine_pairs(ds, *, id_col: str = "vec_id",
         fn_constructor_kwargs={"mat_refs": refs, "threshold": threshold,
                                "id_col": id_col, "emb_col": emb_col},
         concurrency=concurrency)
+
+
+def knn_self_join(ds, *, k: int = 5, id_col: str = "vec_id",
+                  emb_col: str = "embedding"):
+    """All-pairs top-k neighbor self-join: for EVERY row, its k most
+    cosine-similar OTHER rows → Dataset of (vec_id, rank, nbr_id).
+
+    Exact broadcast tier: the normalized corpus matrix is assembled
+    once (float32, 10⁸ × 256-d ≈ 100 GB — the object-store bound,
+    documented like ``joins.broadcast_semi_anti``) and ``ray.put``;
+    each corpus block then computes block × corpusᵀ and its own top-k
+    rows independently — O(n²/blocks) flops per task, zero shuffle.
+    Past the broadcast bound use the bucketed tiers that already serve
+    this family at scale: `embed_cosine_pairs` (LSH-bucketed near-dup
+    pairs) or `ivf_topk` (probed centroid scan) — this operator is the
+    exact baseline they are recall-gated against. Determinism matches
+    the SQL oracle: cosine rounded to 9 dp, ties by neighbor id asc."""
+    import ray
+
+    parts = ds.map_batches(
+        lambda df: pd.DataFrame({
+            "ids": [df[id_col].to_numpy()],
+            "mat": [np.stack(df[emb_col].to_numpy())]}),
+        batch_format="pandas", batch_size=None).take_all()
+    ids = np.concatenate([p["ids"] for p in parts])
+    mat = _normalize(np.vstack([p["mat"] for p in parts]).astype(
+        np.float64))
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    corpus_ref = ray.put((ids, mat))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        cids, cmat = ray.get(corpus_ref)
+        bids = df[id_col].to_numpy()
+        bmat = _normalize(np.stack(df[emb_col].to_numpy())
+                          .astype(np.float64))
+        sims = np.round(bmat @ cmat.T, 9)
+        # exclude self-matches by id
+        self_pos = np.searchsorted(cids, bids)
+        sims[np.arange(len(bids)), self_pos] = -np.inf
+        kk = min(k, sims.shape[1] - 1)
+        out_v, out_r, out_n = [], [], []
+        # deterministic top-k: FULL per-row sort by (-cos, nbr_id) —
+        # argpartition prefilters can split a rounded-cosine tie
+        # plateau and diverge from the oracle's total order
+        for i in range(len(bids)):
+            cand = np.lexsort((cids, -sims[i]))[:kk]
+            out_v.extend([bids[i]] * kk)
+            out_r.extend(range(1, kk + 1))
+            out_n.extend(cids[cand])
+        return pd.DataFrame({id_col: out_v,
+                             "rank": np.array(out_r, dtype="int64"),
+                             "nbr_id": out_n})
+
+    return ds.map_batches(topk, batch_format="pandas")
