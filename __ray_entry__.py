@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": Q.q_text_stats,
         "pii_scrub": Q.q_pii_scrub,
         "corpus_summary": Q.q_corpus_summary,
+        "bpe_token_count": Q.q_bpe_token_count,
         "repetition_stats": Q.q_repetition_stats,
         "decontaminate": Q.q_decontaminate,
         "pack_sequences": Q.q_pack_sequences,
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": Q.SQL_TEXT_STATS,
         "pii_scrub": Q.SQL_PII_SCRUB,
         "corpus_summary": Q.SQL_CORPUS_SUMMARY,
+        "bpe_token_count": Q.SQL_BPE_TOKEN_COUNT,
         "repetition_stats": Q.SQL_REPETITION_STATS,
         "decontaminate": Q.SQL_DECONTAMINATE,
         "pack_sequences": Q.SQL_PACK_SEQUENCES,

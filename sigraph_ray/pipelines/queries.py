@@ -1138,6 +1138,37 @@ ORDER BY doc_id
 """
 
 
+def q_bpe_token_count(sf_dir: str):
+    """BPE-ish token budget estimate (stages/textstats
+    .bpe_token_stats): GPT-2-style pre-tokenizer regex, RE2 shared
+    verbatim with the oracle (the SQL below is built FROM the same
+    BPE_RE constant)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import bpe_token_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bpe_token_stats(ds)
+
+
+def _bpe_sql() -> str:
+    from sigraph_ray.stages.textstats import BPE_RE
+
+    rx = BPE_RE.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{rx}')) AS n_bpe_tokens,
+       CAST(length(text) AS DOUBLE)
+         / greatest(len(regexp_extract_all(text, '{rx}')), 1)
+         AS chars_per_token
+FROM documents ORDER BY doc_id
+"""
+
+
+SQL_BPE_TOKEN_COUNT = _bpe_sql()
+
+
 def q_corpus_summary(sf_dir: str):
     """One-row corpus roll-up (docs, token totals, source cardinality,
     length extremes) — the pre-flight sanity scan a training-data run
