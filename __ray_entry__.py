@@ -169,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": Q.SQL_UNIGRAM_LOGPROB,
         "quality_scores": Q.SQL_QUALITY_SCORES,
         "fingerprints": Q.SQL_FINGERPRINTS,
+        "lang_id": Q.SQL_LANG_ID,
         "term_topk": Q.SQL_TERM_TOPK,
         "tfidf_keywords": Q.SQL_TFIDF_KEYWORDS,
         "stratified_sample": Q.SQL_STRATIFIED_SAMPLE,
@@ -178,7 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_cosine_pairs": Q.SQL_EMBED_COSINE_PAIRS,
         "knn_cosine": Q.SQL_KNN_COSINE,
         "knn_self_join": Q.SQL_KNN_SELF_JOIN,
-        # lang_id, minhash_dedup, knn_cosine_lsh/ivf, doc_embed_knn,
+        # minhash_dedup, knn_cosine_lsh/ivf, doc_embed_knn,
         # kg_neighborhood, kg_triples, kg_entities: not
         # SQL-expressible → rows-only (approximate / non-relational).
     }

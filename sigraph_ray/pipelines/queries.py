@@ -1414,6 +1414,63 @@ FROM documents GROUP BY md5(text) ORDER BY content_md5
 """
 
 
+def _lang_id_sql() -> str:
+    """SQL twin of stages/textstats.LangId, generated FROM the same
+    _PROFILES lists so the stopword sets can never drift. Precedence
+    chain (ko-script > zh-script > no-tokens > profile argmax with
+    first-max-wins tie-break) mirrors the numpy control flow exactly;
+    scores are the same round-to-6 the driver compare uses."""
+    from sigraph_ray.stages.textstats import _PROFILES
+
+    rows = ",\n        ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_PROFILES) if _PROFILES[lang]
+        for w in sorted(_PROFILES[lang]))
+    return f"""
+WITH stats AS (
+  SELECT doc_id,
+         greatest(length(lower(text)), 1) AS nchars,
+         len(regexp_extract_all(lower(text), '[가-힯]')) AS hangul,
+         len(regexp_extract_all(lower(text), '[一-鿿]')) AS cjk,
+         regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS toks
+  FROM documents
+), tk AS (
+  SELECT doc_id, unnest(toks) AS w FROM stats
+), prof(lang, w) AS (
+  VALUES {rows}
+), hits AS (
+  SELECT tk.doc_id, prof.lang, count(*) AS hit
+  FROM tk JOIN prof ON tk.w = prof.w GROUP BY tk.doc_id, prof.lang
+), scores AS (
+  SELECT s.doc_id, l.lang,
+         CAST(coalesce(h.hit, 0) AS DOUBLE)
+           / greatest(len(s.toks), 1) AS sc
+  FROM stats s
+  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+  LEFT JOIN hits h ON h.doc_id = s.doc_id AND h.lang = l.lang
+), best AS (
+  SELECT doc_id, lang, sc,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sc DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT s.doc_id,
+       CASE WHEN s.hangul * 2 > s.nchars * 0.1 THEN 'ko'
+            WHEN s.cjk * 2 > s.nchars * 0.1 THEN 'zh'
+            WHEN len(s.toks) = 0 THEN ''
+            WHEN b.sc > 0.02 THEN b.lang ELSE '' END AS pred_lang,
+       CASE WHEN s.hangul * 2 > s.nchars * 0.1 THEN 1.0
+            WHEN s.cjk * 2 > s.nchars * 0.1 THEN 1.0
+            WHEN len(s.toks) = 0 THEN 0.0
+            ELSE round(b.sc, 6) END AS lang_score
+FROM stats s JOIN best b ON b.doc_id = s.doc_id AND b.rn = 1
+ORDER BY s.doc_id
+"""
+
+
+SQL_LANG_ID = _lang_id_sql()
+
+
 def q_lang_id(sf_dir: str):
     """Heuristic language ID — no SQL oracle (rows-only check)."""
     import ray.data as rd
