@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": Q.q_lineitem_agg,
         "top_customers": Q.q_top_customers,
         "events_hourly": Q.q_events_hourly,
+        "burst_hours": Q.q_burst_hours,
         "supplier_nation": Q.q_supplier_nation,
         "asof_attribution": Q.q_asof_attribution,
         "range_join": Q.q_range_join,
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_agg": Q.SQL_LINEITEM_AGG,
         "top_customers": Q.SQL_TOP_CUSTOMERS,
         "events_hourly": Q.SQL_EVENTS_HOURLY,
+        "burst_hours": Q.SQL_BURST_HOURS,
         "supplier_nation": Q.SQL_SUPPLIER_NATION,
         "asof_attribution": Q.SQL_ASOF_ATTRIBUTION,
         "range_join": Q.SQL_RANGE_JOIN,

@@ -440,6 +440,71 @@ ORDER BY total_spent DESC, c_custkey ASC LIMIT 10
 """
 
 
+def q_burst_hours(sf_dir: str):
+    """Burst / anomaly detection on the event stream (streaming-
+    analytics composition): hourly counts per event type, trailing-24 h
+    mean via the sliding RANGE window operator, rows flagged when the
+    hour runs ≥ 3× its trailing mean with ≥ 6 h of history. One grouped
+    aggregate + one sorted-stitch window pass — no driver loops."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from sigraph_ray.stages.temporal import sliding_window_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def window(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        return t.append_column("hour", hour)
+
+    hc = (ds.map_batches(window, batch_format="pyarrow")
+          .groupby(["hour", "event_type"])
+          .aggregate(Count(alias_name="cnt"))
+          # the stitch needs a tiebreak column distinct from ts
+          .map_batches(lambda t: t.append_column(
+              "hour_tb", t.column("hour")), batch_format="pyarrow"))
+    win = sliding_window_agg(hc, key="event_type", ts="hour",
+                             tiebreak="hour_tb", window="24h",
+                             value="cnt", keep_value=True)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        mean = df["sum_value_window"] / df["n_window"]
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "hour": df["hour"],
+            "cnt": df["cnt"].astype("int64"),
+            "n_window": df["n_window"].astype("int64"),
+            "mean_24h": mean,
+            "is_burst": (df["n_window"] >= 6)
+            & (df["cnt"] >= 3.0 * mean),
+        })
+
+    return win.map_batches(flag, batch_format="pandas")
+
+
+SQL_BURST_HOURS = """
+WITH hc AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, hour, cnt,
+         count(*) OVER w AS n_window,
+         sum(cnt) OVER w AS sum_cnt
+  FROM hc
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                         AND CURRENT ROW)
+)
+SELECT event_type, hour, cnt, n_window,
+       CAST(sum_cnt AS DOUBLE) / n_window AS mean_24h,
+       n_window >= 6 AND cnt >= 3.0 * (CAST(sum_cnt AS DOUBLE) / n_window)
+         AS is_burst
+FROM win ORDER BY event_type, hour
+"""
+
+
 def q_events_hourly(sf_dir: str):
     """Event-time tumbling window as a grouped aggregate on a computed
     window key (streaming-shaped workload, batch form)."""

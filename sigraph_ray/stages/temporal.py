@@ -248,7 +248,7 @@ def sorted_range_join(left, right, *, key: str, ts: str, tiebreak: str,
 
 
 def sliding_window_agg(ds, *, key: str, ts: str, tiebreak: str,
-                       window, value: str):
+                       window, value: str, keep_value: bool = False):
     """Sliding (RANGE-preceding) window aggregate: for every row,
     count and sum over the SAME key's rows with ``ts`` in
     ``[row.ts - window, row.ts]`` — SQL
@@ -286,6 +286,8 @@ def sliding_window_agg(ds, *, key: str, ts: str, tiebreak: str,
         vals = df[value].to_numpy(dtype="float64")
         csum = np.concatenate(([0.0], np.cumsum(vals)))
         out = df[[tiebreak, key, ts]].copy()
+        if keep_value:
+            out[value] = vals
         out["n_window"] = (hi - lo).astype("int64")
         out["sum_value_window"] = csum[hi] - csum[lo]
         return out
