@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": Q.q_approx_distinct,
         "sessionize": Q.q_sessionize,
         "quantiles": Q.q_quantiles,
+        "grouped_quantiles": Q.q_grouped_quantiles,
         "approx_quantiles": Q.q_approx_quantiles,
         "top_orders_per_customer": Q.q_top_orders_per_customer,
         "sliding_window": Q.q_sliding_window,
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": Q.SQL_RANGE_JOIN,
         "sessionize": Q.SQL_SESSIONIZE,
         "quantiles": Q.SQL_QUANTILES,
+        "grouped_quantiles": Q.SQL_GROUPED_QUANTILES,
         "top_orders_per_customer": Q.SQL_TOP_ORDERS_PER_CUSTOMER,
         "sliding_window": Q.SQL_SLIDING_WINDOW,
         "customers_without_orders": Q.SQL_CUSTOMERS_WITHOUT_ORDERS,

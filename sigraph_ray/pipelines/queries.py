@@ -661,6 +661,28 @@ def q_quantiles(sf_dir: str):
                            [0.01, 0.25, 0.5, 0.75, 0.99])
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Exact per-source length percentiles (stages/quantiles
+    .grouped_exact_quantiles): one (key, value) range sort + group-
+    count probes + remote rank picks."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.quantiles import grouped_exact_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "n_chars"])
+    return grouped_exact_quantiles(ds, key="source", col="n_chars",
+                                   qs=[0.5, 0.9])
+
+
+SQL_GROUPED_QUANTILES = """
+SELECT source,
+       unnest([0.5, 0.9]) AS q,
+       unnest(quantile_disc(n_chars, [0.5, 0.9])) AS value
+FROM documents GROUP BY source ORDER BY source, q
+"""
+
+
 def q_approx_quantiles(sf_dir: str):
     """Shuffle-free approximate quantiles (stages/quantiles
     .approx_quantiles): per-block weighted summaries merged by

@@ -137,3 +137,89 @@ def approx_quantiles(ds, col: str, qs: list[float], *,
     picks = vals[np.searchsorted(cum, targets, side="right")]
     return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
                          "value": picks})
+
+
+def grouped_exact_quantiles(ds, *, key: str, col: str,
+                            qs: list[float]) -> pd.DataFrame:
+    """Exact per-group ``quantile_disc``: one range sort by
+    ``(key, col)``, a per-block (group → count) probe, then remote
+    rank picks — the grouped sibling of :func:`exact_quantiles` (per-
+    domain length percentiles are the canonical corpus use). Driver
+    work is O(#blocks + #groups) count pairs — groups-sized, never
+    rows-sized; selected scalars are fetched from only the blocks that
+    hold a target rank."""
+    import bisect
+
+    import numpy as np
+    import ray
+
+    s = ds.sort([key, col]).materialize()
+    refs = s.to_arrow_refs()
+
+    @ray.remote
+    def probe(t):
+        if t.num_rows == 0:
+            return None
+        df = t.select([key]).to_pandas()
+        # block comes from the global (key, col) sort → groups are
+        # contiguous and in order within the block
+        g = df.groupby(key, sort=False).size()
+        first = (t.column(key)[0].as_py(), t.column(col)[0].as_py())
+        return first, list(zip(g.index.tolist(),
+                               [int(x) for x in g.tolist()]))
+
+    @ray.remote
+    def pick(t, idxs):
+        c = t.column(col)
+        return [c[i].as_py() for i in idxs]
+
+    probed = [(r, p) for r, p in zip(refs, ray.get(
+        [probe.remote(r) for r in refs])) if p is not None]
+    qs = sorted(qs)
+    if not probed:
+        return pd.DataFrame({key: pd.Series(dtype="object"),
+                             "q": pd.Series(dtype="float64"),
+                             "value": pd.Series(dtype="float64")})
+    probed.sort(key=lambda p: p[1][0])
+
+    # per-group totals and per-(block, group) local offsets
+    totals: dict = {}
+    seen_before: list[dict] = []   # group → rows of group in earlier blocks
+    for _, (_, pairs) in probed:
+        seen_before.append(dict(totals))
+        for k, n in pairs:
+            totals[k] = totals.get(k, 0) + n
+
+    # targets: group → [(rank_within_group, q_idx)]
+    out_rows: list[tuple] = []
+    wanted: dict[int, list[tuple[int, int]]] = {}
+    order_keys = sorted(totals)
+    for k in order_keys:
+        n = totals[k]
+        for qi, q in enumerate(qs):
+            rank = min(max(0, math.ceil(q * n) - 1), n - 1)
+            # locate block: last block whose seen_before[b].get(k) ≤ rank
+            for b, (_, (_, pairs)) in enumerate(probed):
+                before = seen_before[b].get(k, 0)
+                here = dict(pairs).get(k, 0)
+                if here and before <= rank < before + here:
+                    # local row index = offset of k's segment + delta
+                    seg_off = 0
+                    for kk, nn in pairs:
+                        if kk == k:
+                            break
+                        seg_off += nn
+                    wanted.setdefault(b, []).append(
+                        (seg_off + rank - before, (k, q)))
+                    break
+
+    results: dict = {}
+    tasks = [(pairs, pick.remote(probed[b][0], [p[0] for p in pairs]))
+             for b, pairs in wanted.items()]
+    for pairs, fut in tasks:
+        for (_, kq), v in zip(pairs, ray.get(fut)):
+            results[kq] = v
+    for k in order_keys:
+        for q in qs:
+            out_rows.append((k, q, results[(k, q)]))
+    return pd.DataFrame(out_rows, columns=[key, "q", "value"])

@@ -180,3 +180,27 @@ def test_salted_groupby_agg_equals_unsalted(ray_session):
                .sort_values("k").reset_index(drop=True))
         pd.testing.assert_frame_equal(
             got.astype(want.dtypes), want, check_dtype=False)
+
+
+def test_grouped_exact_quantiles_matches_rank_rule(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.quantiles import grouped_exact_quantiles
+
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "d"], 5000,
+                        p=[0.7, 0.2, 0.05, 0.05]),   # skewed groups
+        "v": rng.integers(0, 10000, 5000).astype("int64"),
+    })
+    qs = [0.1, 0.5, 0.99]
+    got = grouped_exact_quantiles(
+        rd.from_pandas(df).repartition(6), key="k", col="v", qs=qs)
+    for k, sub in df.groupby("k"):
+        vals = np.sort(sub["v"].to_numpy())
+        for q in qs:
+            rank = min(max(0, int(np.ceil(q * len(vals))) - 1),
+                       len(vals) - 1)
+            want = vals[rank]
+            g = got[(got["k"] == k) & (got["q"] == q)]["value"]
+            assert int(g.iloc[0]) == want, (k, q)
