@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": Q.q_repetition_stats,
         "decontaminate": Q.q_decontaminate,
         "pack_sequences": Q.q_pack_sequences,
+        "training_shards": Q.q_training_shards,
         "node_pagerank": Q.q_node_pagerank,
         "node_degrees": Q.q_node_degrees,
         "component_labels": Q.q_component_labels,

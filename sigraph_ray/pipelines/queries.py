@@ -1039,6 +1039,30 @@ def q_node_pagerank(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_training_shards(sf_dir: str):
+    """End-to-end training-shard export (pipelines/training_export):
+    docs → token ids → packed fixed-512 sequences → parquet under
+    /tmp, read back. Rows-only: the sink is the deliverable; shape and
+    token-stream equality are pytest-gated."""
+    import hashlib
+    import ray.data as rd
+
+    from sigraph_ray.pipelines.training_export import \
+        export_training_shards
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ("/tmp/sigraph_ray_shards_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    export_training_shards(ds, out, max_tokens=512)
+    t = rd.read_parquet(out).to_pandas()
+    t["n_ids"] = t["input_ids"].map(len).astype("int64")
+    return (t[["seq_id", "n_real", "n_ids"]]
+            .sort_values("seq_id").reset_index(drop=True))
+
+
 def q_pack_sequences(sf_dir: str):
     """GPT-style sequence packing (stages/packing.pack_sequences):
     doc→fixed-512-token-sequence span mapping over the doc_id-ordered
