@@ -209,3 +209,27 @@ def test_matches_match_reference(built):
 def test_quarantine_and_prune_counts(built):
     assert len(built["quarantined"]) == built["ref"]["quarantined"]
     assert built["n_pruned"] == built["ref"]["n_pruned"]
+
+
+def test_jsonl_roundtrip_graph_identical(ray_session, tmp_path):
+    """S2 wire-format fidelity: the graph built from a JSONL copy of
+    the event stream is byte-identical to the Arrow-stream build."""
+    import ray.data as rd
+
+    from sigraph_ray.sources import synth
+    from sigraph_ray.sources.jsonl import (read_events_jsonl,
+                                           write_events_jsonl)
+    from sigraph_ray.stages import provenance_graph as G
+
+    events = rd.range(400, override_num_blocks=2).map_batches(
+        lambda b: synth.events_batch(b["id"]), batch_format="numpy")
+    path = str(tmp_path / "events_jsonl")
+    write_events_jsonl(events, path)
+    via_jsonl = read_events_jsonl(path)
+    for key in ("nodes", "edges", "traces"):
+        a = G.build_graph(events)[key].to_pandas()
+        b = G.build_graph(via_jsonl)[key].to_pandas()
+        cols = list(a.columns)
+        a = a.sort_values(cols[:2]).reset_index(drop=True)
+        b = b.sort_values(cols[:2]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
