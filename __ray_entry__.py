@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": Q.q_text_stats,
         "pii_scrub": Q.q_pii_scrub,
         "corpus_summary": Q.q_corpus_summary,
+        "curated_per_source": Q.q_curated_per_source,
+        "snapshot_delta": Q.q_snapshot_delta,
         "bpe_token_count": Q.q_bpe_token_count,
         "repetition_stats": Q.q_repetition_stats,
         "decontaminate": Q.q_decontaminate,
@@ -164,6 +166,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": Q.SQL_TEXT_STATS,
         "pii_scrub": Q.SQL_PII_SCRUB,
         "corpus_summary": Q.SQL_CORPUS_SUMMARY,
+        "curated_per_source": Q.SQL_CURATED_PER_SOURCE,
+        "snapshot_delta": Q.SQL_SNAPSHOT_DELTA,
         "bpe_token_count": Q.SQL_BPE_TOKEN_COUNT,
         "repetition_stats": Q.SQL_REPETITION_STATS,
         "decontaminate": Q.SQL_DECONTAMINATE,

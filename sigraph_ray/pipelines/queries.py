@@ -1280,6 +1280,94 @@ FROM documents ORDER BY doc_id
 SQL_BPE_TOKEN_COUNT = _bpe_sql()
 
 
+def q_curated_per_source(sf_dir: str):
+    """Quality curation: top-5 highest-quality documents per source —
+    the quality-score scan composed with the grouped top-k stitch
+    (the per-domain selection step of a curated-corpus build)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages import textstats as TS
+    from sigraph_ray.stages.collect import sorted_grouped_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    scores = TS.quality_scores(docs)
+
+    # doc-aligned zip: quality_scores preserves row order within
+    # batches, but joins are cheap at doc-id grain — recompute source
+    # via a broadcast-free two-column scan instead
+    def attach(batch: pa.Table) -> pa.Table:
+        st = TS.quality_score_batch(batch)
+        return st.append_column("source", batch.column("source"))
+
+    scored = docs.map_batches(attach, batch_format="pyarrow")
+    return sorted_grouped_topk(
+        scored.select_columns(["source", "doc_id", "quality_score"]),
+        key="source", order_by=["quality_score", "doc_id"],
+        descending=[True, False], k=5)
+
+
+SQL_CURATED_PER_SOURCE = r"""
+WITH s AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(regexp_extract_all(text, '\b(?:the|and|of|a|to|in|is)\b')) AS n_stop
+  FROM documents
+), q AS (
+  SELECT doc_id, source,
+         (CAST(n_tokens BETWEEN 10 AND 100000 AS DOUBLE)
+          + CAST(n_punct > 0 AS DOUBLE)
+          + CAST(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) >= 0.01
+                 AS DOUBLE)) / 3.0 AS quality_score
+  FROM s
+)
+SELECT source, doc_id, quality_score, rank FROM (
+  SELECT source, doc_id, quality_score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality_score DESC, doc_id) AS rank
+  FROM q)
+WHERE rank <= 5 ORDER BY source, rank
+"""
+
+
+def q_snapshot_delta(sf_dir: str):
+    """Incremental-ingest delta: documents NOT already present in the
+    prior snapshot (stand-in: doc_id % 3 == 0) by exact content md5 —
+    the cross-snapshot anti-join every recurring crawl run starts
+    with, on the Bloom-prefiltered tier so unchanged (negative) docs
+    never shuffle."""
+    import ray.data as rd
+
+    from sigraph_ray.functions.hashing import md5_hex
+    from sigraph_ray.stages.bloom import bloom_semi_anti
+
+    def with_md5(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["content_md5"] = md5_hex(df["text"].tolist())
+        out["is_prior"] = (df["doc_id"] % 3 == 0)
+        return out[["doc_id", "content_md5", "is_prior"]]
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    hashed = docs.map_batches(with_md5, batch_format="pandas")
+    prior = hashed.filter(expr="is_prior == True").select_columns(
+        ["content_md5"])
+    fresh = hashed.filter(expr="is_prior == False")
+    out = bloom_semi_anti(fresh, prior, left_key="content_md5",
+                          right_key="content_md5", anti=True)
+    return out.select_columns(["doc_id", "content_md5"]).sort("doc_id")
+
+
+SQL_SNAPSHOT_DELTA = """
+SELECT doc_id, md5(text) AS content_md5 FROM documents
+WHERE doc_id % 3 <> 0
+  AND md5(text) NOT IN (SELECT md5(text) FROM documents
+                        WHERE doc_id % 3 = 0)
+ORDER BY doc_id
+"""
+
+
 def q_corpus_summary(sf_dir: str):
     """One-row corpus roll-up (docs, token totals, source cardinality,
     length extremes) — the pre-flight sanity scan a training-data run

@@ -104,7 +104,8 @@ def bloom_semi_anti(left, right, *, left_key: str, right_key: str,
         return df[hit] if keep_positive else df[~hit]
 
     survivors = left.map_batches(
-        lambda df: probe(df, keep_positive=True), batch_format="pandas")
+        lambda df: probe(df, keep_positive=True),
+        batch_format="pandas").materialize()
 
     keys = sorted_distinct(right, [right_key])
     if right_key != left_key:
@@ -114,7 +115,25 @@ def bloom_semi_anti(left, right, *, left_key: str, right_key: str,
     key_type = column_type(right, right_key)
     left_schema = left.schema().base_schema
     if not isinstance(left_schema, pa.Schema):
-        left_schema = None
+        # pandas-block datasets report a pandas schema; reconstruct an
+        # Arrow one so sparse/filtered blocks are normalized before the
+        # Acero join (see joins.py module docstring)
+        left_schema = pa.schema(
+            [(n, column_type(left, n)) for n in left.schema().names])
+
+    # an ENTIRELY empty survivor set never delivers a schema to the
+    # hash-shuffle aggregators (hash_shuffle early-return; joins.py
+    # docstring) — and needs no verify join anyway: semi = nothing,
+    # anti = every Bloom-negative row
+    if survivors.count() == 0:
+        import ray.data as rd
+
+        if anti:
+            return left.map_batches(
+                lambda df: probe(df, keep_positive=False),
+                batch_format="pandas")
+        return rd.from_arrow(left_schema.empty_table()) \
+            if left_schema is not None else survivors
 
     if not anti:
         return safe_join(
