@@ -72,9 +72,19 @@ def _build_bitmap(right, right_key: str, k: int, m_bits: int):
                                               & np.uint64(63)))
         return pd.DataFrame({"bits": [bits.tobytes()]})
 
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # tree-combine level (OR is associative): driver folds
+        # O(#blocks/64) bitmaps even at extreme block counts
+        acc = np.zeros(words, dtype=np.uint64)
+        for b in df["bits"]:
+            acc |= np.frombuffer(b, dtype=np.uint64)
+        return pd.DataFrame({"bits": [acc.tobytes()]})
+
     merged = np.zeros(words, dtype=np.uint64)
-    for row in right.map_batches(partial, batch_format="pandas",
-                                 batch_size=None).take_all():
+    for row in (right.map_batches(partial, batch_format="pandas",
+                                  batch_size=None)
+                .map_batches(merge, batch_format="pandas",
+                             batch_size=64).take_all()):
         merged |= np.frombuffer(row["bits"], dtype=np.uint64)
     return merged
 

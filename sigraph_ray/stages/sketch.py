@@ -91,8 +91,24 @@ def approx_heavy_hitters(ds, col: str, *, k: int = 20, w: int = 4096,
         return pd.DataFrame({"sketch": [cms.tobytes()],
                              "cands": [cand]})
 
-    parts = ds.map_batches(per_block, batch_format="pandas",
-                           batch_size=None).take_all()
+    def merge_partials(df: pd.DataFrame) -> pd.DataFrame:
+        # tree-combine level: 64 block sketches fold into one before
+        # the driver, so driver work is O(#blocks/64) even at extreme
+        # block counts (sketch sums are associative)
+        acc = np.zeros((d, w), dtype=np.int64)
+        cands: list = []
+        for _, row in df.iterrows():
+            acc += np.frombuffer(row["sketch"],
+                                 dtype=np.int64).reshape(d, w)
+            cands.extend(row["cands"])
+        return pd.DataFrame({"sketch": [acc.tobytes()],
+                             "cands": [sorted(set(cands))[:64 * m]]})
+
+    parts = (ds.map_batches(per_block, batch_format="pandas",
+                            batch_size=None)
+             .map_batches(merge_partials, batch_format="pandas",
+                          batch_size=64)
+             .take_all())
     if not parts:
         return pd.DataFrame({"value": pd.Series(dtype="object"),
                              "est_freq": pd.Series(dtype="int64")})
