@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": Q.q_sliding_window,
         "customers_without_orders": Q.q_customers_without_orders,
         "bloom_semi_lineitem": Q.q_bloom_semi_lineitem,
+        "upsert_compact": Q.q_upsert_compact,
         "quality_filtered": Q.q_quality_filtered,
         # text analysis (brief: token counting, quality, fingerprints)
         "text_stats": Q.q_text_stats,
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window": Q.SQL_SLIDING_WINDOW,
         "customers_without_orders": Q.SQL_CUSTOMERS_WITHOUT_ORDERS,
         "bloom_semi_lineitem": Q.SQL_BLOOM_SEMI_LINEITEM,
+        "upsert_compact": Q.SQL_UPSERT_COMPACT,
         "quality_filtered": Q.SQL_QUALITY_FILTERED,
         "text_stats": Q.SQL_TEXT_STATS,
         "pii_scrub": Q.SQL_PII_SCRUB,

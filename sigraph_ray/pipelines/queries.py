@@ -809,6 +809,60 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_upsert_compact(sf_dir: str):
+    """Last-writer-wins upsert compaction (stages/upsert
+    .compact_upserts): a deterministic updates stream (newer / tied /
+    stale versions) merged into the orders base in one grouped-arg-max
+    pass — the reference's per-key MERGE as dataflow."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.upsert import compact_upserts
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def as_base(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["version"] = 10
+        return out
+
+    def as_updates(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["o_orderkey"] % 7 < 3].copy()
+        out["o_totalprice"] = out["o_totalprice"] * 2
+        m = out["o_orderkey"] % 3
+        out["version"] = m.map({0: 20, 1: 10, 2: 5}).astype("int64")
+        return out
+
+    base = orders.map_batches(as_base, batch_format="pandas")
+    upd = orders.map_batches(as_updates, batch_format="pandas")
+    out = compact_upserts(base, upd, key="o_orderkey",
+                          version="version")
+    return out.sort("o_orderkey")
+
+
+SQL_UPSERT_COMPACT = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, 10 AS version, 0 AS origin
+  FROM orders
+), upd AS (
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+         CASE CAST(o_orderkey % 3 AS INTEGER)
+              WHEN 0 THEN 20 WHEN 1 THEN 10 ELSE 5 END AS version,
+         1 AS origin
+  FROM orders WHERE o_orderkey % 7 < 3
+), tagged AS (
+  SELECT * FROM base UNION ALL SELECT * FROM upd
+), r AS (
+  SELECT o_orderkey, o_totalprice, version,
+         row_number() OVER (PARTITION BY o_orderkey
+                            ORDER BY version DESC, origin DESC) AS rn
+  FROM tagged
+)
+SELECT o_orderkey, o_totalprice, version FROM r
+WHERE rn = 1 ORDER BY o_orderkey
+"""
+
+
 def q_customers_without_orders(sf_dir: str):
     """ANTI JOIN (NOT IN): customers with no big order (> 400 k) —
     stages/joins.broadcast_semi_anti over the distinct probe-key set

@@ -204,3 +204,32 @@ def test_grouped_exact_quantiles_matches_rank_rule(ray_session):
             want = vals[rank]
             g = got[(got["k"] == k) & (got["q"] == q)]["value"]
             assert int(g.iloc[0]) == want, (k, q)
+
+
+def test_compact_upserts_semantics(ray_session):
+    """Newer updates replace, version ties go to the updates side,
+    stale updates lose; layout-invariant."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.upsert import compact_upserts
+
+    base = pd.DataFrame({"k": ["a", "b", "c", "d"],
+                         "v": [1.0, 2.0, 3.0, 4.0],
+                         "version": [10, 10, 10, 10]})
+    upd = pd.DataFrame({"k": ["a", "b", "c"],
+                        "v": [100.0, 200.0, 300.0],
+                        "version": [20, 10, 5]})
+    outs = []
+    for blocks in (1, 3):
+        got = (compact_upserts(
+            rd.from_pandas(base).repartition(blocks),
+            rd.from_pandas(upd).repartition(blocks),
+            key="k", version="version")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    assert list(got["k"]) == ["a", "b", "c", "d"]
+    # a: newer update wins; b: tie → update; c: stale → base; d: no upd
+    assert list(got["v"]) == [100.0, 200.0, 3.0, 4.0]
+    assert list(got["version"]) == [20, 10, 10, 10]
