@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": Q.q_customers_without_orders,
         "bloom_semi_lineitem": Q.q_bloom_semi_lineitem,
         "upsert_compact": Q.q_upsert_compact,
+        "zorder_keys": Q.q_zorder_keys,
         "quality_filtered": Q.q_quality_filtered,
         # text analysis (brief: token counting, quality, fingerprints)
         "text_stats": Q.q_text_stats,
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": Q.SQL_CUSTOMERS_WITHOUT_ORDERS,
         "bloom_semi_lineitem": Q.SQL_BLOOM_SEMI_LINEITEM,
         "upsert_compact": Q.SQL_UPSERT_COMPACT,
+        "zorder_keys": Q.SQL_ZORDER_KEYS,
         "quality_filtered": Q.SQL_QUALITY_FILTERED,
         "text_stats": Q.SQL_TEXT_STATS,
         "pii_scrub": Q.SQL_PII_SCRUB,

@@ -809,6 +809,34 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_zorder_keys(sf_dir: str):
+    """Z-order clustering keys over (l_extendedprice, l_quantity)
+    (stages/zorder): the multi-dimensional layout key, bit-exact vs
+    the generated SQL bit-arithmetic oracle."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.zorder import zorder_key
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_extendedprice", "l_quantity"])
+    out = zorder_key(li, cols=("l_extendedprice", "l_quantity"),
+                     bounds=((0.0, 110000.0), (0.0, 55.0)))
+    return out.select_columns(["l_orderkey", "l_linenumber", "zkey"])
+
+
+def _zorder_sql() -> str:
+    from sigraph_ray.stages.zorder import zorder_sql_expr
+
+    expr = zorder_sql_expr("l_extendedprice", "l_quantity",
+                           ((0.0, 110000.0), (0.0, 55.0)))
+    return (f"SELECT l_orderkey, l_linenumber, {expr} AS zkey "
+            "FROM lineitem ORDER BY l_orderkey, l_linenumber")
+
+
+SQL_ZORDER_KEYS = _zorder_sql()
+
+
 def q_upsert_compact(sf_dir: str):
     """Last-writer-wins upsert compaction (stages/upsert
     .compact_upserts): a deterministic updates stream (newer / tied /

@@ -233,3 +233,44 @@ def test_compact_upserts_semantics(ray_session):
     # a: newer update wins; b: tie → update; c: stale → base; d: no upd
     assert list(got["v"]) == [100.0, 200.0, 3.0, 4.0]
     assert list(got["version"]) == [20, 10, 10, 10]
+
+
+def test_zorder_locality_beats_single_column_sort(ray_session):
+    """Clustering by the Morton key localizes BOTH dimensions: a
+    narrow band on the secondary dimension touches far fewer
+    fixed-size 'files' than under a primary-column sort, and the key
+    round-trips its input bits."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.zorder import BITS, morton_key, zorder_sort
+
+    # interleave round-trip
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 1 << BITS, 500).astype(np.uint64)
+    b = rng.integers(0, 1 << BITS, 500).astype(np.uint64)
+    z = morton_key(a, b)
+    back_a = np.zeros_like(a)
+    back_b = np.zeros_like(b)
+    for i in range(BITS):
+        back_a |= ((z >> np.uint64(2 * i)) & np.uint64(1)) << np.uint64(i)
+        back_b |= ((z >> np.uint64(2 * i + 1)) & np.uint64(1)) << np.uint64(i)
+    assert (back_a == a).all() and (back_b == b).all()
+
+    n = 20000
+    df = pd.DataFrame({"x": rng.uniform(0, 1000, n),
+                       "y": rng.uniform(0, 1000, n)})
+    file_rows = 500
+    band = (df["y"] >= 100) & (df["y"] < 140)   # 4 % band on y
+
+    z_sorted = (zorder_sort(rd.from_pandas(df).repartition(4),
+                            cols=("x", "y"),
+                            bounds=((0, 1000), (0, 1000)))
+                .to_pandas().reset_index(drop=True))
+    zb = (z_sorted.index[(z_sorted["y"] >= 100) & (z_sorted["y"] < 140)]
+          // file_rows).nunique()
+    x_sorted = df.sort_values("x").reset_index(drop=True)
+    xb = (x_sorted.index[(x_sorted["y"] >= 100) & (x_sorted["y"] < 140)]
+          // file_rows).nunique()
+    total_files = n // file_rows
+    assert xb >= total_files * 0.9      # x-sort scatters y everywhere
+    assert zb <= total_files * 0.6      # z-order localizes y
