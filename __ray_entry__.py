@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_attribution": Q.q_asof_attribution,
         "range_join": Q.q_range_join,
         "approx_distinct": Q.q_approx_distinct,
+        "grouped_approx_distinct": Q.q_grouped_approx_distinct,
         "sessionize": Q.q_sessionize,
         "quantiles": Q.q_quantiles,
         "grouped_quantiles": Q.q_grouped_quantiles,

@@ -612,6 +612,21 @@ ORDER BY p.event_id, c.event_id
 """
 
 
+def q_grouped_approx_distinct(sf_dir: str):
+    """Per-event-type approximate distinct users (stages/sketch
+    .grouped_approx_distinct): per-block per-group HLL partials,
+    register-max merge — rows-only (approximate by design; error
+    gated in pytest vs exact)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.sketch import grouped_approx_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return grouped_approx_distinct(ev, group="event_type",
+                                   cols=["user_id"])
+
+
 def q_sessionize(sf_dir: str):
     """Session-window aggregate (brief-named custom operator): per-user
     sessions split at >12 h gaps; one row per session with count, span

@@ -130,3 +130,44 @@ def approx_heavy_hitters(ds, col: str, *, k: int = 20, w: int = 4096,
            .sort_values(["est_freq", "value"], ascending=[False, True])
            .head(k).reset_index(drop=True))
     return out
+
+
+def grouped_approx_distinct(ds, *, group: str, cols: list[str],
+                            p: int = H.HLL_P) -> pd.DataFrame:
+    """Per-group HLL distinct count (e.g. distinct users per event
+    type) — every block emits one (group, sketch) row per group it
+    contains, sketches merge per group by register max (associative /
+    idempotent → layout-independent), groups fold in one tiny grouped
+    pass. Driver holds O(#blocks × groups-per-block) fixed-size rows —
+    the bounded-stitch class; the raw value stream never moves.
+    Rows-only by design; error-gated vs exact in pytest."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[cols[0]].astype(str)
+        for c in cols[1:]:
+            key = key + "\x1f" + df[c].astype(str)
+        hs = H.splitmix64(pd.util.hash_pandas_object(
+            key, index=False).to_numpy().astype(np.uint64))
+        out_g, out_s = [], []
+        order = np.argsort(df[group].to_numpy(), kind="stable")
+        gvals = df[group].to_numpy()[order]
+        hvals = hs[order]
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], gvals[1:] != gvals[:-1])))
+        for i, start in enumerate(bounds):
+            end = bounds[i + 1] if i + 1 < len(bounds) else len(gvals)
+            reg = H.hll_init(p)
+            H.hll_add_hashes(reg, hvals[start:end], p)
+            out_g.append(gvals[start])
+            out_s.append(reg.tobytes())
+        return pd.DataFrame({group: out_g, "sketch": out_s})
+
+    parts = (ds.map_batches(f, batch_format="pandas", batch_size=None)
+             .to_pandas())
+    rows = []
+    for g, sub in parts.groupby(group, sort=True):
+        reg = H.hll_init(p)
+        for b in sub["sketch"]:
+            reg = H.hll_merge(reg, np.frombuffer(b, dtype=np.uint8))
+        rows.append((g, float(H.hll_count(reg, p))))
+    return pd.DataFrame(rows, columns=[group, "approx_distinct"])

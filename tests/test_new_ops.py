@@ -352,3 +352,27 @@ def test_approx_quantiles_exact_on_tiny_blocks(ray_session):
     want = exact_quantiles(ds, "v", qs)
     pd.testing.assert_frame_equal(got.astype({"value": "int64"}),
                                   want.astype({"value": "int64"}))
+
+
+def test_grouped_approx_distinct_error_gate(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.sketch import grouped_approx_distinct
+
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 30000, p=[0.6, 0.3, 0.1]),
+        "u": rng.integers(0, 5000, 30000),
+    })
+    got = grouped_approx_distinct(
+        rd.from_pandas(df).repartition(5), group="g", cols=["u"])
+    exact = df.groupby("g")["u"].nunique()
+    for _, row in got.iterrows():
+        rel = abs(row["approx_distinct"] - exact[row["g"]]) \
+            / exact[row["g"]]
+        assert rel < 0.05, (row["g"], rel)
+    # layout invariance: identical estimates at a different block count
+    got2 = grouped_approx_distinct(
+        rd.from_pandas(df).repartition(1), group="g", cols=["u"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  got2.reset_index(drop=True))
