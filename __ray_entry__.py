@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": Q.q_top_customers,
         "events_hourly": Q.q_events_hourly,
         "burst_hours": Q.q_burst_hours,
+        "cohort_retention": Q.q_cohort_retention,
+        "funnel_conversion": Q.q_funnel_conversion,
         "supplier_nation": Q.q_supplier_nation,
         "asof_attribution": Q.q_asof_attribution,
         "range_join": Q.q_range_join,
@@ -155,6 +157,8 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": Q.SQL_TOP_CUSTOMERS,
         "events_hourly": Q.SQL_EVENTS_HOURLY,
         "burst_hours": Q.SQL_BURST_HOURS,
+        "cohort_retention": Q.SQL_COHORT_RETENTION,
+        "funnel_conversion": Q.SQL_FUNNEL_CONVERSION,
         "supplier_nation": Q.SQL_SUPPLIER_NATION,
         "asof_attribution": Q.SQL_ASOF_ATTRIBUTION,
         "range_join": Q.SQL_RANGE_JOIN,

@@ -440,6 +440,135 @@ ORDER BY total_spent DESC, c_custkey ASC LIMIT 10
 """
 
 
+def q_funnel_conversion(sf_dir: str):
+    """Two-step funnel: users whose first signup is followed by a
+    purchase within 7 days. Per-user min-signup stitch ⨝ purchase
+    events (one hash join, window filter vectorized), distinct-user
+    count — the event-sequence analytics pattern as dataflow."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import (sorted_distinct,
+                                            sorted_groupby_agg)
+    from sigraph_ray.stages.joins import safe_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    signups = ev.filter(expr="event_type == 'signup'")
+    purchases = (ev.filter(expr="event_type == 'purchase'")
+                 .select_columns(["user_id", "ts"]))
+
+    def min_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("user_id", sort=False)["ts"].min()
+                .rename("s").reset_index())
+
+    su = sorted_groupby_agg(
+        signups.map_batches(min_partial, batch_format="pandas"),
+        key="user_id", aggs={"s": ("s", "min")})
+    n_signups = su.count()
+    j = safe_join(
+        purchases, su, "inner", 8, on=("user_id",),
+        left_schema=pa.schema([("user_id", pa.int64()),
+                               ("ts", pa.timestamp("us"))]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("s", pa.timestamp("us"))]))
+
+    def in_window(df: pd.DataFrame) -> pd.DataFrame:
+        ok = (df["ts"] >= df["s"]) &             (df["ts"] <= df["s"] + pd.Timedelta(days=7))
+        return df.loc[ok, ["user_id"]]
+
+    conv = sorted_distinct(j.map_batches(in_window,
+                                         batch_format="pandas"),
+                           ["user_id"])
+    n_conv = conv.count()
+    return pd.DataFrame({
+        "n_signups": pd.Series([n_signups], dtype="int64"),
+        "n_converted": pd.Series([n_conv], dtype="int64"),
+        "conversion_rate": [n_conv / n_signups if n_signups else 0.0],
+    })
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH su AS (
+  SELECT user_id, min(ts) AS s FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT DISTINCT su.user_id
+  FROM su JOIN events e ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts >= su.s AND e.ts <= su.s + INTERVAL 7 DAY
+)
+SELECT (SELECT count(*) FROM su) AS n_signups,
+       (SELECT count(*) FROM conv) AS n_converted,
+       CAST((SELECT count(*) FROM conv) AS DOUBLE)
+         / (SELECT count(*) FROM su) AS conversion_rate
+"""
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users bucketed by first-activity month
+    (cohort), counted per (cohort, activity month). Composition:
+    per-user min-month stitch (cohort table, user-sized) ⨝ distinct
+    (user, month) activity pairs — one hash join + one grouped-count
+    stitch; the raw event stream collapses at the first combiner."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import (sorted_distinct,
+                                            sorted_groupby_agg)
+    from sigraph_ray.stages.joins import safe_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def month(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "m": pc.floor_temporal(t.column("ts"), unit="month"),
+        })
+
+    um = ev.map_batches(month, batch_format="pyarrow")
+    activity = sorted_distinct(um, ["user_id", "m"])
+
+    def cohort_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False)["m"].min().rename("cm")
+        return g.reset_index()
+
+    cohorts = sorted_groupby_agg(
+        um.map_batches(cohort_partial, batch_format="pandas"),
+        key="user_id", aggs={"cohort": ("cm", "min")})
+    joined = safe_join(
+        activity, cohorts, "inner", 8, on=("user_id",),
+        left_schema=pa.schema([("user_id", pa.int64()),
+                               ("m", pa.timestamp("us"))]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("cohort", pa.timestamp("us"))]))
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["cohort", "m"], sort=False).size()
+             .rename("c").reset_index())
+        return g
+
+    out = sorted_groupby_agg(
+        joined.map_batches(count_partial, batch_format="pandas"),
+        key=["cohort", "m"], aggs={"n_users": ("c", "sum")})
+    return out.map_batches(
+        lambda df: df.rename(columns={"m": "activity_month"})
+        .astype({"n_users": "int64"}), batch_format="pandas")         .sort(["cohort", "activity_month"])
+
+
+SQL_COHORT_RETENTION = """
+WITH c AS (
+  SELECT user_id, min(date_trunc('month', ts)) AS cohort
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id, date_trunc('month', ts) AS activity_month
+  FROM events
+)
+SELECT c.cohort, a.activity_month, count(*) AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_burst_hours(sf_dir: str):
     """Burst / anomaly detection on the event stream (streaming-
     analytics composition): hourly counts per event type, trailing-24 h
