@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_term_topk": Q.q_approx_term_topk,
         "tfidf_keywords": Q.q_tfidf_keywords,
         "stratified_sample": Q.q_stratified_sample,
+        "weighted_sample": Q.q_weighted_sample,
         # dedup family
         "exact_dedup": Q.q_exact_dedup,
         "minhash_dedup": Q.q_minhash_dedup,
@@ -191,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "term_topk": Q.SQL_TERM_TOPK,
         "tfidf_keywords": Q.SQL_TFIDF_KEYWORDS,
         "stratified_sample": Q.SQL_STRATIFIED_SAMPLE,
+        "weighted_sample": Q.SQL_WEIGHTED_SAMPLE,
         "exact_dedup": Q.SQL_EXACT_DEDUP,
         "simhash_pairs": Q.SQL_SIMHASH_PAIRS,
         "ngram_jaccard": Q.SQL_NGRAM_JACCARD,

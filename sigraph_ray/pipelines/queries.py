@@ -1799,6 +1799,37 @@ def q_approx_term_topk(sf_dir: str):
     return approx_heavy_hitters(ds, "text", k=20, tokenize=True)
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample-without-replacement
+    (stages/sample.weighted_sample_k, Efraimidis–Spirakis keys from
+    md5 uniforms): 50 docs weighted by length."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.sample import weighted_sample_k
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return weighted_sample_k(ds, key="doc_id", weight="n_chars", k=50)
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+          + 0.5) / 65536.0 AS u
+  FROM documents
+)
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         pow(u, 1.0 / greatest(n_chars, 1e-12)) AS es
+  FROM h ORDER BY es DESC, doc_id LIMIT 50
+) ORDER BY doc_id
+"""
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic stratified holdout sample
     (stages/sample.stratified_hash_sample): md5-nibble buckets, en kept

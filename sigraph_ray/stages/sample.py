@@ -62,3 +62,36 @@ def mixture_sample(ds, *, key: str, stratum: str,
         return df[h16 < limit]
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def weighted_sample_k(ds, *, key: str, weight: str, k: int):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis 2006, public): each row gets the key
+    ``u^(1/w)`` where ``u`` is a uniform derived from ``md5(key)``
+    (first 4 hex nibbles, +0.5, /65536 — never 0 or 1) and the global
+    top-k keys are the sample. Inclusion probability is proportional
+    to ``weight`` and, like every sampler here, the draw is a PURE
+    FUNCTION of the row key — re-runs, resumes and any block layout
+    pick the same rows, and the SQL oracle reproduces it exactly.
+
+    Scale shape: per-batch vectorized key computation + per-batch
+    ``head(k)`` partial, one tiny driver fold of O(#blocks × k) rows —
+    no shuffle."""
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(_es=pd.Series(dtype="float64"))
+        h16 = np.fromiter(
+            (int(h[:4], 16)
+             for h in md5_hex(df[key].astype(str).tolist())),
+            dtype=np.int64, count=len(df))
+        u = (h16 + 0.5) / 65536.0
+        w = np.maximum(df[weight].to_numpy(dtype="float64"), 1e-12)
+        out = df.copy()
+        out["_es"] = u ** (1.0 / w)
+        return out.sort_values(["_es", key],
+                               ascending=[False, True]).head(k)
+
+    parts = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out = (parts.sort_values(["_es", key], ascending=[False, True])
+           .head(k).drop(columns=["_es"]).reset_index(drop=True))
+    return out

@@ -214,3 +214,22 @@ def test_decontaminate_hash_variant_matches_string(ray_session):
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert a["contaminated"].any()   # dense vocab → real overlaps
+
+
+def test_weighted_sample_proportional_and_invariant(ray_session):
+    """ES-key sampling: heavy rows are sampled ~proportionally more,
+    and the draw is layout-invariant (pure function of the key)."""
+    from sigraph_ray.stages.sample import weighted_sample_k
+
+    n = 4000
+    df = pd.DataFrame({"doc_id": np.arange(n),
+                       "w": np.where(np.arange(n) % 2 == 0, 10.0, 1.0)})
+    outs = []
+    for blocks in (1, 6):
+        got = weighted_sample_k(rd.from_pandas(df).repartition(blocks),
+                                key="doc_id", weight="w", k=400)
+        outs.append(got.sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    heavy = (outs[0]["w"] == 10.0).mean()
+    # 10:1 weights → heavy rows should dominate the sample
+    assert heavy > 0.75
