@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": Q.q_top_orders_per_customer,
         "sliding_window": Q.q_sliding_window,
         "customers_without_orders": Q.q_customers_without_orders,
+        "order_revenue": Q.q_order_revenue,
         "bloom_semi_lineitem": Q.q_bloom_semi_lineitem,
         "upsert_compact": Q.q_upsert_compact,
         "zorder_keys": Q.q_zorder_keys,
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_customer": Q.SQL_TOP_ORDERS_PER_CUSTOMER,
         "sliding_window": Q.SQL_SLIDING_WINDOW,
         "customers_without_orders": Q.SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "order_revenue": Q.SQL_ORDER_REVENUE,
         "bloom_semi_lineitem": Q.SQL_BLOOM_SEMI_LINEITEM,
         "upsert_compact": Q.SQL_UPSERT_COMPACT,
         "zorder_keys": Q.SQL_ZORDER_KEYS,

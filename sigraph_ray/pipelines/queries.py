@@ -1063,6 +1063,69 @@ ORDER BY c_custkey
 """
 
 
+def q_order_revenue(sf_dir: str):
+    """Large×large fact⨝fact equi-join on the SORT-MERGE tier
+    (stages/joins.sorted_merge_join): per-order line revenue joined
+    back to the order row. Neither side is broadcastable at 100 TB and
+    Ray's hash join pays a per-join aggregator-pool spin-up, so this is
+    the third join tier (broadcast < merge < hash). Aggregate-before-
+    join: lineitem is reduced to one row per order on the stitch
+    (exact integer revenue units, q_lineitem_agg convention) BEFORE the
+    join, so the merge tier's one-key-fits-a-block bound holds at any
+    scale (1 row per key per side)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+    from sigraph_ray.stages.joins import sorted_merge_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def units(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+        disc_bp = pc.cast(pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            pa.scalar(100.0))), pa.int64())
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "units": pc.multiply(cents, disc_bp)})
+
+    per_order = sorted_groupby_agg(
+        line.map_batches(units, batch_format="pyarrow"),
+        key="o_orderkey",
+        aggs={"n_lines": ("units", "count"), "units": ("units", "sum")})
+
+    joined = sorted_merge_join(
+        orders, per_order, on="o_orderkey",
+        left_cols=["o_orderpriority"], right_cols=["n_lines", "units"])
+
+    def finish(df):
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_orderpriority": df["o_orderpriority"],
+            "n_lines": df["n_lines"].astype("int64"),
+            "revenue": df["units"].astype("float64") / 1e4})
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+SQL_ORDER_REVENUE = """
+WITH la AS (
+  SELECT l_orderkey AS o_orderkey, count(*) AS n_lines,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS units
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, o.o_orderpriority, la.n_lines,
+       la.units / 10000.0 AS revenue
+FROM orders o JOIN la USING (o_orderkey)
+ORDER BY o.o_orderkey
+"""
+
+
 def q_quality_filtered(sf_dir: str):
     """Percentile-threshold corpus filter (operator COMPOSITION:
     text_stats → exact_quantiles → broadcast-scalar filter): keep

@@ -91,6 +91,110 @@ def safe_join(left, right, join_type: str, num_partitions: int,
                          num_partitions))
 
 
+def sorted_merge_join(left, right, *, on, left_cols: list[str],
+                      right_cols: list[str], how: str = "inner"):
+    """Large×large EQUI-join on the sorted-stitch skeleton
+    (stages/collect): union the two side-tagged streams, ONE range sort
+    by the join key, a vectorized per-block ``pandas.merge`` for keys
+    fully interior to a block, and a driver-side merge of only the
+    O(#blocks) boundary KEYS' rows.
+
+    Why it exists next to :func:`safe_join`: Ray's hash join spins an
+    aggregator actor pool per join (~15-20 s fixed at 32 cpus even for
+    kilobyte tables — measured, BASELINE.md), which dominates mid-size
+    fact⨝fact joins; the merge join pays one range sort instead and
+    reuses the stitch machinery every other wide op here runs on. At
+    100 TB both tiers remain: hash join for unbounded-fan-out keys,
+    merge join when per-key row counts are bounded.
+
+    Partitioning assumption (documented per the brief): the rows of one
+    join key across BOTH sides fit in a worker block plus the boundary
+    fragments — true for bounded-fan-out foreign-key joins (an order
+    has ≤7 line items; a doc has bounded chunks). For unbounded keys
+    use :func:`safe_join`.
+
+    ``on`` is the key column (or list) present on both sides;
+    ``left_cols`` / ``right_cols`` are the NON-key payload columns to
+    carry (must be disjoint names). ``how`` is ``inner`` or ``left``.
+    Output columns: keys + left_cols + right_cols; row order is
+    unspecified (sort downstream if needed).
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    if how not in ("inner", "left"):
+        raise ValueError(how)
+    keys = [on] if isinstance(on, str) else list(on)
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"payload column collision: {sorted(overlap)}")
+
+    # union schema: keys typed from the left side, payloads from their
+    # own side; the other side's payload columns ride along as nulls
+    fields = [pa.field(k, column_type(left, k)) for k in keys]
+    fields += [pa.field(c, column_type(left, c)) for c in left_cols]
+    fields += [pa.field(c, column_type(right, c)) for c in right_cols]
+    fields += [pa.field("_side", pa.int8())]
+    schema = pa.schema(fields)
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+        return f
+
+    tagged = typed(
+        left.select_columns(keys + left_cols)
+        .map_batches(tag(0), batch_format="pyarrow"), schema).union(
+        typed(right.select_columns(keys + right_cols)
+              .map_batches(tag(1), batch_format="pyarrow"), schema))
+
+    out_cols = keys + left_cols + right_cols
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = {c: pd.Series(dtype="object") for c in out_cols}
+            out["_side"] = pd.Series(dtype="int8")
+            out["_raw"] = pd.Series(dtype="bool")
+            return pd.DataFrame(out)
+        kf = df[keys]
+        is_bound = ((kf == kf.iloc[0]).all(axis=1)
+                    | (kf == kf.iloc[-1]).all(axis=1)).to_numpy()
+        raw = df[is_bound].copy()
+        raw["_raw"] = True
+        inner = df[~is_bound]
+        lhs = inner[inner["_side"] == 0][keys + left_cols]
+        rhs = inner[inner["_side"] == 1][keys + right_cols]
+        joined = lhs.merge(rhs, on=keys, how=how)
+        joined["_side"] = np.int8(-1)
+        joined["_raw"] = False
+        return pd.concat([joined[out_cols + ["_side", "_raw"]],
+                          raw[out_cols + ["_side", "_raw"]]],
+                         ignore_index=True)
+
+    parts = tagged.sort(keys).map_batches(
+        per_block, batch_format="pandas", batch_size=None)
+    # pin the interior/boundary split (re-executing the sort can move
+    # a key across the split; same rule as sorted_collect)
+    parts = parts.materialize()
+    interior = parts.filter(expr="_raw == False").map_batches(
+        lambda df: df[out_cols], batch_format="pandas")
+    bdf = parts.filter(expr="_raw == True").to_pandas()
+    if len(bdf):
+        # fragments concatenate exactly (each physical row lives in ONE
+        # block, so no cross-block dedup — duplicate rows must each join)
+        lhs = bdf[bdf["_side"] == 0][keys + left_cols]
+        rhs = bdf[bdf["_side"] == 1][keys + right_cols]
+        merged = lhs.merge(rhs, on=keys, how=how)[out_cols]
+    else:
+        merged = pd.DataFrame({c: pd.Series(dtype="object")
+                               for c in out_cols})
+    return interior.union(
+        rd.from_pandas(merged).map_batches(lambda df: df,
+                                           batch_format="pandas"))
+
+
 def broadcast_semi_anti(left, right, *, left_key: str, right_key: str,
                         anti: bool = False):
     """Broadcast SEMI (``anti=False``) or ANTI (``anti=True``) join:

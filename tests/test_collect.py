@@ -274,3 +274,68 @@ def test_zorder_locality_beats_single_column_sort(ray_session):
     total_files = n // file_rows
     assert xb >= total_files * 0.9      # x-sort scatters y everywhere
     assert zb <= total_files * 0.6      # z-order localizes y
+
+
+@pytest.mark.parametrize("blocks", [1, 3, 8])
+def test_sorted_merge_join_matches_pandas(ray_session, blocks):
+    """Inner/left sort-merge join vs pandas.merge: duplicate rows on
+    both sides, keys present on only one side, multiple block counts."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.joins import sorted_merge_join
+
+    rng = np.random.default_rng(11)
+    lk = rng.integers(0, 50, 120)
+    rk = rng.integers(25, 75, 90)
+    left = pd.DataFrame({"k": lk, "a": np.arange(120, dtype=np.int64)})
+    # plant exact duplicate right rows (must each join)
+    right = pd.DataFrame({"k": np.concatenate([rk, rk[:5]]),
+                          "b": np.concatenate([
+                              np.arange(90, dtype=np.int64),
+                              np.arange(5, dtype=np.int64)])})
+    for how in ("inner", "left"):
+        got = sorted_merge_join(
+            rd.from_pandas(left).repartition(blocks),
+            rd.from_pandas(right).repartition(max(1, blocks - 1)),
+            on="k", left_cols=["a"], right_cols=["b"],
+            how=how).to_pandas()
+        want = left.merge(right, on="k", how=how)
+        key = ["k", "a", "b"]
+        g = got[key].sort_values(key, kind="stable").reset_index(drop=True)
+        w = want[key].sort_values(key, kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(g.astype("float64"),
+                                      w.astype("float64"))
+
+
+def test_sorted_merge_join_hot_key_spans_blocks(ray_session):
+    """One key owning most rows on both sides: every block's boundary
+    fragment carries it; the stitch must join each row exactly once."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.joins import sorted_merge_join
+
+    left = pd.DataFrame({"k": [7] * 40 + [1, 2],
+                         "a": np.arange(42, dtype=np.int64)})
+    right = pd.DataFrame({"k": [7] * 3 + [2, 3],
+                          "b": np.arange(5, dtype=np.int64)})
+    got = sorted_merge_join(
+        rd.from_pandas(left).repartition(6),
+        rd.from_pandas(right).repartition(2),
+        on="k", left_cols=["a"], right_cols=["b"]).to_pandas()
+    want = left.merge(right, on="k")
+    assert len(got) == len(want) == 40 * 3 + 1
+    key = ["k", "a", "b"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True).astype("int64"),
+        want[key].sort_values(key).reset_index(drop=True).astype("int64"))
+
+
+def test_sorted_merge_join_rejects_collisions(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.joins import sorted_merge_join
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1], "a": [1]}))
+    with pytest.raises(ValueError):
+        sorted_merge_join(ds, ds, on="k", left_cols=["a"],
+                          right_cols=["a"])
