@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": Q.q_bpe_token_count,
         "repetition_stats": Q.q_repetition_stats,
         "decontaminate": Q.q_decontaminate,
+        "dup_passages": Q.q_dup_passages,
         "pack_sequences": Q.q_pack_sequences,
         "training_shards": Q.q_training_shards,
         "node_pagerank": Q.q_node_pagerank,
@@ -183,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": Q.SQL_BPE_TOKEN_COUNT,
         "repetition_stats": Q.SQL_REPETITION_STATS,
         "decontaminate": Q.SQL_DECONTAMINATE,
+        "dup_passages": Q.SQL_DUP_PASSAGES,
         "pack_sequences": Q.SQL_PACK_SEQUENCES,
         "node_degrees": Q.SQL_NODE_DEGREES,
         "component_labels": Q.SQL_COMPONENT_LABELS,

@@ -1450,6 +1450,48 @@ GROUP BY toks.doc_id ORDER BY toks.doc_id
 """
 
 
+def q_dup_passages(sf_dir: str):
+    """Exact duplicate-passage detection (stages/dedup.dup_passages):
+    per-doc counts of 6-token windows shared with ≥1 other document —
+    the substring-level dedup signal doc-level dedup misses."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.dedup import dup_passages
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return dup_passages(ds, n=6)
+
+
+SQL_DUP_PASSAGES = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS arr FROM documents
+), toks AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS ord
+  FROM t
+), grams AS (
+  SELECT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' '
+              || lead(term, 2) OVER w || ' '
+              || lead(term, 3) OVER w || ' '
+              || lead(term, 4) OVER w || ' '
+              || lead(term, 5) OVER w AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+), dg AS (
+  SELECT DISTINCT doc_id, gram FROM grams WHERE gram IS NOT NULL
+), dup AS (
+  SELECT gram FROM dg GROUP BY gram HAVING count(*) >= 2
+)
+SELECT dg.doc_id, count(*) AS n_windows,
+       coalesce(sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END), 0)
+         AS n_dup_windows,
+       coalesce(sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END), 0)
+         * 1.0 / count(*) AS dup_fraction
+FROM dg LEFT JOIN dup d USING (gram)
+GROUP BY dg.doc_id ORDER BY dg.doc_id
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (stages/decontam.decontaminate):
     corpus docs sharing any 4-token shingle with the doc_id%20==0 eval

@@ -661,3 +661,78 @@ def ngram_jaccard_pairs(ds, *, id_col: str = "doc_id",
                                "threshold": threshold, "n": n},
         concurrency=2)
     return sorted_distinct(verified, ["u", "v"])
+
+
+def dup_passages(ds, *, n: int = 6, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Exact duplicate-PASSAGE detection — per-document counts of
+    n-token windows that also occur in at least one OTHER document
+    (the substring-level dedup signal of "Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022, applied at window
+    granularity; doc-level exact/near dedup misses these). The
+    reference has no corpus surface — beyond-reference per the brief.
+
+    Dataflow (three passes, one wide op):
+      1. per-batch vectorized window construction (shared ``\\S+``
+         tokenizer, stages/decontam._doc_grams) + per-doc distinct —
+         exact because one document is one row in one batch;
+      2. per-window distinct-doc counts on the sorted stitch
+         (stages/collect.sorted_groupby_agg) — windows seen in ≥2 docs
+         form the duplicate set;
+      3. the duplicate set is ``ray.put`` broadcast and every batch
+         re-derives its windows and probes membership (C-hash isin).
+
+    Scale bound (documented): the DUPLICATE window set must fit the
+    object store — it is bounded by the volume of *duplicated* content,
+    not the corpus (and windows could be hashed to 8 bytes as in
+    stages/decontam ``member="hash"``); past that, replace the
+    broadcast probe with a semi-join of the window stream against the
+    duplicate set (stages/joins.safe_join) — step 2 is unchanged.
+    String windows are kept here so the operator stays exactly
+    SQL-checkable.
+
+    Output: ``(doc_id, n_windows, n_dup_windows, dup_fraction)`` over
+    documents with ≥ n tokens, counting DISTINCT windows per doc.
+    """
+    import ray
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+    from sigraph_ray.stages.decontam import _doc_grams
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "gram": pd.Series(dtype="object")})
+        doc, gram, _ = _doc_grams(df, n, text_col, id_col)
+        out = pd.DataFrame({id_col: doc.to_numpy(),
+                            "gram": gram.to_numpy()})
+        return out.drop_duplicates()  # per-doc distinct (doc-local)
+
+    pair_ds = ds.map_batches(pairs, batch_format="pandas")
+    counts = sorted_groupby_agg(pair_ds, key="gram",
+                                aggs={"n_docs": (id_col, "count")})
+    dup = counts.filter(expr="n_docs >= 2")
+    dup_grams = np.unique(np.concatenate(
+        [b["gram"].to_numpy() for b in
+         dup.iter_batches(batch_format="pandas")] or
+        [np.empty(0, dtype=object)]))
+    dup_ref = ray.put(pd.Index(dup_grams))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        p = pairs(df)
+        if not len(p):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "n_windows": pd.Series(dtype="int64"),
+                                 "n_dup_windows": pd.Series(dtype="int64"),
+                                 "dup_fraction": pd.Series(dtype="float64")})
+        idx = ray.get(dup_ref)
+        hit = p["gram"].isin(idx)
+        g = (p.assign(h=hit.to_numpy())
+             .groupby(id_col, sort=False)
+             .agg(n_windows=("gram", "size"), n_dup_windows=("h", "sum"))
+             .reset_index())
+        g["n_dup_windows"] = g["n_dup_windows"].astype("int64")
+        g["dup_fraction"] = g["n_dup_windows"] / g["n_windows"]
+        return g
+
+    return ds.map_batches(probe, batch_format="pandas")

@@ -162,3 +162,32 @@ def test_embed_cosine_pairs_exact(ray_session):
             zip(iu, iv, C[iu, iv]) if c >= 0.6}
     assert gotset == want
     assert (3, 10) in gotset and (5, 20) in gotset
+
+
+def test_dup_passages_planted(ray_session):
+    """A 6-token passage planted in two docs is counted in both; a doc
+    with no shared windows scores zero; short docs are excluded."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.dedup import dup_passages
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"one two {shared} three four",
+            f"{shared} completely different tail words here",
+            "nothing in common with the others at all nine ten",
+            "tiny doc",  # < 6 tokens → no windows → excluded
+        ],
+    })
+    out = (dup_passages(rd.from_pandas(df).repartition(2), n=6)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert list(out.index) == [1, 2, 3]
+    # doc 1: tokens one two a..zeta three four = 10 tokens → 5 windows,
+    # windows fully inside the shared span: exactly 1 ("alpha..zeta")
+    assert out.loc[1, "n_windows"] == 5
+    assert out.loc[1, "n_dup_windows"] == 1
+    assert out.loc[2, "n_dup_windows"] == 1
+    assert out.loc[3, "n_dup_windows"] == 0
+    assert out.loc[3, "dup_fraction"] == 0.0
