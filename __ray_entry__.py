@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node_pagerank": Q.q_node_pagerank,
         "node_degrees": Q.q_node_degrees,
         "component_labels": Q.q_component_labels,
+        "triangle_cooccur": Q.q_triangle_cooccur,
         "mixture_sample": Q.q_mixture_sample,
         "unigram_logprob": Q.q_unigram_logprob,
         "quality_scores": Q.q_quality_scores,
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": Q.SQL_PACK_SEQUENCES,
         "node_degrees": Q.SQL_NODE_DEGREES,
         "component_labels": Q.SQL_COMPONENT_LABELS,
+        "triangle_cooccur": Q.SQL_TRIANGLE_COOCCUR,
         "mixture_sample": Q.SQL_MIXTURE_SAMPLE,
         "unigram_logprob": Q.SQL_UNIGRAM_LOGPROB,
         "quality_scores": Q.SQL_QUALITY_SCORES,

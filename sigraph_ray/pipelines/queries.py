@@ -1313,6 +1313,83 @@ SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node
 """
 
 
+def q_triangle_cooccur(sf_dir: str):
+    """Per-node triangle counts (stages/graphalgo.triangle_counts,
+    degree-ordered wedge closure) over the NETWORK-artifact
+    co-occurrence graph: two IPs are adjacent when some trace touched
+    both (clique expansion per trace). Per-trace IP lists are bounded
+    (≤256 distinct by construction; at 100 TB cap/flag oversized
+    groups exactly like the LSH bucket cap), so the expansion is
+    block-local."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_collect, sorted_distinct
+    from sigraph_ray.stages.graphalgo import triangle_counts
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"]).filter(
+            expr="event_type == 'purchase'")
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id")
+        uid = t.column("user_id").cast(pa.string())
+        ip = pc.binary_join_element_wise(
+            "10.0.0.",
+            pc.cast(pc.subtract(eid, pc.multiply(
+                pc.divide(eid, 256), 256)), pa.string()), "")
+        tid = pc.binary_join_element_wise("trace_", uid, "")
+        return pa.table({"tid": tid, "ip": ip})
+
+    pairs = sorted_distinct(
+        ev.map_batches(to_pairs, batch_format="pyarrow"), ["tid", "ip"])
+    per_trace = sorted_collect(pairs, key="tid", order_col="ip",
+                               value="ip")
+
+    def clique_edges(df):
+        us, vs = [], []
+        for vals in df["values"]:
+            if len(vals) > 1:
+                a = np.sort(np.asarray(vals, dtype=object))
+                iu, iv = np.triu_indices(len(a), 1)
+                us.append(a[iu])
+                vs.append(a[iv])
+        if not us:
+            return pd.DataFrame({"u": pd.Series(dtype="object"),
+                                 "v": pd.Series(dtype="object")})
+        return pd.DataFrame({"u": np.concatenate(us),
+                             "v": np.concatenate(vs)})
+
+    edges = per_trace.map_batches(clique_edges, batch_format="pandas")
+    return triangle_counts(edges)
+
+
+SQL_TRIANGLE_COOCCUR = """
+WITH p AS (
+  SELECT DISTINCT 'trace_' || CAST(user_id AS VARCHAR) AS tid,
+         '10.0.0.' || CAST(event_id % 256 AS VARCHAR) AS ip
+  FROM events WHERE event_type = 'purchase'
+), und AS (
+  SELECT DISTINCT x.ip AS a, y.ip AS b
+  FROM p x JOIN p y ON x.tid = y.tid AND x.ip < y.ip
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+       JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), pts AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+), nodes AS (
+  SELECT a AS node FROM und UNION SELECT b FROM und
+), cnt AS (
+  SELECT node, count(*) AS n FROM pts GROUP BY node
+)
+SELECT nodes.node, coalesce(cnt.n, 0) AS n_triangles
+FROM nodes LEFT JOIN cnt USING (node) ORDER BY node
+"""
+
+
 def q_node_pagerank(sf_dir: str):
     """PageRank over the provenance edge table (stages/graphalgo
     .pagerank, broadcast tier): artifact importance in the constructed

@@ -178,3 +178,113 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst",
                                  batch_format="pyarrow").materialize()
     return ranks.map_batches(
         lambda t: t.select(["node", "rank"]), batch_format="pyarrow")
+
+
+def triangle_counts(edges, *, u: str = "u", v: str = "v"):
+    """Per-node triangle counts over an undirected edge Dataset →
+    ``(node, n_triangles)`` DataFrame covering every incident node
+    (zeros included). Classic degree-ordered node-iterator (public
+    algorithm — e.g. Schank & Wagner 2005 "forward"): orient each edge
+    from the lower to the higher endpoint in the total order
+    ``(degree, node)``; every triangle is then counted exactly once as
+    a wedge at its lowest corner, and each center's oriented
+    out-degree is O(√m), bounding wedge generation.
+
+    Dataflow: dedup/normalize per batch + one sorted-distinct; degrees
+    via one grouped-sum stitch; wedges from ONE ``sorted_collect`` of
+    oriented out-neighbor lists (vectorized triu pairs per block);
+    wedge→edge membership via a broadcast sorted int64 key array
+    (rank_lo * N + rank_hi, 8 bytes/edge — the broadcast-tier bound,
+    same idiom as :func:`pagerank`; ~10⁹ edges ≈ 8 GB). Past that,
+    semi-join the wedge stream against the oriented edge Dataset
+    (stages/joins.safe_join) instead — steps 1-3 are unchanged.
+    """
+    import ray
+
+    from sigraph_ray.stages.collect import (sorted_collect,
+                                            sorted_distinct,
+                                            sorted_groupby_agg)
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = t.column(u).cast(pa.string())
+        b = t.column(v).cast(pa.string())
+        lo = pa.compute.min_element_wise(a, b)
+        hi = pa.compute.max_element_wise(a, b)
+        keep = pa.compute.not_equal(lo, hi)  # drop self-loops
+        return pa.table({"a": lo.filter(keep), "b": hi.filter(keep)})
+
+    und = sorted_distinct(
+        edges.map_batches(norm, batch_format="pyarrow"),
+        ["a", "b"]).materialize()
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        s = pd.concat([df["a"], df["b"]], ignore_index=True)
+        return (s.value_counts().rename("c").rename_axis("node")
+                .reset_index())
+
+    degs = sorted_groupby_agg(
+        und.map_batches(endpoints, batch_format="pandas"),
+        key="node", aggs={"deg": ("c", "sum")}).to_pandas()
+    if not len(degs):
+        return pd.DataFrame({"node": pd.Series(dtype="object"),
+                             "n_triangles": pd.Series(dtype="int64")})
+    # total order (deg, node) → rank; rank table is the broadcast bound
+    order = degs.sort_values(["deg", "node"], kind="stable")
+    nodes = order["node"].to_numpy()
+    n = len(nodes)
+    rank_idx = pd.Index(nodes)
+    idx_ref = ray.put(rank_idx)
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        ix = ray.get(idx_ref)
+        ra = ix.get_indexer(df["a"].to_numpy()).astype(np.int64)
+        rb = ix.get_indexer(df["b"].to_numpy()).astype(np.int64)
+        lo = np.minimum(ra, rb)
+        hi = np.maximum(ra, rb)
+        return pd.DataFrame({"lo": lo, "hi": hi})
+
+    oriented = und.map_batches(orient,
+                               batch_format="pandas").materialize()
+    keys = np.sort(np.concatenate(
+        [b["lo"].to_numpy() * n + b["hi"].to_numpy() for b in
+         oriented.iter_batches(batch_format="pandas")] or
+        [np.empty(0, dtype=np.int64)]))
+    keys_ref = ray.put(keys)
+
+    wedges = sorted_collect(oriented, key="lo", order_col="hi",
+                            value="hi")
+
+    def close_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        cs, xs, ys = [], [], []
+        for center, vals in zip(df["lo"], df["values"]):
+            if len(vals) < 2:
+                continue
+            a = np.sort(np.asarray(vals, dtype=np.int64))
+            iu, iv = np.triu_indices(len(a), 1)
+            cand = a[iu] * n + a[iv]
+            pos = np.searchsorted(ks, cand)
+            hit = pos < len(ks)
+            hit[hit] = ks[pos[hit]] == cand[hit]
+            if hit.any():
+                cs.append(np.full(int(hit.sum()), center,
+                                  dtype=np.int64))
+                xs.append(a[iu][hit])
+                ys.append(a[iv][hit])
+        if not cs:
+            return pd.DataFrame({"r": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        tri = np.concatenate([np.concatenate(cs), np.concatenate(xs),
+                              np.concatenate(ys)])
+        vals, cnts = np.unique(tri, return_counts=True)
+        return pd.DataFrame({"r": vals, "c": cnts.astype(np.int64)})
+
+    parts = wedges.map_batches(close_wedges, batch_format="pandas")
+    per_rank = sorted_groupby_agg(parts, key="r",
+                                  aggs={"n": ("c", "sum")}).to_pandas()
+    counts = np.zeros(n, dtype=np.int64)
+    if len(per_rank):
+        counts[per_rank["r"].to_numpy(dtype=np.int64)] = \
+            per_rank["n"].to_numpy(dtype=np.int64)
+    out = pd.DataFrame({"node": nodes, "n_triangles": counts})
+    return out.sort_values("node", kind="stable").reset_index(drop=True)

@@ -152,3 +152,40 @@ def test_pagerank_join_tier_matches_dense(ray_session):
     want = _dense_pagerank(edges, 2)
     assert list(got["node"]) == list(want["node"])
     np.testing.assert_allclose(got["rank"], want["rank"], rtol=1e-10)
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_triangle_counts_matches_bruteforce(ray_session, blocks):
+    """Planted K4 + random graph vs an O(n³) numpy reference; zeros
+    kept for triangle-free incident nodes; parallel edges / reversed
+    duplicates / self-loops collapse."""
+    import numpy as np
+    import ray.data as rd
+
+    from sigraph_ray.stages.graphalgo import triangle_counts
+
+    rng = np.random.default_rng(7)
+    n = 30
+    names = np.array([f"n{i:02d}" for i in range(n)])
+    dense = rng.random((n, n)) < 0.12
+    adj = np.triu(dense, 1)
+    adj[0, 1] = adj[0, 2] = adj[0, 3] = True   # plant a K4
+    adj[1, 2] = adj[1, 3] = adj[2, 3] = True
+    ii, jj = np.where(adj)
+    # parallel + reversed duplicates + a self-loop must not change counts
+    u = np.concatenate([names[ii], names[jj], names[ii][:5], ["n00"]])
+    v = np.concatenate([names[jj], names[ii], names[jj][:5], ["n00"]])
+    edges = rd.from_pandas(pd.DataFrame({"u": u, "v": v})).repartition(blocks)
+
+    got = triangle_counts(edges)
+
+    sym = adj | adj.T
+    a3 = np.linalg.matrix_power(sym.astype(np.int64), 3)
+    want_counts = np.diag(a3) // 2
+    incident = sym.any(axis=1)
+    want = pd.DataFrame({"node": names[incident],
+                         "n_triangles": want_counts[incident]})
+    want = want.sort_values("node").reset_index(drop=True)
+    got = got.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got.set_index("node").loc["n00", "n_triangles"] >= 3
