@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": Q.q_repetition_stats,
         "decontaminate": Q.q_decontaminate,
         "dup_passages": Q.q_dup_passages,
+        "host_stats": Q.q_host_stats,
         "pack_sequences": Q.q_pack_sequences,
         "training_shards": Q.q_training_shards,
         "node_pagerank": Q.q_node_pagerank,
@@ -186,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": Q.SQL_REPETITION_STATS,
         "decontaminate": Q.SQL_DECONTAMINATE,
         "dup_passages": Q.SQL_DUP_PASSAGES,
+        "host_stats": Q.SQL_HOST_STATS,
         "pack_sequences": Q.SQL_PACK_SEQUENCES,
         "node_degrees": Q.SQL_NODE_DEGREES,
         "component_labels": Q.SQL_COMPONENT_LABELS,

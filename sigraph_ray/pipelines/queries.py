@@ -1527,6 +1527,102 @@ GROUP BY toks.doc_id ORDER BY toks.doc_id
 """
 
 
+def q_host_stats(sf_dir: str):
+    """URL canonicalization + per-host crawl stats (stages/weburl):
+    deterministic messy URLs derived from doc_id (scheme/host case,
+    www., default ports, utm params, fragments, trailing slashes —
+    mirrored in the SQL CTE), canonicalized by the ordered regex
+    chain, then per-host page / unique-resource / duplicate counts —
+    the dedup-key report a crawl-ingest pipeline runs first. Two
+    stitch aggregates: distinct canonical URLs, then per-host
+    roll-up of the (already tiny) distinct stream."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+    from sigraph_ray.stages.weburl import canonicalize_urls
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def make_url(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        S = lambda a: pd.Series(a, dtype="object")
+        hostn = S((d % 40).astype(str))
+        url = (S(np.where(d % 2 == 0, "HTTP", "https")) + "://"
+               + S(np.where(d % 4 == 0, "WWW.Site", "site")) + hostn
+               + S(np.where(d % 4 == 0, ".Example.COM", ".example.com"))
+               + S(np.where(d % 5 == 0, ":443", ""))
+               + "/p/" + S((d % 200).astype(str))
+               + S(np.where(d % 11 == 0, "/", ""))
+               + S(np.where(d % 3 == 0,
+                            "?utm_source=feed&utm_medium=rss", ""))
+               + S(np.where(d % 7 == 0, "#sec2", "")))
+        return pd.DataFrame({"doc_id": d, "url": url})
+
+    pages = canonicalize_urls(
+        ds.map_batches(make_url, batch_format="pandas"))
+
+    def per_canon(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["host", "canon_url"], sort=False).size()
+                .rename("n").reset_index())
+
+    canon = sorted_groupby_agg(
+        pages.map_batches(per_canon, batch_format="pandas"),
+        key=["host", "canon_url"], aggs={"n": ("n", "sum")})
+    hosts = sorted_groupby_agg(
+        canon, key="host",
+        aggs={"n_pages": ("n", "sum"), "n_unique": ("n", "count")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "host": df["host"],
+            "n_pages": df["n_pages"].astype("int64"),
+            "n_unique": df["n_unique"].astype("int64"),
+            "n_dup": (df["n_pages"] - df["n_unique"]).astype("int64")})
+
+    return hosts.map_batches(finish, batch_format="pandas")
+
+
+SQL_HOST_STATS = r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' ||
+    CASE WHEN doc_id % 4 = 0
+         THEN 'WWW.Site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM'
+         ELSE 'site' || CAST(doc_id % 40 AS VARCHAR) || '.example.com'
+    END ||
+    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+    '/p/' || CAST(doc_id % 200 AS VARCHAR) ||
+    CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END ||
+    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_medium=rss'
+         ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END AS url
+  FROM documents
+), c1 AS (
+  SELECT regexp_replace(regexp_replace(url, '#.*$', ''),
+                        '\?utm_[^#]*$', '') AS x FROM u
+), c2 AS (
+  SELECT lower(regexp_extract(x, '^[^/]+//[^/]+'))
+         || regexp_replace(x, '^[^/]+//[^/]+', '') AS x FROM c1
+), canon AS (
+  SELECT regexp_replace(regexp_replace(regexp_replace(
+           x, '^(https?://)www\.', '\1'),
+           ':(80|443)(/|$)', '\2'),
+           '/$', '') AS canon_url FROM c2
+), named AS (
+  SELECT canon_url,
+         regexp_extract(canon_url, '^https?://([^/:]+)', 1) AS host
+  FROM canon
+), per_canon AS (
+  SELECT host, canon_url, count(*) AS n FROM named
+  GROUP BY host, canon_url
+)
+SELECT host, sum(n) AS n_pages, count(*) AS n_unique,
+       sum(n) - count(*) AS n_dup
+FROM per_canon GROUP BY host ORDER BY host
+"""
+
+
 def q_dup_passages(sf_dir: str):
     """Exact duplicate-passage detection (stages/dedup.dup_passages):
     per-doc counts of 6-token windows shared with ≥1 other document —

@@ -233,3 +233,26 @@ def test_weighted_sample_proportional_and_invariant(ray_session):
     heavy = (outs[0]["w"] == 10.0).mean()
     # 10:1 weights → heavy rows should dominate the sample
     assert heavy > 0.75
+
+
+def test_url_canonicalization_rules():
+    """Each normalization rule fires; already-canonical URLs are
+    fixpoints; distinct resources stay distinct."""
+    import pandas as pd
+
+    from sigraph_ray.stages.weburl import canonicalize_batch
+
+    cases = {
+        "HTTP://WWW.Site3.Example.COM:443/p/9": "http://site3.example.com/p/9",
+        "https://site7.example.com/p/1/?utm_source=a&utm_medium=b":
+            "https://site7.example.com/p/1",
+        "https://a.com:80/x#frag": "https://a.com/x",
+        "https://a.com/x": "https://a.com/x",          # fixpoint
+        "https://a.com/x?q=real": "https://a.com/x?q=real",  # real query kept
+        "https://b.com/x": "https://b.com/x",
+    }
+    got = canonicalize_batch(pd.Series(list(cases))).tolist()
+    assert got == list(cases.values())
+    # idempotent
+    again = canonicalize_batch(pd.Series(got)).tolist()
+    assert again == got
