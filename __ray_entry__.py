@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": Q.q_fingerprints,
         "lang_id": Q.q_lang_id,
         "term_topk": Q.q_term_topk,
+        "bigram_topk": Q.q_bigram_topk,
+        "percent_rank": Q.q_percent_rank,
         "approx_term_topk": Q.q_approx_term_topk,
         "tfidf_keywords": Q.q_tfidf_keywords,
         "stratified_sample": Q.q_stratified_sample,
@@ -198,6 +200,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": Q.SQL_FINGERPRINTS,
         "lang_id": Q.SQL_LANG_ID,
         "term_topk": Q.SQL_TERM_TOPK,
+        "bigram_topk": Q.SQL_BIGRAM_TOPK,
+        "percent_rank": Q.SQL_PERCENT_RANK,
         "tfidf_keywords": Q.SQL_TFIDF_KEYWORDS,
         "stratified_sample": Q.SQL_STRATIFIED_SAMPLE,
         "weighted_sample": Q.SQL_WEIGHTED_SAMPLE,

@@ -2028,6 +2028,59 @@ GROUP BY term ORDER BY freq DESC, term LIMIT 50
 """
 
 
+def q_bigram_topk(sf_dir: str):
+    """Global top-50 token bigrams (stages/textstats.ngram_topk): the
+    n-gram count table an LM / tokenizer-training pipeline starts
+    from; per-batch gram-count partials + one stitch sum + two-phase
+    top-k."""
+    import ray.data as rd
+
+    from sigraph_ray.stages import textstats as TS
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return TS.ngram_topk(ds, n=2, k=50)
+
+
+SQL_BIGRAM_TOPK = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS ord
+  FROM t
+), bg AS (
+  SELECT term || ' ' || lead(term, 1)
+           OVER (PARTITION BY doc_id ORDER BY ord) AS gram
+  FROM toks
+)
+SELECT gram, count(*) AS freq FROM bg WHERE gram IS NOT NULL
+GROUP BY gram ORDER BY freq DESC, gram LIMIT 50
+"""
+
+
+def q_percent_rank(sf_dir: str):
+    """Exact global percentile-rank transform
+    (stages/quantiles.percent_rank_transform) over event values — the
+    rank-normalization features pipelines apply before training; one
+    distinct-value stitch + broadcast searchsorted probe."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.quantiles import percent_rank_transform
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+    return percent_rank_transform(ds, value_col="value",
+                                  keep_cols=["event_id", "value"])
+
+
+SQL_PERCENT_RANK = """
+SELECT event_id, value,
+       percent_rank() OVER (ORDER BY value) AS pct_rank
+FROM events ORDER BY event_id
+"""
+
+
 def q_tfidf_keywords(sf_dir: str):
     """Per-document top-3 TF-IDF keywords
     (stages/textstats.tfidf_topk): stitch-summed document frequencies

@@ -26,6 +26,7 @@ from __future__ import annotations
 import bisect
 import math
 
+import numpy as np
 import pandas as pd
 
 
@@ -223,3 +224,56 @@ def grouped_exact_quantiles(ds, *, key: str, col: str,
         for q in qs:
             out_rows.append((k, q, results[(k, q)]))
     return pd.DataFrame(out_rows, columns=[key, "q", "value"])
+
+
+def percent_rank_transform(ds, *, value_col: str, keep_cols: list[str]):
+    """Exact global percentile-rank feature transform — SQL
+    ``percent_rank() OVER (ORDER BY value)`` = (#strictly smaller) /
+    (N-1) — the rank-normalization step feature pipelines apply before
+    training, inverse of :func:`exact_quantiles`.
+
+    Two passes, no per-row shuffle of the data itself: (1) per-batch
+    value-count partials + one grouped sum on the sorted stitch give
+    the DISTINCT-value count table; the driver turns it into a
+    (sorted values, #smaller) pair of arrays via one cumsum and
+    broadcasts it; (2) every batch probes by ``searchsorted`` —
+    embarrassingly parallel, original row identity preserved.
+
+    Bound (documented): the distinct-VALUE table must fit the object
+    store — true for bounded-precision features (scores, prices,
+    counts; ~16 bytes a distinct value). For continuous near-unique
+    values use :func:`approx_quantiles` grids instead — an exact rank
+    there requires a full range sort of the rows.
+    """
+    import ray
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    def vc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[value_col].value_counts()
+        return pd.DataFrame({"v": vc.index.to_numpy(),
+                             "c": vc.to_numpy().astype("int64")})
+
+    counts = sorted_groupby_agg(
+        ds.map_batches(vc_partial, batch_format="pandas"),
+        key="v", aggs={"c": ("c", "sum")}).to_pandas()
+    if not len(counts):
+        return ds.map_batches(
+            lambda df: df.assign(pct_rank=pd.Series(dtype="float64")),
+            batch_format="pandas")
+    counts = counts.sort_values("v", kind="stable").reset_index(drop=True)
+    vals = counts["v"].to_numpy()
+    cnts = counts["c"].to_numpy(dtype="int64")
+    smaller = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    n_total = int(cnts.sum())
+    table_ref = ray.put((vals, smaller))
+    denom = max(n_total - 1, 1)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        vs, sm = ray.get(table_ref)
+        pos = np.searchsorted(vs, df[value_col].to_numpy())
+        out = df[keep_cols].copy()
+        out["pct_rank"] = sm[pos] / denom
+        return out
+
+    return ds.map_batches(probe, batch_format="pandas")

@@ -418,3 +418,43 @@ def bpe_token_stats(ds, *, text_col: str = "text",
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def ngram_topk(ds, *, n: int = 2, k: int = 50,
+               text_col: str = "text") -> pd.DataFrame:
+    """Global top-k token n-grams (the n-gram LM / tokenizer-training
+    count table, exact tier): per-batch vectorized n-gram construction
+    (tokens exploded once, (n-1) doc-local shifts — a document is one
+    row, so grams never cross batches) + count partials, one grouped
+    sum on the sorted stitch, two-phase deterministic top-k
+    (freq DESC, gram ASC). Only per-batch gram vocabularies and k-row
+    partial tops move; the corpus never materializes."""
+    import re
+
+    from sigraph_ray.stages.collect import sorted_groupby_sum
+
+    rx = re.compile(_WORD_RE)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = df[text_col].str.lower().str.findall(rx)
+        s = toks.explode().dropna()
+        gram = s
+        for i in range(1, n):
+            gram = gram + " " + s.groupby(level=0).shift(-i)
+        vc = gram.dropna().value_counts()
+        return pa.table({"gram": vc.index.astype(str),
+                         "cnt": vc.to_numpy().astype("int64")})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    agg = sorted_groupby_sum(parts, key="gram", sum_cols={"freq": "cnt"})
+
+    def ptop(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["freq", "gram"],
+                              ascending=[False, True]).head(k)
+
+    partials = agg.map_batches(ptop, batch_format="pandas").to_pandas()
+    out = (partials.sort_values(["freq", "gram"],
+                                ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    out["freq"] = out["freq"].astype("int64")
+    return out
