@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": Q.q_pack_sequences,
         "training_shards": Q.q_training_shards,
         "node_pagerank": Q.q_node_pagerank,
+        "kcore": Q.q_kcore,
         "node_degrees": Q.q_node_degrees,
         "component_labels": Q.q_component_labels,
         "triangle_cooccur": Q.q_triangle_cooccur,
@@ -117,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank": Q.q_percent_rank,
         "approx_term_topk": Q.q_approx_term_topk,
         "tfidf_keywords": Q.q_tfidf_keywords,
+        "inverted_index": Q.q_inverted_index,
         "stratified_sample": Q.q_stratified_sample,
         "weighted_sample": Q.q_weighted_sample,
         # dedup family
@@ -205,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_topk": Q.SQL_BIGRAM_TOPK,
         "percent_rank": Q.SQL_PERCENT_RANK,
         "tfidf_keywords": Q.SQL_TFIDF_KEYWORDS,
+        "inverted_index": Q.SQL_INVERTED_INDEX,
         "stratified_sample": Q.SQL_STRATIFIED_SAMPLE,
         "weighted_sample": Q.SQL_WEIGHTED_SAMPLE,
         "exact_dedup": Q.SQL_EXACT_DEDUP,

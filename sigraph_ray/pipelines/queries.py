@@ -1390,6 +1390,23 @@ FROM nodes LEFT JOIN cnt USING (node) ORDER BY node
 """
 
 
+def q_kcore(sf_dir: str):
+    """k-core of the provenance edge graph (stages/graphalgo.kcore,
+    k=3): the density filter before expensive graph analytics.
+    Rows-only — iterative peeling is a fixpoint, not SQL-expressible;
+    the pytest gate matches exact sequential peeling on planted
+    graphs (tests/test_graph_ops.py)."""
+    from sigraph_ray.stages import provenance_graph as G
+    from sigraph_ray.stages.graphalgo import kcore
+
+    parsed = _parsed_events(sf_dir)
+    ok, _ = G.split_quarantine(parsed)
+    edges = G.build_edges(ok).map_batches(
+        lambda t: pa.table({"u": t.column("src"), "v": t.column("dst")}),
+        batch_format="pyarrow")
+    return kcore(edges, k=3)
+
+
 def q_node_pagerank(sf_dir: str):
     """PageRank over the provenance edge table (stages/graphalgo
     .pagerank, broadcast tier): artifact importance in the constructed
@@ -2135,6 +2152,79 @@ SQL_PERCENT_RANK = """
 SELECT event_id, value,
        percent_rank() OVER (ORDER BY value) AS pct_rank
 FROM events ORDER BY event_id
+"""
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index construction — the batch analog of the
+    reference's OpenSearch document index (db_model.py dynamic keyword
+    mappings): BIGRAM phrase → sorted posting list of doc_ids, for
+    phrases with 2 ≤ df ≤ 100 (unigram terms in this corpus are
+    near-ubiquitous; bigrams give a discriminative index, the standard
+    phrase-index trick). One ``sorted_collect`` with ``dedup`` folds
+    the distinct-(phrase, doc) pass into the collect;
+    ``max_members=101`` is the degenerate-key guard (a stop-phrase's
+    posting row can never exceed the cap — oversized phrases surface
+    as 101-member sentinels and are dropped by the same df ≤ 100
+    filter the oracle applies). Postings serialize as a comma-joined
+    string."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_collect
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+")
+        s = toks.explode().dropna()
+        gram = (s + " " + s.groupby(level=0).shift(-1)).dropna()
+        doc = df["doc_id"].reindex(gram.index)
+        return (pd.DataFrame({"term": gram.to_numpy(),
+                              "doc_id": doc.to_numpy()})
+                .drop_duplicates())
+
+    collected = sorted_collect(
+        ds.map_batches(pairs, batch_format="pandas"),
+        key="term", order_col="doc_id", value="doc_id",
+        dedup=True, max_members=101)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                 "df": pd.Series(dtype="int64"),
+                                 "postings": pd.Series(dtype="object")})
+        n = df["values"].str.len()
+        keep = (n >= 2) & (n <= 100)
+        kept = df[keep]
+        return pd.DataFrame({
+            "term": kept["term"].to_numpy(),
+            "df": n[keep].astype("int64").to_numpy(),
+            "postings": [",".join(str(x) for x in v)
+                         for v in kept["values"]]})
+
+    return collected.map_batches(finish, batch_format="pandas")
+
+
+SQL_INVERTED_INDEX = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(arr) AS tok, unnest(range(len(arr))) AS ord
+  FROM t
+), bg AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok, 1)
+           OVER (PARTITION BY doc_id ORDER BY ord) AS term
+  FROM toks
+)
+SELECT term, count(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         AS postings
+FROM bg WHERE term IS NOT NULL
+GROUP BY term HAVING count(*) BETWEEN 2 AND 100
+ORDER BY term
 """
 
 

@@ -288,3 +288,86 @@ def triangle_counts(edges, *, u: str = "u", v: str = "v"):
             per_rank["n"].to_numpy(dtype=np.int64)
     out = pd.DataFrame({"node": nodes, "n_triangles": counts})
     return out.sort_values("node", kind="stable").reset_index(drop=True)
+
+
+def kcore(edges, *, k: int = 2, u: str = "u", v: str = "v",
+          max_rounds: int = 100):
+    """k-core extraction (Seidman 1983 peeling, public algorithm):
+    the maximal subgraph where every node keeps degree ≥ k. Returns
+    ``(node, degree_in_core)`` for surviving nodes — the density
+    filter graph-curation pipelines apply before expensive analytics.
+
+    Iterative dataflow, same convergence idiom as
+    ``canonicalize.connected_components``: each round recomputes
+    degrees over surviving edges with one grouped-sum stitch, drops
+    sub-k nodes, and filters edges by a broadcast sorted survivor
+    array (``searchsorted`` membership per batch — the node-set
+    broadcast bound documented on :func:`triangle_counts` and
+    :func:`pagerank`; for node sets beyond one store, swap the filter
+    for two semi-joins via stages/joins.safe_join). Rounds are data-
+    dependent (≤ peeling depth); ``max_rounds`` guards pathological
+    chains with a warning, mirroring connected_components.
+    """
+    import logging
+
+    import ray
+
+    from sigraph_ray.stages.collect import sorted_distinct, \
+        sorted_groupby_agg
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = t.column(u).cast(pa.string())
+        b = t.column(v).cast(pa.string())
+        lo = pa.compute.min_element_wise(a, b)
+        hi = pa.compute.max_element_wise(a, b)
+        keep = pa.compute.not_equal(lo, hi)
+        return pa.table({"a": lo.filter(keep), "b": hi.filter(keep)})
+
+    live = sorted_distinct(
+        edges.map_batches(norm, batch_format="pyarrow"),
+        ["a", "b"]).materialize()
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        s = pd.concat([df["a"], df["b"]], ignore_index=True)
+        return (s.value_counts().rename("c").rename_axis("node")
+                .reset_index())
+
+    empty = pd.DataFrame({"node": pd.Series(dtype="object"),
+                          "degree_in_core": pd.Series(dtype="int64")})
+    for round_no in range(max_rounds):
+        degs = sorted_groupby_agg(
+            live.map_batches(endpoints, batch_format="pandas"),
+            key="node", aggs={"deg": ("c", "sum")}).to_pandas()
+        if not len(degs):
+            return empty
+        bad = degs["deg"].to_numpy() < k
+        if not bad.any():
+            out = degs.rename(columns={"deg": "degree_in_core"})
+            out["degree_in_core"] = out["degree_in_core"].astype("int64")
+            return (out.sort_values("node", kind="stable")
+                    .reset_index(drop=True))
+        survivors = np.sort(degs["node"].to_numpy()[~bad])
+        if not len(survivors):
+            return empty
+        surv_ref = ray.put(survivors)
+
+        def keep_edges(df: pd.DataFrame) -> pd.DataFrame:
+            sv = ray.get(surv_ref)
+            a = df["a"].to_numpy()
+            b = df["b"].to_numpy()
+            pa_ = np.searchsorted(sv, a).clip(max=len(sv) - 1)
+            pb_ = np.searchsorted(sv, b).clip(max=len(sv) - 1)
+            ok = (sv[pa_] == a) & (sv[pb_] == b)
+            return df[ok]
+
+        live = live.map_batches(keep_edges,
+                                batch_format="pandas").materialize()
+    logging.getLogger(__name__).warning(
+        "kcore: max_rounds=%d reached without convergence", max_rounds)
+    degs = sorted_groupby_agg(
+        live.map_batches(endpoints, batch_format="pandas"),
+        key="node", aggs={"deg": ("c", "sum")}).to_pandas()
+    degs = degs[degs["deg"] >= k]
+    out = degs.rename(columns={"deg": "degree_in_core"})
+    out["degree_in_core"] = out["degree_in_core"].astype("int64")
+    return out.sort_values("node", kind="stable").reset_index(drop=True)

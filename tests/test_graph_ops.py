@@ -189,3 +189,47 @@ def test_triangle_counts_matches_bruteforce(ray_session, blocks):
     got = got.sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got.set_index("node").loc["n00", "n_triangles"] >= 3
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_kcore_matches_peeling(ray_session, blocks):
+    """Random graph + planted K5: distributed k-core equals exact
+    sequential peeling; the clique survives k=4; a chain dies at k=2."""
+    import numpy as np
+    import ray.data as rd
+
+    from sigraph_ray.stages.graphalgo import kcore
+
+    rng = np.random.default_rng(5)
+    n = 40
+    names = np.array([f"n{i:02d}" for i in range(n)])
+    adj = np.triu(rng.random((n, n)) < 0.08, 1)
+    for i in range(5):        # planted K5 on nodes 0-4
+        for j in range(i + 1, 5):
+            adj[i, j] = True
+    adj[30, 31] = adj[31, 32] = adj[32, 33] = True   # chain
+    ii, jj = np.where(adj)
+    edges = rd.from_pandas(pd.DataFrame(
+        {"u": names[ii], "v": names[jj]})).repartition(blocks)
+
+    def peel(adj, k):
+        sym = adj | adj.T
+        alive = sym.any(axis=1)
+        while True:
+            deg = sym[np.ix_(alive, alive)].sum(axis=1)
+            bad = deg < k
+            if not bad.any():
+                break
+            idx = np.where(alive)[0][bad]
+            alive[idx] = False
+            if not alive.any():
+                break
+        deg_final = sym[np.ix_(alive, alive)].sum(axis=1)
+        return dict(zip(names[alive], deg_final.astype(int)))
+
+    for k in (2, 4):
+        got = kcore(edges, k=k)
+        want = peel(adj, k)
+        assert dict(zip(got["node"], got["degree_in_core"])) == want
+    got4 = kcore(edges, k=4)
+    assert {f"n0{i}" for i in range(5)} <= set(got4["node"])
