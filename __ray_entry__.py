@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_sequence": Q.q_drift_sequence,
         # relational coverage (S1, F1, J-family, U-family, O-family)
         "lineitem_agg": Q.q_lineitem_agg,
+        "lineitem_rollup": Q.q_lineitem_rollup,
+        "user_event_pivot": Q.q_user_event_pivot,
         "top_customers": Q.q_top_customers,
         "events_hourly": Q.q_events_hourly,
         "burst_hours": Q.q_burst_hours,
@@ -164,6 +166,8 @@ def oracle_sql() -> dict[str, str]:
         "iocs": Q.SQL_IOCS,
         "drift_sequence": Q.SQL_DRIFT_SEQUENCE,
         "lineitem_agg": Q.SQL_LINEITEM_AGG,
+        "lineitem_rollup": Q.SQL_LINEITEM_ROLLUP,
+        "user_event_pivot": Q.SQL_USER_EVENT_PIVOT,
         "top_customers": Q.SQL_TOP_CUSTOMERS,
         "events_hourly": Q.SQL_EVENTS_HOURLY,
         "burst_hours": Q.SQL_BURST_HOURS,

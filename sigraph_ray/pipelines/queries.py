@@ -377,6 +377,118 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_lineitem_rollup(sf_dir: str):
+    """Multi-level ROLLUP aggregate — (flag, status) cells, per-flag
+    subtotals, grand total — derived from ONE pass: the finest-level
+    aggregate is tiny (|flag×status| rows), so the coarser levels
+    re-combine from it exactly (integer revenue units re-sum
+    losslessly); no second scan of the fact table."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100)\
+            .astype("int64")
+        disc = np.round((1.0 - df["l_discount"].to_numpy()) * 100)\
+            .astype("int64")
+        df["units"] = cents * disc
+        g = (df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+             .agg(sum_qty=("l_quantity", "sum"),
+                  units=("units", "sum"),
+                  n_rows=("l_quantity", "size"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                       Sum("units", alias_name="units"),
+                       Sum("n_rows", alias_name="n_rows"))
+            .to_pandas())
+    sub = (fine.groupby("l_returnflag", as_index=False)
+           [["sum_qty", "units", "n_rows"]].sum())
+    sub["l_linestatus"] = None
+    total = pd.DataFrame([{
+        "l_returnflag": None, "l_linestatus": None,
+        "sum_qty": fine["sum_qty"].sum(), "units": fine["units"].sum(),
+        "n_rows": fine["n_rows"].sum()}])
+    out = pd.concat([fine, sub, total], ignore_index=True)
+    out["sum_revenue"] = out["units"].astype("float64") / 1e4
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return (out[["l_returnflag", "l_linestatus", "sum_qty", "n_rows",
+                 "sum_revenue"]]
+            .sort_values(["l_returnflag", "l_linestatus"],
+                         kind="stable", na_position="last")
+            .reset_index(drop=True))
+
+
+SQL_LINEITEM_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       count(*) AS n_rows,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0
+         AS sum_revenue
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+"""
+
+
+def q_user_event_pivot(sf_dir: str):
+    """PIVOT / crosstab — per-user event-type counts as columns: one
+    vectorized per-batch crosstab partial (≤ |users-in-batch| rows
+    reach the shuffle), then a grouped-sum stitch over the five
+    numeric columns."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        for t in types:
+            if t not in ct.columns:
+                ct[t] = 0
+        ct = ct[types].rename(columns={t: f"n_{t}" for t in types})
+        return ct.rename_axis("user_id").reset_index()
+
+    agg = sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        key="user_id",
+        aggs={f"n_{t}": (f"n_{t}", "sum") for t in types})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        for t in types:
+            out[f"n_{t}"] = out[f"n_{t}"].astype("int64")
+        out["n_total"] = sum(out[f"n_{t}"] for t in types)
+        out["user_id"] = out["user_id"].astype("int64")
+        return out
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_USER_EVENT_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'view')     AS n_view,
+       count(*) AS n_total
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_top_customers(sf_dir: str):
     """Broadcast hash join (small dimension side via ray.put) + grouped
     sum + deterministic top-10."""
