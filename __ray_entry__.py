@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": Q.q_mixture_sample,
         "unigram_logprob": Q.q_unigram_logprob,
         "nb_classify": Q.q_nb_classify,
+        "bpe_train": Q.q_bpe_train,
         "quality_scores": Q.q_quality_scores,
         "fingerprints": Q.q_fingerprints,
         "lang_id": Q.q_lang_id,

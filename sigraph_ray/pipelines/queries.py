@@ -1626,6 +1626,22 @@ ORDER BY doc_id
 """
 
 
+def q_bpe_train(sf_dir: str):
+    """BPE tokenizer training (stages/tokenizer.bpe_train): ONE
+    corpus-wide word-count stitch, then the merge loop on the bounded
+    word table — the subword vocabulary every training-export pipeline
+    needs. Rows-only: the merge loop is an iterative fixpoint; the
+    pytest gate matches an independent sequential BPE and pins
+    layout-invariance (tests/test_textclean.py)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.tokenizer import bpe_train
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return bpe_train(ds, n_merges=30)
+
+
 def q_nb_classify(sf_dir: str):
     """Distributed multinomial Naive Bayes (stages/nbayes): FIT as one
     (class, term) grouped-sum stitch over the doc_id%5≠0 split,

@@ -278,3 +278,59 @@ def test_nb_classifier_separable_corpus(ray_session):
     held = df[df.doc_id % 5 == 0].set_index("doc_id")
     assert len(out) == len(held)
     assert (out["predicted"] == held["source"]).all()
+
+
+def test_bpe_train_matches_sequential_reference(ray_session):
+    """Distributed word-count + merge loop equals an independent
+    sequential BPE on the raw corpus; layout-invariant across block
+    counts; deterministic tie-break."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.tokenizer import bpe_train
+
+    texts = ["low low low low low lower lower",
+             "newest newest newest newest newest newest",
+             "widest widest widest"]
+    df = pd.DataFrame({"doc_id": range(3), "text": texts})
+
+    # independent reference: per-corpus char-pair counting from scratch
+    def ref_merges(texts, n):
+        import re
+        words = {}
+        for t in texts:
+            for w in re.findall(r"[a-z0-9]+", t.lower()):
+                words[w] = words.get(w, 0) + 1
+        seqs = {w: tuple(w) + ("</w>",) for w in words}
+        out = []
+        for _ in range(n):
+            pairs = {}
+            for w, sym in seqs.items():
+                for i in range(len(sym) - 1):
+                    p = (sym[i], sym[i + 1])
+                    pairs[p] = pairs.get(p, 0) + words[w]
+            if not pairs:
+                break
+            (l, r), best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best < 2:
+                break
+            out.append((l, r, best))
+            for w, sym in seqs.items():
+                res, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                        res.append(l + r); i += 2
+                    else:
+                        res.append(sym[i]); i += 1
+                seqs[w] = tuple(res)
+        return out
+
+    want = ref_merges(texts, 10)
+    got1 = bpe_train(rd.from_pandas(df).repartition(1), n_merges=10)
+    got3 = bpe_train(rd.from_pandas(df).repartition(3), n_merges=10)
+    for got in (got1, got3):
+        assert [tuple(r) for r in
+                got[["left", "right", "pair_freq"]].itertuples(index=False)
+                ] == want
+    # 'newest' dominates: its suffix pairs must be learned early
+    assert ("e", "s") in {(l, r) for l, r, _ in want} or \
+           ("s", "t") in {(l, r) for l, r, _ in want}
