@@ -130,10 +130,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": Q.q_simhash_pairs,
         "ngram_jaccard": Q.q_ngram_jaccard,
         "embed_cosine_pairs": Q.q_embed_cosine_pairs,
+        "embed_dup_clusters": Q.q_embed_dup_clusters,
         # similarity search
         "knn_cosine": Q.q_knn_cosine,
         "knn_cosine_lsh": Q.q_knn_cosine_lsh,
         "knn_cosine_ivf": Q.q_knn_cosine_ivf,
+        "knn_cosine_pq": Q.q_knn_cosine_pq,
         "doc_embed_knn": Q.q_doc_embed_knn,
         "knn_self_join": Q.q_knn_self_join,
         # query/RAG surface (F3 + graph retriever)
@@ -219,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": Q.SQL_SIMHASH_PAIRS,
         "ngram_jaccard": Q.SQL_NGRAM_JACCARD,
         "embed_cosine_pairs": Q.SQL_EMBED_COSINE_PAIRS,
+        "embed_dup_clusters": Q.SQL_EMBED_DUP_CLUSTERS,
         "knn_cosine": Q.SQL_KNN_COSINE,
         "knn_self_join": Q.SQL_KNN_SELF_JOIN,
         # minhash_dedup, knn_cosine_lsh/ivf, doc_embed_knn,

@@ -2680,6 +2680,48 @@ ORDER BY u, v
 """
 
 
+def q_embed_dup_clusters(sf_dir: str):
+    """Embedding-cosine near-dup CLUSTERS — operator composition: the
+    exact cosine pair tier (stages/similarity.embed_cosine_pairs)
+    feeding G4 connected components (stages/canonicalize), labels =
+    numeric min member — the transitive closure step an embedding-dedup
+    pipeline keeps after pair generation (keep one doc per cluster)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.canonicalize import connected_components
+    from sigraph_ray.stages.similarity import embed_cosine_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    pairs = embed_cosine_pairs(ds, threshold=0.4, concurrency=_conc())
+    out = connected_components(pairs, node_type=pa.int64())
+    return out.map_batches(
+        lambda t: pa.table({"vec_id": t.column("node").cast(pa.int64()),
+                            "cluster": t.column("comp").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+SQL_EMBED_DUP_CLUSTERS = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.embedding, b.embedding)
+        / (sqrt(list_dot_product(a.embedding, a.embedding))
+           * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.4
+), und AS (
+  SELECT u AS a, v AS b FROM pairs
+  UNION
+  SELECT v, u FROM pairs
+), reach(node, r) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT und.b, reach.r FROM reach JOIN und ON und.a = reach.node
+)
+SELECT node AS vec_id, min(r) AS cluster FROM reach
+GROUP BY node ORDER BY vec_id
+"""
+
+
 def _knn_queries(sf_dir: str, n_queries: int = 8) -> pd.DataFrame:
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
@@ -3391,6 +3433,22 @@ def q_knn_cosine_ivf(sf_dir: str):
                              columns=["vec_id", "embedding"])
     corpus = corpus.filter(expr="vec_id >= 8")
     return S.knn_cosine_ivf(corpus, _knn_queries(sf_dir), k=5)
+
+
+def q_knn_cosine_pq(sf_dir: str):
+    """Product-quantization ANN over the embeddings table
+    (stages/similarity.knn_cosine_pq): per-subspace codebooks +
+    asymmetric-distance scan — the memory-scale tier under IVF/LSH
+    (8 bytes/vector at m=8). Rows-only (approximate by design; recall
+    vs brute and layout-invariance are pytest-gated)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages import similarity as S
+
+    corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    corpus = corpus.filter(expr="vec_id >= 8")
+    return S.knn_cosine_pq(corpus, _knn_queries(sf_dir), k=5)
 
 
 def q_trace_listing(sf_dir: str):

@@ -199,35 +199,10 @@ def ivf_train(corpus, *, n_centroids: int = 16, sample_every: int = 7,
     every run and any block order (a ``limit()`` sample would depend on
     arrival order). The sample is the only data that reaches the
     driver, capped at ``max_sample`` rows in hash order."""
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        h = H.splitmix64(pd.util.hash_pandas_object(
-            df[id_col].astype(str), index=False).to_numpy()
-            .astype(np.uint64))
-        df = df[[id_col, emb_col]].copy()
-        df["__h"] = h
-        return df[(h % np.uint64(sample_every)) == 0]
-
-    sample = corpus.map_batches(pick, batch_format="pandas").to_pandas()
-    if sample.empty:
-        # Tiny corpus: the keyed 1-in-sample_every filter can come back
-        # empty (< ~sample_every rows). Degrade gracefully — sample every
-        # row instead of crashing in np.stack([]). Still deterministic
-        # (hash-ordered, capped) and still bounded: this path only fires
-        # when the WHOLE corpus is smaller than one keyed stride.
-        def pick_all(df: pd.DataFrame) -> pd.DataFrame:
-            h = H.splitmix64(pd.util.hash_pandas_object(
-                df[id_col].astype(str), index=False).to_numpy()
-                .astype(np.uint64))
-            df = df[[id_col, emb_col]].copy()
-            df["__h"] = h
-            return df
-
-        sample = corpus.map_batches(pick_all,
-                                    batch_format="pandas").to_pandas()
-        if sample.empty:
-            raise ValueError("ivf_train: corpus has no rows")
-    sample = sample.sort_values("__h").head(max_sample)
-    return _kmeans_fit(np.stack(sample[emb_col].to_numpy()), n_centroids)
+    return _kmeans_fit(
+        _keyed_sample(corpus, id_col=id_col, emb_col=emb_col,
+                      sample_every=sample_every, max_sample=max_sample),
+        n_centroids)
 
 
 class IvfTopK:
@@ -452,3 +427,139 @@ def knn_self_join(ds, *, k: int = 5, id_col: str = "vec_id",
                              "nbr_id": out_n})
 
     return ds.map_batches(topk, batch_format="pandas")
+
+
+# --- Product-quantization variant (the IVF-PQ memory-scale path) -----------
+
+
+def _keyed_sample(corpus, *, id_col: str, emb_col: str,
+                  sample_every: int = 7,
+                  max_sample: int = 4096) -> np.ndarray:
+    """Deterministic content-keyed training sample (same discipline as
+    :func:`ivf_train`): id-hash ≡ 0 (mod sample_every), hash-ordered,
+    capped; degrades to all-rows on tiny corpora."""
+    def pick_factory(every: int):
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            h = H.splitmix64(pd.util.hash_pandas_object(
+                df[id_col].astype(str), index=False).to_numpy()
+                .astype(np.uint64))
+            out = df[[id_col, emb_col]].copy()
+            out["__h"] = h
+            return out[(h % np.uint64(every)) == 0]
+        return pick
+
+    sample = corpus.map_batches(pick_factory(sample_every),
+                                batch_format="pandas").to_pandas()
+    if sample.empty:
+        sample = corpus.map_batches(pick_factory(1),
+                                    batch_format="pandas").to_pandas()
+        if sample.empty:
+            raise ValueError("keyed sample: corpus has no rows")
+    sample = sample.sort_values("__h").head(max_sample)
+    return np.stack(sample[emb_col].to_numpy())
+
+
+def _kmeans_l2(sample: np.ndarray, n_codes: int,
+               iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd k-means under L2 (init = first rows of the
+    hash-ordered sample; empty cells keep their previous centroid)."""
+    n_codes = min(n_codes, len(sample))
+    cent = sample[:n_codes].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(n_codes):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_train(corpus, *, m: int = 8, n_codes: int = 16,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             sample_every: int = 7, max_sample: int = 4096) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al. 2011, public
+    method): unit-normalize, split the dimension into ``m`` subspaces,
+    one deterministic L2 k-means per subspace → ``(m, n_codes, d/m)``
+    array. Only the bounded keyed sample reaches the driver."""
+    sample = _normalize(_keyed_sample(
+        corpus, id_col=id_col, emb_col=emb_col,
+        sample_every=sample_every, max_sample=max_sample))
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack([
+        _kmeans_l2(np.ascontiguousarray(sample[:, j * dsub:(j + 1) * dsub]),
+                   n_codes)
+        for j in range(m)])
+
+
+class PqTopK:
+    """Asymmetric-distance PQ scan: codebooks broadcast once per actor;
+    each batch is ENCODED (m subspace argmins) and scored against every
+    query through a per-query ``(m, n_codes)`` inner-product lookup
+    table — the corpus is touched once, at ~log₂(n_codes)·m bits per
+    vector equivalent work, the memory shape that makes 100 TB
+    embedding search feasible (codes are 8 bytes/vector at m=8)."""
+
+    def __init__(self, queries_ref, codebooks_ref, k: int,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        import ray
+
+        qdf = ray.get(queries_ref)
+        self.cb = ray.get(codebooks_ref)          # (m, n_codes, dsub)
+        self.qids = qdf["qid"].to_numpy()
+        qmat = _normalize(np.stack(qdf["vec"].to_numpy()))
+        m, n_codes, dsub = self.cb.shape
+        # LUT[q, j, c] = <q_subj, codebook[j, c]>
+        self.lut = np.einsum("qjd,jcd->qjc",
+                             qmat.reshape(len(qmat), m, dsub), self.cb)
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[self.id_col].to_numpy()
+        mat = _normalize(np.stack(df[self.emb_col].to_numpy()))
+        m, n_codes, dsub = self.cb.shape
+        sub = mat.reshape(len(mat), m, dsub)
+        # encode: per subspace, argmin ||x - c||² = argmax <x,c> - ||c||²/2
+        norms = (self.cb ** 2).sum(axis=2) / 2.0       # (m, n_codes)
+        codes = np.empty((len(mat), m), dtype=np.int64)
+        for j in range(m):
+            codes[:, j] = np.argmax(sub[:, j, :] @ self.cb[j].T
+                                    - norms[j], axis=1)
+        # ADC: approx cosine = Σ_j LUT[q, j, codes[:, j]]
+        out = {"qid": [], "vec_id": [], "cosine": []}
+        for qi in range(len(self.qids)):
+            sims = self.lut[qi][np.arange(m), codes].sum(axis=1)
+            k = min(self.k, len(sims))
+            top = np.argpartition(-sims, k - 1)[:k] if len(sims) > k \
+                else np.arange(len(sims))
+            out["qid"].extend([self.qids[qi]] * len(top))
+            out["vec_id"].extend(ids[top])
+            out["cosine"].extend(sims[top])
+        return pd.DataFrame(out)
+
+
+def knn_cosine_pq(corpus, queries_df: pd.DataFrame, *, k: int = 5,
+                  m: int = 8, n_codes: int = 16, concurrency: int = 2,
+                  id_col: str = "vec_id", emb_col: str = "embedding"):
+    """PQ ANN top-k: deterministic per-subspace codebooks (content-
+    keyed sample) + asymmetric-distance scan + the shared two-phase
+    deterministic top-k. Approximate by design — recall vs brute is
+    pytest-gated; the returned ``cosine`` is the ADC estimate."""
+    import ray
+
+    cb = pq_train(corpus, m=m, n_codes=n_codes,
+                  id_col=id_col, emb_col=emb_col)
+    partial = corpus.map_batches(
+        PqTopK, batch_format="pandas",
+        fn_constructor_kwargs={"queries_ref": ray.put(queries_df),
+                               "codebooks_ref": ray.put(cb),
+                               "k": k, "id_col": id_col,
+                               "emb_col": emb_col},
+        concurrency=concurrency)
+    return partial.groupby("qid").map_groups(
+        _final_topk_factory(k), batch_format="pandas")

@@ -144,3 +144,29 @@ def test_embedding_deterministic_and_normed():
     # empty texts embed to one fixed unit vector (padding ngram)
     assert np.array_equal(a[1], embed_texts([""])[0])
     assert abs(np.linalg.norm(a[1]) - 1.0) < 1e-12
+
+
+def test_pq_recall_and_determinism(ray_session, vecs):
+    import ray.data as rd
+
+    from sigraph_ray.stages.similarity import knn_cosine, knn_cosine_pq
+
+    qids = list(range(8))
+    qdf = pd.DataFrame({"qid": qids,
+                        "vec": [vecs["embedding"][q] for q in qids]})
+    exact = knn_cosine(rd.from_pandas(vecs).repartition(4), qdf, k=5,
+                       concurrency=2).to_pandas()
+    outs = []
+    for blocks in (3, 5):  # block layout must not change the answer
+        corpus = rd.from_pandas(vecs).repartition(blocks)
+        outs.append(knn_cosine_pq(corpus, qdf, k=5, m=8, n_codes=16,
+                                  concurrency=2).to_pandas()
+                    .sort_values(["qid", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    hits = total = 0
+    for q in qids:
+        e = set(exact[exact["qid"] == q]["vec_id"])
+        a = set(outs[0][outs[0]["qid"] == q]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.5, f"PQ recall {hits / total}"
