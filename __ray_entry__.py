@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue": Q.q_order_revenue,
         "bloom_semi_lineitem": Q.q_bloom_semi_lineitem,
         "upsert_compact": Q.q_upsert_compact,
+        "upsert_with_deletes": Q.q_upsert_with_deletes,
         "zorder_keys": Q.q_zorder_keys,
         "quality_filtered": Q.q_quality_filtered,
         # text analysis (brief: token counting, quality, fingerprints)
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "order_revenue": Q.SQL_ORDER_REVENUE,
         "bloom_semi_lineitem": Q.SQL_BLOOM_SEMI_LINEITEM,
         "upsert_compact": Q.SQL_UPSERT_COMPACT,
+        "upsert_with_deletes": Q.SQL_UPSERT_WITH_DELETES,
         "zorder_keys": Q.SQL_ZORDER_KEYS,
         "quality_filtered": Q.SQL_QUALITY_FILTERED,
         "text_stats": Q.SQL_TEXT_STATS,

@@ -1147,6 +1147,69 @@ WHERE rn = 1 ORDER BY o_orderkey
 """
 
 
+def q_upsert_with_deletes(sf_dir: str):
+    """CDC MERGE with tombstones (stages/upsert.compact_upserts,
+    ``tombstone=``): the updates stream carries deletes — a newer
+    tombstone removes the key, a STALE tombstone loses to the base
+    version and the key survives, exercising both directions of the
+    delete-vs-version race in one deterministic derivation."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.upsert import compact_upserts
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def as_base(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["version"] = 10
+        out["deleted"] = False
+        return out
+
+    def as_updates(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["o_orderkey"] % 5 < 2].copy()
+        m = out["o_orderkey"] % 4
+        # m 0: newer delete (key vanishes)   m 1: newer upsert
+        # m 2: stale delete (base survives)  m 3: tied upsert (wins)
+        out["o_totalprice"] = out["o_totalprice"] * 3
+        out["version"] = m.map({0: 20, 1: 20, 2: 5, 3: 10})\
+            .astype("int64")
+        out["deleted"] = (m % 2 == 0)
+        return out
+
+    base = orders.map_batches(as_base, batch_format="pandas")
+    upd = orders.map_batches(as_updates, batch_format="pandas")
+    out = compact_upserts(base, upd, key="o_orderkey",
+                          version="version", tombstone="deleted")
+    return out.sort("o_orderkey")
+
+
+SQL_UPSERT_WITH_DELETES = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, 10 AS version, FALSE AS deleted,
+         0 AS origin
+  FROM orders
+), upd AS (
+  SELECT o_orderkey, o_totalprice * 3 AS o_totalprice,
+         CASE CAST(o_orderkey % 4 AS INTEGER)
+              WHEN 0 THEN 20 WHEN 1 THEN 20 WHEN 2 THEN 5
+              ELSE 10 END AS version,
+         (o_orderkey % 4) % 2 = 0 AS deleted,
+         1 AS origin
+  FROM orders WHERE o_orderkey % 5 < 2
+), tagged AS (
+  SELECT * FROM base UNION ALL SELECT * FROM upd
+), r AS (
+  SELECT o_orderkey, o_totalprice, version, deleted,
+         row_number() OVER (PARTITION BY o_orderkey
+                            ORDER BY version DESC, origin DESC) AS rn
+  FROM tagged
+)
+SELECT o_orderkey, o_totalprice, version FROM r
+WHERE rn = 1 AND NOT deleted ORDER BY o_orderkey
+"""
+
+
 def q_customers_without_orders(sf_dir: str):
     """ANTI JOIN (NOT IN): customers with no big order (> 400 k) —
     stages/joins.broadcast_semi_anti over the distinct probe-key set

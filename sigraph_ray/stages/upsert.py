@@ -26,10 +26,17 @@ import pandas as pd
 _SEP = "\x1f"
 
 
-def compact_upserts(base, updates, *, key, version: str):
+def compact_upserts(base, updates, *, key, version: str,
+                    tombstone: str | None = None):
     """Return one row per key: the base row unless ``updates`` carries
     an equal-or-newer ``version`` for it. ``key`` is a column name or
-    list of names; both inputs must share the schema."""
+    list of names; both inputs must share the schema.
+
+    ``tombstone`` names an optional boolean column: when the WINNING
+    row for a key has it true, the key is deleted from the output
+    entirely (CDC delete semantics — a tombstone only wins by the same
+    version rule, so a newer upsert resurrects the key). The filter
+    runs after the arg-max, so deletes cost nothing extra."""
     keys = [key] if isinstance(key, str) else list(key)
 
     from sigraph_ray.stages.collect import sorted_grouped_topk
@@ -57,6 +64,12 @@ def compact_upserts(base, updates, *, key, version: str):
                               order_by=[version, "_origin"],
                               descending=[True, True], k=1)
     drop = {"rank", "_origin", "_ckey"}
+    if tombstone is not None:
+        drop.add(tombstone)
+        return top.map_batches(
+            lambda df: df[~df[tombstone].fillna(False).astype(bool)]
+            [[c for c in df.columns if c not in drop]],
+            batch_format="pandas")
     return top.map_batches(
         lambda df: df[[c for c in df.columns if c not in drop]],
         batch_format="pandas")
