@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_lineitem": Q.q_bloom_semi_lineitem,
         "upsert_compact": Q.q_upsert_compact,
         "upsert_with_deletes": Q.q_upsert_with_deletes,
+        "data_quality": Q.q_data_quality,
         "zorder_keys": Q.q_zorder_keys,
         "quality_filtered": Q.q_quality_filtered,
         # text analysis (brief: token counting, quality, fingerprints)
@@ -190,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_lineitem": Q.SQL_BLOOM_SEMI_LINEITEM,
         "upsert_compact": Q.SQL_UPSERT_COMPACT,
         "upsert_with_deletes": Q.SQL_UPSERT_WITH_DELETES,
+        "data_quality": Q.SQL_DATA_QUALITY,
         "zorder_keys": Q.SQL_ZORDER_KEYS,
         "quality_filtered": Q.SQL_QUALITY_FILTERED,
         "text_stats": Q.SQL_TEXT_STATS,

@@ -1147,6 +1147,63 @@ WHERE rn = 1 ORDER BY o_orderkey
 """
 
 
+def q_data_quality(sf_dir: str):
+    """Data-quality expectation suite (stages/validate.validate_table)
+    over orders — the promotion gate a pipeline runs before publishing
+    a table: uniqueness, null, range and format rules in one pass
+    (+ one keyed stitch per unique rule). ``price_cap`` is a rule with
+    real violations, so the report is exercised on both outcomes."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.validate import validate_table
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderpriority", "o_orderstatus"])
+    return validate_table(ds, [
+        {"name": "orderkey_unique", "kind": "unique", "col": "o_orderkey"},
+        {"name": "custkey_not_null", "kind": "not_null",
+         "col": "o_custkey"},
+        {"name": "price_positive", "kind": "range",
+         "col": "o_totalprice", "lo": 0.0, "hi": None},
+        {"name": "price_cap", "kind": "range",
+         "col": "o_totalprice", "lo": None, "hi": 400000.0},
+        {"name": "priority_format", "kind": "regex",
+         "col": "o_orderpriority", "pattern": r"[1-5]-[A-Z ]+"},
+        {"name": "status_domain", "kind": "regex",
+         "col": "o_orderstatus", "pattern": r"[OFP]"},
+    ])
+
+
+SQL_DATA_QUALITY = """
+SELECT 'orderkey_unique' AS rule,
+       count(*) - count(DISTINCT o_orderkey) AS violations,
+       count(*) AS n_checked FROM orders
+UNION ALL
+SELECT 'custkey_not_null',
+       count(*) FILTER (o_custkey IS NULL), count(*) FROM orders
+UNION ALL
+SELECT 'price_positive',
+       count(*) FILTER (o_totalprice < 0),
+       count(o_totalprice) FROM orders
+UNION ALL
+SELECT 'price_cap',
+       count(*) FILTER (o_totalprice > 400000),
+       count(o_totalprice) FROM orders
+UNION ALL
+SELECT 'priority_format',
+       count(*) FILTER (NOT regexp_full_match(o_orderpriority,
+                                              '[1-5]-[A-Z ]+')),
+       count(o_orderpriority) FROM orders
+UNION ALL
+SELECT 'status_domain',
+       count(*) FILTER (NOT regexp_full_match(o_orderstatus, '[OFP]')),
+       count(o_orderstatus) FROM orders
+ORDER BY rule
+"""
+
+
 def q_upsert_with_deletes(sf_dir: str):
     """CDC MERGE with tombstones (stages/upsert.compact_upserts,
     ``tombstone=``): the updates stream carries deletes — a newer
