@@ -126,6 +126,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": Q.q_inverted_index,
         "stratified_sample": Q.q_stratified_sample,
         "weighted_sample": Q.q_weighted_sample,
+        "source_capped": Q.q_source_capped,
+        "temperature_mixture": Q.q_temperature_mixture,
+        "dedup_weighted_tokens": Q.q_dedup_weighted_tokens,
+        "profile": Q.q_profile,
         # dedup family
         "exact_dedup": Q.q_exact_dedup,
         "minhash_dedup": Q.q_minhash_dedup,
@@ -221,6 +225,10 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": Q.SQL_INVERTED_INDEX,
         "stratified_sample": Q.SQL_STRATIFIED_SAMPLE,
         "weighted_sample": Q.SQL_WEIGHTED_SAMPLE,
+        "source_capped": Q.SQL_SOURCE_CAPPED,
+        "temperature_mixture": Q.SQL_TEMPERATURE_MIXTURE,
+        "dedup_weighted_tokens": Q.SQL_DEDUP_WEIGHTED_TOKENS,
+        "profile": Q.SQL_PROFILE,
         "exact_dedup": Q.SQL_EXACT_DEDUP,
         "simhash_pairs": Q.SQL_SIMHASH_PAIRS,
         "ngram_jaccard": Q.SQL_NGRAM_JACCARD,

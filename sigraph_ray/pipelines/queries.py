@@ -3732,3 +3732,191 @@ FROM base b JOIN drift_traces d ON b.trace_id = d.trace_id
 WHERE b.unit_id = 'unit_0'
 ORDER BY b.ts, b.span_id
 """
+
+
+def q_source_capped(sf_dir: str):
+    """Per-group deterministic cap (stages/sample.grouped_hash_cap):
+    the crawl-curation "max N pages per host" rule — keep the 10 docs
+    per source with the smallest md5(doc_id), a pure function of
+    content, stable at every parallelism level. One range sort with
+    pre-capped fragments (no degenerate-group cliff)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.sample import grouped_hash_cap
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    capped = grouped_hash_cap(ds, key="doc_id", group="source", k=10)
+    return capped.map_batches(
+        lambda df: df[["source", "doc_id", "rank"]],
+        batch_format="pandas")
+
+
+SQL_SOURCE_CAPPED = """
+WITH h AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hv
+  FROM documents
+), r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY hv, doc_id) AS rank
+  FROM h
+)
+SELECT source, doc_id, rank FROM r WHERE rank <= 10
+ORDER BY source, rank
+"""
+
+
+def q_temperature_mixture(sf_dir: str):
+    """Temperature-based mixture rebalancing
+    (stages/sample.temperature_mixture): per-LANGUAGE keep-rates
+    derived FROM the data — rate_s = sqrt(n_min/n_s) (alpha=0.5), so
+    sampled masses follow n_s^0.5 and the rarest language keeps
+    everything (the multilingual rebalancing pass; `lang` is the
+    skewed stratum in this corpus, en ≈ 3× fr). The alpha=0.5 path is
+    sqrt/division only (IEEE correctly rounded), so the SQL oracle
+    reproduces the 16-bit md5 threshold bit-exactly."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.sample import temperature_mixture
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return temperature_mixture(ds, key="doc_id", stratum="lang",
+                               alpha=0.5)
+
+
+SQL_TEMPERATURE_MIXTURE = """
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), lim AS (
+  SELECT lang,
+         CAST(floor(sqrt((SELECT min(n) FROM c) * 1.0 / n) * 65536)
+              AS BIGINT) AS lim
+  FROM c
+), h AS (
+  SELECT doc_id, lang,
+         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS h16
+  FROM documents
+)
+SELECT h.doc_id, h.lang FROM h JOIN lim USING (lang)
+WHERE h.h16 < lim.lim
+ORDER BY h.doc_id
+"""
+
+
+def q_dedup_weighted_tokens(sf_dir: str):
+    """Duplicate-aware corpus accounting: each doc weighted 1/m where m
+    is its exact-duplicate cluster size (md5(text) across ALL sources),
+    then per-source EFFECTIVE token mass — the soft-dedup down-weighting
+    used instead of hard removal when duplicates carry signal. Dataflow:
+    per-batch (hash, source) combiner → sorted_groupby_agg → cluster
+    sizes by hash → sorted_merge_join (bounded fan-out: ≤ #sources rows
+    per hash) → per-batch per-source partials folded on the driver."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+    from sigraph_ray.stages.joins import sorted_merge_join
+    from sigraph_ray.functions.hashing import md5_hex
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "source"])
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"h": pd.Series(dtype="object"),
+                                 "source": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64"),
+                                 "tok": pd.Series(dtype="int64")})
+        out = pd.DataFrame({
+            "h": md5_hex(df["text"].tolist()),
+            "source": df["source"].to_numpy(),
+            "tok": df["text"].str.count(r"\S+").to_numpy(),
+        })
+        g = out.groupby(["h", "source"], sort=False)["tok"]
+        return (g.agg(c="size", tok="sum").reset_index()
+                [["h", "source", "c", "tok"]])
+
+    parts = ds.map_batches(parse, batch_format="pandas")
+    g = sorted_groupby_agg(parts, key=["h", "source"],
+                           aggs={"c": ("c", "sum"),
+                                 "tok": ("tok", "sum")})
+    m = sorted_groupby_agg(g, key="h", aggs={"m": ("c", "sum")})
+    j = sorted_merge_join(g, m, on="h",
+                          left_cols=["source", "c", "tok"],
+                          right_cols=["m"])
+
+    def per_source(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "eff_tokens": pd.Series(dtype="float64"),
+                                 "n_docs": pd.Series(dtype="int64")})
+        df = df.assign(_eff=df["tok"] / df["m"])
+        gg = df.groupby("source", sort=False)
+        return (gg.agg(eff_tokens=("_eff", "sum"), n_docs=("c", "sum"))
+                .reset_index())
+
+    folded = (j.map_batches(per_source, batch_format="pandas",
+                            batch_size=None).to_pandas())
+    out = (folded.groupby("source", sort=True)
+           .agg(eff_tokens=("eff_tokens", "sum"),
+                n_docs=("n_docs", "sum")).reset_index())
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+SQL_DEDUP_WEIGHTED_TOKENS = r"""
+WITH d AS (
+  SELECT source, md5(text) AS h,
+         len(regexp_extract_all(text, '\S+')) AS tok
+  FROM documents
+), g AS (
+  SELECT h, source, count(*) AS c, sum(tok) AS tok
+  FROM d GROUP BY h, source
+), m AS (
+  SELECT h, sum(c) AS m FROM g GROUP BY h
+)
+SELECT g.source,
+       sum(g.tok * 1.0 / m.m) AS eff_tokens,
+       sum(g.c) AS n_docs
+FROM g JOIN m USING (h)
+GROUP BY g.source ORDER BY g.source
+"""
+
+
+def q_profile(sf_dir: str):
+    """One-pass column profiler (stages/profile.profile_table): per
+    column rows/nulls/min/max in a single shuffle-free scan — the
+    pre-flight DESCRIBE of a training-data ingest. One wide partial row
+    per block, native-dtype fold on the driver, strings rendered last."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.profile import profile_table
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source", "n_chars"])
+    return profile_table(ds, ["doc_id", "lang", "source", "n_chars"])
+
+
+SQL_PROFILE = """
+SELECT * FROM (
+  SELECT 'doc_id' AS col, count(*) AS n_rows,
+         count(*) - count(doc_id) AS n_null,
+         CAST(min(doc_id) AS VARCHAR) AS min_value,
+         CAST(max(doc_id) AS VARCHAR) AS max_value
+  FROM documents
+  UNION ALL
+  SELECT 'lang', count(*), count(*) - count(lang),
+         min(lang), max(lang) FROM documents
+  UNION ALL
+  SELECT 'source', count(*), count(*) - count(source),
+         min(source), max(source) FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+         CAST(min(n_chars) AS VARCHAR),
+         CAST(max(n_chars) AS VARCHAR) FROM documents
+) ORDER BY col
+"""

@@ -64,6 +64,88 @@ def mixture_sample(ds, *, key: str, stratum: str,
     return ds.map_batches(f, batch_format="pandas")
 
 
+def grouped_hash_cap(ds, *, key: str, group: str, k: int,
+                     rank_col: str = "rank"):
+    """Per-group deterministic cap — the crawl-curation "max N pages
+    per host" rule (every Common-Crawl-style pipeline bounds a single
+    domain's contribution before training). Keeps the ``k`` rows per
+    ``group`` with the SMALLEST ``md5(str(key))`` — a pure function of
+    content like every sampler here, so re-runs, resumes, block
+    layouts and cluster sizes keep the same rows, and the SQL oracle
+    (``row_number() OVER (PARTITION BY group ORDER BY md5(key), key)``)
+    reproduces it exactly.
+
+    Scale shape: one range sort via
+    :func:`sigraph_ray.stages.collect.sorted_grouped_topk` — fragments
+    are pre-capped at ``k`` rows so a degenerate group (one host owning
+    half the crawl) cannot blow a worker block or the driver stitch."""
+    from sigraph_ray.stages.collect import sorted_grouped_topk
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_hcap"] = (md5_hex(out[key].astype(str).tolist())
+                        if len(out) else pd.Series(dtype="object"))
+        return out
+
+    capped = sorted_grouped_topk(
+        ds.map_batches(add_hash, batch_format="pandas"),
+        key=group, order_by=["_hcap", key],
+        descending=[False, False], k=k, rank_col=rank_col)
+    return capped.map_batches(lambda df: df.drop(columns=["_hcap"]),
+                              batch_format="pandas")
+
+
+def temperature_mixture(ds, *, key: str, stratum: str,
+                        alpha: float = 0.5):
+    """Temperature-based mixture rebalancing: per-stratum keep-rate
+    ``r_s = (n_s / n_min) ** (alpha - 1)`` so sampled stratum masses
+    follow ``n_s ** alpha`` (the multilingual/domain temperature
+    sampling of public LM training recipes; alpha=1 keeps everything,
+    alpha→0 equalizes strata). The rarest stratum always keeps rate
+    1.0; rates are derived from the data, not hand-set like
+    :func:`mixture_sample`.
+
+    Determinism contract: counts come from per-batch ``value_counts``
+    partials folded on the driver (O(#blocks × #strata) rows, no
+    shuffle); the row filter is the same 16-bit md5 prefix as
+    :func:`mixture_sample`. For the default ``alpha=0.5`` the rate is
+    computed as ``sqrt(n_min / n_s)`` — IEEE sqrt and division are
+    correctly rounded, so the SQL oracle's ``floor(sqrt(...) * 65536)``
+    is bit-identical to ours; other alphas go through ``pow`` where
+    that guarantee is platform-typical but not mandated."""
+    import math
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        return (df[stratum].value_counts().rename_axis(stratum)
+                .reset_index(name="n"))
+
+    parts = ds.map_batches(cnt, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    counts = parts.groupby(stratum)["n"].sum()
+    if not len(counts):
+        return ds
+    n_min = float(counts.min())
+    if alpha == 0.5:
+        rates = {s: math.sqrt(n_min / float(n))
+                 for s, n in counts.items()}
+    else:
+        rates = {s: (float(n) / n_min) ** (alpha - 1.0)
+                 for s, n in counts.items()}
+    limits = {s: math.floor(r * 65536.0) for s, r in rates.items()}
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        h16 = np.fromiter(
+            (int(h[:4], 16)
+             for h in md5_hex(df[key].astype(str).tolist())),
+            dtype=np.int64, count=len(df))
+        lim = df[stratum].map(lambda s: limits.get(s, 65536)).to_numpy()
+        return df[h16 < lim]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def weighted_sample_k(ds, *, key: str, weight: str, k: int):
     """Deterministic weighted sampling WITHOUT replacement
     (Efraimidis–Spirakis 2006, public): each row gets the key

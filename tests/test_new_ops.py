@@ -376,3 +376,101 @@ def test_grouped_approx_distinct_error_gate(ray_session):
         rd.from_pandas(df).repartition(1), group="g", cols=["u"])
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   got2.reset_index(drop=True))
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_grouped_hash_cap_bound_and_layout_invariant(ray_session, blocks):
+    import ray.data as rd
+
+    from sigraph_ray.stages.sample import grouped_hash_cap
+
+    df = pd.DataFrame({
+        "k": [f"id{i}" for i in range(300)],
+        "g": [f"h{i % 3}" for i in range(300)],
+    })
+    out = (grouped_hash_cap(
+        rd.from_pandas(df).repartition(blocks), key="k", group="g", k=7)
+        .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True))
+    # cap binds: exactly 7 per group, ranks 1..7
+    assert out.groupby("g").size().eq(7).all()
+    assert (out.groupby("g")["rank"].apply(list)
+            .map(lambda r: r == list(range(1, 8))).all())
+    # pure function of content: matches the hand-computed md5 order
+    from sigraph_ray.functions.hashing import md5_hex
+    ref = df.assign(h=md5_hex(df["k"].tolist()))
+    ref = (ref.sort_values(["g", "h", "k"])
+           .groupby("g").head(7))
+    assert set(map(tuple, out[["g", "k"]].to_numpy())) == \
+        set(map(tuple, ref[["g", "k"]].to_numpy()))
+
+
+def test_grouped_hash_cap_degenerate_group(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.sample import grouped_hash_cap
+
+    # one group owns 95% of rows — fragments stay capped at k
+    df = pd.DataFrame({
+        "k": [f"id{i}" for i in range(400)],
+        "g": ["hot"] * 380 + [f"cold{i}" for i in range(20)],
+    })
+    out = grouped_hash_cap(rd.from_pandas(df).repartition(8),
+                           key="k", group="g", k=5).to_pandas()
+    assert (out[out.g == "hot"].shape[0] == 5
+            and out[out.g != "hot"].shape[0] == 20)
+
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_temperature_mixture_rates(ray_session, blocks):
+    import ray.data as rd
+
+    from sigraph_ray.stages.sample import temperature_mixture
+
+    # skewed strata: 1600 / 400 / 100 → keep rates 0.25 / 0.5 / 1.0
+    rows = ([("a", i) for i in range(1600)]
+            + [("b", i) for i in range(1600, 2000)]
+            + [("c", i) for i in range(2000, 2100)])
+    df = pd.DataFrame(rows, columns=["s", "k"])
+    out = temperature_mixture(
+        rd.from_pandas(df).repartition(blocks),
+        key="k", stratum="s", alpha=0.5).to_pandas()
+    kept = out.groupby("s").size()
+    # rarest stratum fully kept (rate exactly 1.0)
+    assert kept["c"] == 100
+    # md5 is uniform: kept fraction within ±6 pp of sqrt(n_min/n_s)
+    assert abs(kept["a"] / 1600 - 0.25) < 0.06
+    assert abs(kept["b"] / 400 - 0.5) < 0.06
+    # layout invariance: pure function of the key
+    out1 = temperature_mixture(rd.from_pandas(df).repartition(1),
+                               key="k", stratum="s",
+                               alpha=0.5).to_pandas()
+    assert set(out["k"]) == set(out1["k"])
+
+
+def test_profile_table_exact_and_nulls(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.profile import profile_table
+
+    df = pd.DataFrame({
+        "i": [9, 10, 2, None, 5],          # numeric min must not be lexical
+        "s": ["b", None, "a", "z", None],
+    })
+    out = profile_table(rd.from_pandas(df).repartition(3), ["i", "s"])
+    r = {row["col"]: row for _, row in out.iterrows()}
+    assert r["i"]["n_rows"] == 5 and r["i"]["n_null"] == 1
+    assert float(r["i"]["min_value"]) == 2 and float(r["i"]["max_value"]) == 10
+    assert r["s"]["n_rows"] == 5 and r["s"]["n_null"] == 2
+    assert r["s"]["min_value"] == "a" and r["s"]["max_value"] == "z"
+
+
+def test_profile_table_all_null_column(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.profile import profile_table
+
+    df = pd.DataFrame({"x": pd.Series([None, None], dtype="object")})
+    out = profile_table(rd.from_pandas(df).repartition(2), ["x"])
+    row = out.iloc[0]
+    assert row["n_null"] == 2 and row["min_value"] is None \
+        and row["max_value"] is None
