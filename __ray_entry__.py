@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": Q.q_inverted_index,
         "stratified_sample": Q.q_stratified_sample,
         "weighted_sample": Q.q_weighted_sample,
+        "value_outliers": Q.q_value_outliers,
+        "length_histogram": Q.q_length_histogram,
         "source_capped": Q.q_source_capped,
         "temperature_mixture": Q.q_temperature_mixture,
         "dedup_weighted_tokens": Q.q_dedup_weighted_tokens,
@@ -225,6 +227,8 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": Q.SQL_INVERTED_INDEX,
         "stratified_sample": Q.SQL_STRATIFIED_SAMPLE,
         "weighted_sample": Q.SQL_WEIGHTED_SAMPLE,
+        "value_outliers": Q.SQL_VALUE_OUTLIERS,
+        "length_histogram": Q.SQL_LENGTH_HISTOGRAM,
         "source_capped": Q.SQL_SOURCE_CAPPED,
         "temperature_mixture": Q.SQL_TEMPERATURE_MIXTURE,
         "dedup_weighted_tokens": Q.SQL_DEDUP_WEIGHTED_TOKENS,

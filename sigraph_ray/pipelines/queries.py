@@ -3920,3 +3920,91 @@ SELECT * FROM (
          CAST(max(n_chars) AS VARCHAR) FROM documents
 ) ORDER BY col
 """
+
+
+def q_value_outliers(sf_dir: str):
+    """Robust per-group outlier detection (median/MAD, the
+    skew-immune z-score): per event_type median via the exact grouped
+    quantile_disc machinery, a second grouped median over |x − med|
+    (the MAD), then a broadcast-threshold filter |x − med| > 3·MAD —
+    the data-quality anomaly pass run before training ingest trusts a
+    numeric column. Two range sorts on group-sized keys + one
+    stateless filter; medians/MADs broadcast as tiny dicts. Both sides
+    evaluate the identical double expression, so the comparison is
+    deterministic (no aggregation-order float drift)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.quantiles import grouped_exact_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    med = grouped_exact_quantiles(ds, key="event_type", col="value",
+                                  qs=[0.5])
+    med_by = dict(zip(med["event_type"], med["value"]))
+
+    def absdev(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["ad"] = (out["value"]
+                     - out["event_type"].map(med_by)).abs()
+        return out
+
+    dev = ds.map_batches(absdev, batch_format="pandas")
+    mad = grouped_exact_quantiles(dev, key="event_type", col="ad",
+                                  qs=[0.5])
+    mad_by = dict(zip(mad["event_type"], mad["value"]))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        thr = 3.0 * df["event_type"].map(mad_by).to_numpy()
+        keep = df["ad"].to_numpy() > thr
+        return df.loc[keep, ["event_id", "event_type", "value"]]
+
+    return dev.map_batches(flag, batch_format="pandas")
+
+
+SQL_VALUE_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS m
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_id, e.event_type, e.value,
+         abs(e.value - med.m) AS ad
+  FROM events e JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_disc(ad, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_id, dev.event_type, dev.value
+FROM dev JOIN mad USING (event_type)
+WHERE dev.ad > 3 * mad.mad
+ORDER BY dev.event_id
+"""
+
+
+def q_length_histogram(sf_dir: str):
+    """Fixed-width histogram of document lengths (100-char bins) —
+    the distribution profile behind length-filter thresholds. Exact
+    and shuffle-free: per-batch bin value_counts partials, one tiny
+    driver fold over O(#blocks × #bins) rows."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bins = (df["n_chars"] // 100).astype("int64")
+        return (bins.value_counts().rename_axis("bin")
+                .reset_index(name="n_docs"))
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    out = (parts.groupby("bin", sort=True)["n_docs"].sum()
+           .reset_index())
+    out["bin"] = out["bin"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT CAST(n_chars // 100 AS BIGINT) AS bin, count(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1
+"""
