@@ -177,10 +177,16 @@ class _ParticipantTexts:
         self.id_col = id_col
         self.text_col = text_col
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, df: pd.DataFrame):
+        import pyarrow as pa
+
         sub = df[df[self.id_col].isin(self.ids)]
-        return pd.DataFrame({"side_id": sub[self.id_col],
-                             "side_text": sub[self.text_col]})
+        # emit Arrow (exact block sizing): pandas object-dtype empties
+        # trip Ray's size estimator (np.vectorize on size-0 input) into
+        # a per-block warning log
+        return pa.table({"side_id": pa.array(sub[self.id_col]),
+                         "side_text": pa.array(sub[self.text_col],
+                                               type=pa.string())})
 
 
 class _RefVerifyJaccard(VerifyJaccard):
