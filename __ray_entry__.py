@@ -132,6 +132,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mixture": Q.q_temperature_mixture,
         "dedup_weighted_tokens": Q.q_dedup_weighted_tokens,
         "profile": Q.q_profile,
+        "key_skew": Q.q_key_skew,
+        "grouped_mode": Q.q_grouped_mode,
+        "ntile_buckets": Q.q_ntile_buckets,
+        "gap_filled_hourly": Q.q_gap_filled_hourly,
+        # training-order export (stages/ordering)
+        "det_shuffle": Q.q_det_shuffle,
+        "interleave_sources": Q.q_interleave_sources,
+        "shard_plan": Q.q_shard_plan,
         # dedup family
         "exact_dedup": Q.q_exact_dedup,
         "minhash_dedup": Q.q_minhash_dedup,
@@ -139,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": Q.q_ngram_jaccard,
         "embed_cosine_pairs": Q.q_embed_cosine_pairs,
         "embed_dup_clusters": Q.q_embed_dup_clusters,
+        "name_editdist_pairs": Q.q_name_editdist_pairs,
         # similarity search
         "knn_cosine": Q.q_knn_cosine,
         "knn_cosine_lsh": Q.q_knn_cosine_lsh,
@@ -146,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_pq": Q.q_knn_cosine_pq,
         "doc_embed_knn": Q.q_doc_embed_knn,
         "knn_self_join": Q.q_knn_self_join,
+        "label_centroids": Q.q_label_centroids,
         # query/RAG surface (F3 + graph retriever)
         "kg_neighborhood": Q.q_kg_neighborhood,
         # KG pipeline (oracle = generator intent, enforced in pytest)
@@ -233,11 +243,20 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture": Q.SQL_TEMPERATURE_MIXTURE,
         "dedup_weighted_tokens": Q.SQL_DEDUP_WEIGHTED_TOKENS,
         "profile": Q.SQL_PROFILE,
+        "key_skew": Q.SQL_KEY_SKEW,
+        "grouped_mode": Q.SQL_GROUPED_MODE,
+        "ntile_buckets": Q.SQL_NTILE_BUCKETS,
+        "gap_filled_hourly": Q.SQL_GAP_FILLED_HOURLY,
+        "det_shuffle": Q.SQL_DET_SHUFFLE,
+        "interleave_sources": Q.SQL_INTERLEAVE_SOURCES,
+        "shard_plan": Q.SQL_SHARD_PLAN,
         "exact_dedup": Q.SQL_EXACT_DEDUP,
         "simhash_pairs": Q.SQL_SIMHASH_PAIRS,
         "ngram_jaccard": Q.SQL_NGRAM_JACCARD,
         "embed_cosine_pairs": Q.SQL_EMBED_COSINE_PAIRS,
         "embed_dup_clusters": Q.SQL_EMBED_DUP_CLUSTERS,
+        "name_editdist_pairs": Q.SQL_NAME_EDITDIST_PAIRS,
+        "label_centroids": Q.SQL_LABEL_CENTROIDS,
         "knn_cosine": Q.SQL_KNN_COSINE,
         "knn_self_join": Q.SQL_KNN_SELF_JOIN,
         # minhash_dedup, knn_cosine_lsh/ivf, doc_embed_knn,

@@ -4008,3 +4008,253 @@ SQL_LENGTH_HISTOGRAM = """
 SELECT CAST(n_chars // 100 AS BIGINT) AS bin, count(*) AS n_docs
 FROM documents GROUP BY 1 ORDER BY 1
 """
+
+
+def q_det_shuffle(sf_dir: str):
+    """Deterministic corpus shuffle (stages/ordering): global training
+    position = rank of md5(seed ':' doc_id) — bit-reproducible at any
+    parallelism, one narrow range sort + the O(#blocks) row stitch."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.ordering import deterministic_shuffle
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return deterministic_shuffle(ds, key="doc_id", seed="s0",
+                                 keep_cols=["source"])
+
+
+SQL_DET_SHUFFLE = """
+SELECT row_number() OVER (
+         ORDER BY md5('s0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+         AS pos,
+       doc_id, source
+FROM documents ORDER BY pos
+"""
+
+
+def q_interleave_sources(sf_dir: str):
+    """Round-robin source interleaving (stages/ordering): per-source
+    deterministic rank by md5(doc_id), global order by (rank, source)
+    so a sequential reader sees every source mixed ~uniformly."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.ordering import interleave_sources
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return interleave_sources(ds, key="doc_id", source="source")
+
+
+SQL_INTERLEAVE_SOURCES = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rnk
+  FROM documents
+)
+SELECT row_number() OVER (ORDER BY rnk, source) - 1 AS pos,
+       doc_id, source
+FROM r ORDER BY pos
+"""
+
+
+def q_shard_plan(sf_dir: str):
+    """Token-balanced training-shard plan (stages/ordering): each doc
+    assigned whole to shard floor(tokens_before / 4096) over the
+    doc_id-ordered concatenation; prefix-sum stitch, text never moves."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.ordering import shard_plan
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return shard_plan(ds, budget=4096)
+
+
+SQL_SHARD_PLAN = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 4096
+            AS BIGINT) AS shard
+FROM t ORDER BY doc_id
+"""
+
+
+def q_key_skew(sf_dir: str):
+    """Pre-shuffle hot-key report (stages/profile.key_skew): the
+    top-10 heaviest event_type keys with row share and skew factor —
+    what you run before committing to a groupby/join key at 100 TB."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.profile import key_skew
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type"])
+    return key_skew(ds, key="event_type", top_k=10)
+
+
+SQL_KEY_SKEW = """
+WITH c AS (
+  SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+), s AS (
+  SELECT count(*) AS nk, sum(cnt) AS total FROM c
+)
+SELECT row_number() OVER (ORDER BY cnt DESC, event_type) AS rank,
+       event_type, cnt,
+       cnt * 100.0 / total AS share_pct,
+       CAST(cnt * nk AS DOUBLE) / total AS skew
+FROM c, s
+ORDER BY cnt DESC, event_type
+LIMIT 10
+"""
+
+
+def q_grouped_mode(sf_dir: str):
+    """Per-user dominant event type (stages/collect.grouped_mode):
+    the MODE aggregate with a deterministic tie-break — count
+    partials are the combiner, so full rows never shuffle."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import grouped_mode
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return grouped_mode(ds, key="user_id", value="event_type")
+
+
+SQL_GROUPED_MODE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS mode_value, cnt FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+  FROM c
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def q_ntile_buckets(sf_dir: str):
+    """Equal-frequency value binning
+    (stages/quantiles.ntile_transform): ntile(8) over (value,
+    event_id) — distribution-adaptive quantile buckets."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.quantiles import ntile_transform
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+    return ntile_transform(ds, value_col="value", id_col="event_id",
+                           k=8)
+
+
+SQL_NTILE_BUCKETS = """
+SELECT event_id, value,
+       ntile(8) OVER (ORDER BY value, event_id) AS bucket
+FROM events ORDER BY event_id
+"""
+
+
+def q_gap_filled_hourly(sf_dir: str):
+    """Gap-filled hourly event series: tumbling-window counts with
+    missing hours zero-filled between the corpus min and max hour —
+    the dense time series a monitoring/seasonality consumer needs
+    (missing hour = silence, not absence of a row). Per-batch hour
+    value_counts partials fold on the driver (state O(#blocks ×
+    #hours-per-block); #hours is calendar-bounded — a decade is 88k
+    rows — so the dense reindex is driver-safe by construction)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        vc = pc.value_counts(hour)
+        return pa.table({"hour": vc.field("values"),
+                         "n_p": pc.cast(vc.field("counts"), pa.int64())})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None).to_pandas())
+    counts = parts.groupby("hour", sort=True)["n_p"].sum()
+    full = pd.date_range(counts.index.min(), counts.index.max(),
+                         freq="h")
+    out = counts.reindex(full, fill_value=0).rename("n_events")
+    return (out.rename_axis("hour").reset_index()
+            .astype({"n_events": "int64"}))
+
+
+SQL_GAP_FILLED_HOURLY = """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events
+  FROM events GROUP BY 1
+), r AS (
+  SELECT unnest(generate_series((SELECT min(hour) FROM b),
+                                (SELECT max(hour) FROM b),
+                                INTERVAL 1 HOUR)) AS h
+)
+SELECT r.h AS hour, coalesce(b.n_events, 0) AS n_events
+FROM r LEFT JOIN b ON b.hour = r.h
+ORDER BY hour
+"""
+
+
+def q_name_editdist_pairs(sf_dir: str):
+    """Blocked edit-distance similarity join
+    (stages/dedup.blocked_levenshtein_pairs): part-name pairs at
+    levenshtein ≤ 10 within the same (brand, size) blocking cell —
+    the entity-resolution candidate step with an exact DuckDB
+    levenshtein oracle."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.dedup import blocked_levenshtein_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_brand",
+                                  "p_size"])
+    return blocked_levenshtein_pairs(
+        ds, id_col="p_partkey", text_col="p_name",
+        block_cols=["p_brand", "p_size"], max_dist=10)
+
+
+SQL_NAME_EDITDIST_PAIRS = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 10
+ORDER BY 1, 2
+"""
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids in long form
+    (stages/similarity.grouped_centroid) — the class-prototype
+    aggregate over a list<float> column; per-batch numpy partial sums,
+    one grouped-sum stitch."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.similarity import grouped_centroid
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    return grouped_centroid(ds, group="label", vec_col="embedding")
+
+
+SQL_LABEL_CENTROIDS = """
+WITH d AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+SELECT label, CAST(dim AS BIGINT) AS dim, avg(v) AS mean
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
+"""

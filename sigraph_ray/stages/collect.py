@@ -319,3 +319,41 @@ def salted_groupby_agg(ds, *, key, aggs: dict[str, tuple[str, str]],
     part = sorted_groupby_agg(salted, key=keys + ["_salt"], aggs=aggs)
     out = sorted_groupby_agg(part, key=keys, aggs=stage2)
     return out
+
+
+def grouped_mode(ds, *, key: str, value: str):
+    """Per-key MODE — the most frequent ``value`` per ``key`` with a
+    deterministic tie-break (higher count wins, then smaller value) —
+    SQL ``row_number() OVER (PARTITION BY key ORDER BY cnt DESC,
+    value) = 1`` over the grouped counts. The dominant-category
+    aggregate (e.g. a user's primary event type, a host's main
+    language) that Ray's built-in aggregates lack.
+
+    Shape: per-batch (key, value) count partials (the combiner — the
+    full rows never shuffle), one :func:`sorted_groupby_agg` for exact
+    pair counts, then :func:`sorted_grouped_topk` k=1. All three
+    phases are stitch-based; driver state stays O(#blocks).
+
+    Returns ``(key, mode_value, cnt)``."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series(dtype="object"),
+                                 value: pd.Series(dtype="object"),
+                                 "cnt_p": pd.Series(dtype="int64")})
+        g = df.groupby([key, value], sort=False).size()
+        return g.rename("cnt_p").reset_index()
+
+    counts = sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        key=[key, value], aggs={"cnt": ("cnt_p", "sum")})
+    top = sorted_grouped_topk(counts, key=key,
+                              order_by=["cnt", value],
+                              descending=[True, False], k=1)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={value: "mode_value"})
+        out["cnt"] = out["cnt"].astype("int64")
+        return out[[key, "mode_value", "cnt"]]
+
+    return top.map_batches(finish, batch_format="pandas")

@@ -58,3 +58,56 @@ def profile_table(ds, columns: list[str]) -> pd.DataFrame:
     out["n_rows"] = out["n_rows"].astype("int64")
     out["n_null"] = out["n_null"].astype("int64")
     return out
+
+
+def key_skew(ds, *, key: str, top_k: int = 10):
+    """Key-skew profiler — the pre-shuffle hot-key report. Before any
+    groupby/join on ``key`` at 100 TB you want to know whether one key
+    holds 30% of the rows (then you salt it, see
+    ``stages/collect.salted_groupby_agg``). Returns the ``top_k``
+    heaviest keys as ``(rank, key, cnt, share_pct, skew)`` where
+    ``share_pct`` is the key's row share and ``skew`` = cnt / mean
+    count per key (1.0 = perfectly uniform).
+
+    Shape: per-batch partial-count combiner → one
+    ``sorted_groupby_agg`` for exact per-key counts → per-block top-k
+    prune (each block forwards ≤ ``top_k`` rows) → tiny global sort;
+    total/n_keys come from O(#blocks) partial scalars. Driver state is
+    O(#blocks + top_k), never O(#keys)."""
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series(dtype="object"),
+                                 "cnt_p": pd.Series(dtype="int64")})
+        g = df.groupby(key, sort=False).size()
+        return pd.DataFrame({key: g.index.to_numpy(),
+                             "cnt_p": g.to_numpy().astype("int64")})
+
+    counts = sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        key=key, aggs={"cnt": ("cnt_p", "sum")}).materialize()
+
+    stats = counts.map_batches(
+        lambda df: pd.DataFrame({"tot": [int(df["cnt"].sum())],
+                                 "nk": [len(df)]}),
+        batch_format="pandas", batch_size=None).to_pandas()
+    total, n_keys = int(stats["tot"].sum()), int(stats["nk"].sum())
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", key], ascending=[False, True],
+                              kind="stable").head(top_k)
+
+    top = (counts.map_batches(prune, batch_format="pandas",
+                              batch_size=None)
+           .sort(["cnt", key], descending=[True, False])
+           .limit(top_k).to_pandas())
+    cnt = top["cnt"].astype("int64").to_numpy()
+    return pd.DataFrame({
+        "rank": pd.RangeIndex(1, len(top) + 1).astype("int64"),
+        key: top[key].to_numpy(),
+        "cnt": cnt,
+        "share_pct": (cnt * 100.0) / total if total else cnt * 0.0,
+        "skew": (cnt * n_keys) / total if total else cnt * 0.0,
+    })

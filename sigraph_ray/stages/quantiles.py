@@ -277,3 +277,53 @@ def percent_rank_transform(ds, *, value_col: str, keep_cols: list[str]):
         return out
 
     return ds.map_batches(probe, batch_format="pandas")
+
+
+def ntile_transform(ds, *, value_col: str, id_col: str, k: int):
+    """Equal-frequency (equal-depth) binning: SQL ``ntile(k) OVER
+    (ORDER BY value, id)``, 1-based — the quantile-bucket feature
+    transform (balanced histogram bins, per-bucket model routing)
+    whose bucket boundaries adapt to the distribution, unlike the
+    fixed-width histogram.
+
+    Reuses the ordering stitch (stages/ordering._global_positions):
+    one narrow range sort of (value, id) + O(#blocks) scalar probes,
+    then each block maps its global row positions to buckets with the
+    exact SQL ntile split (first n % k buckets get one extra row).
+    Needs the total row count first — one metadata-cheap count pass.
+    ``(value, id)`` must be row-unique (id unique suffices)."""
+    import pyarrow as pa
+
+    from sigraph_ray.stages.ordering import _global_positions
+
+    n = ds.count()
+    size, rem = divmod(int(n), k)
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({value_col: t.column(value_col),
+                         id_col: t.column(id_col)})
+
+    sorted_ds = (ds.map_batches(narrow, batch_format="pyarrow")
+                 .sort([value_col, id_col]))
+
+    cut = rem * (size + 1)
+
+    def emit(t: pa.Table, offset: int) -> pa.Table:
+        pos = np.arange(offset, offset + t.num_rows, dtype=np.int64)
+        if size:
+            bucket = np.where(pos < cut, pos // (size + 1),
+                              rem + (pos - cut) // size)
+        else:  # n < k: each row its own bucket
+            bucket = pos
+        return pa.table({id_col: t.column(id_col),
+                         value_col: t.column(value_col),
+                         "bucket": pa.array(bucket + 1, pa.int64())})
+
+    out = _global_positions(sorted_ds, emit)
+    if out is None:
+        import ray.data as rd
+        return rd.from_arrow(pa.table(
+            {id_col: pa.array([], pa.int64()),
+             value_col: pa.array([], pa.float64()),
+             "bucket": pa.array([], pa.int64())}))
+    return out

@@ -563,3 +563,49 @@ def knn_cosine_pq(corpus, queries_df: pd.DataFrame, *, k: int = 5,
         concurrency=concurrency)
     return partial.groupby("qid").map_groups(
         _final_topk_factory(k), batch_format="pandas")
+
+
+def grouped_centroid(ds, *, group: str, vec_col: str):
+    """Per-group embedding centroid in long form ``(group, dim,
+    mean)`` — the class/source prototype vector (IVF seeds, per-lang
+    quality anchors, topic summaries). Per-batch combiner: one numpy
+    sum per group (vectors stacked once, float64 accumulate), exploded
+    to (group, dim, s_p, n_p) partial rows — #groups × dim per block,
+    never row-scale; exact grouped sums then come from ONE
+    sorted_groupby_agg stitch and the mean is a per-row division."""
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({group: pd.Series(dtype="object"),
+                              "dim": pd.Series(dtype="int64"),
+                              "s_p": pd.Series(dtype="float64"),
+                              "n_p": pd.Series(dtype="int64")})
+        if len(df) == 0:
+            return empty
+        mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        dim = mat.shape[1]
+        gs, ss, ns = [], [], []
+        for g, sub in df.groupby(group, sort=False).indices.items():
+            gs.append(g)
+            ss.append(mat[sub].sum(axis=0))
+            ns.append(len(sub))
+        k = len(gs)
+        return pd.DataFrame({
+            group: np.repeat(np.asarray(gs), dim),
+            "dim": np.tile(np.arange(1, dim + 1, dtype=np.int64), k),
+            "s_p": np.concatenate(ss),
+            "n_p": np.repeat(np.asarray(ns, np.int64), dim),
+        })
+
+    sums = sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        key=[group, "dim"],
+        aggs={"s": ("s_p", "sum"), "n": ("n_p", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["mean"] = out["s"].to_numpy() / out["n"].to_numpy()
+        out["dim"] = out["dim"].astype("int64")
+        return out[[group, "dim", "mean"]]
+
+    return sums.map_batches(finish, batch_format="pandas")

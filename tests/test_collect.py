@@ -339,3 +339,45 @@ def test_sorted_merge_join_rejects_collisions(ray_session):
     with pytest.raises(ValueError):
         sorted_merge_join(ds, ds, on="k", left_cols=["a"],
                           right_cols=["a"])
+
+
+def test_grouped_mode_tiebreak_and_layouts(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import grouped_mode
+
+    df = pd.DataFrame({
+        # u1: b×3 beats a×2; u2: tie a×2 vs b×2 → smaller value 'a'
+        "u": [1, 1, 1, 1, 1, 2, 2, 2, 2],
+        "v": ["a", "b", "b", "a", "b", "b", "a", "b", "a"],
+    })
+    for parts in (1, 5):
+        got = (grouped_mode(rd.from_pandas(df).repartition(parts),
+                            key="u", value="v")
+               .to_pandas().sort_values("u").reset_index(drop=True))
+        assert list(got["mode_value"]) == ["b", "a"]
+        assert list(got["cnt"]) == [3, 2]
+
+
+def test_ntile_small_n_and_exact_split(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.quantiles import ntile_transform
+
+    # n < k: each row its own bucket, ordered by (value, id)
+    df = pd.DataFrame({"id": [3, 1, 2], "value": [9.0, 5.0, 7.0]})
+    got = (ntile_transform(rd.from_pandas(df).repartition(2),
+                           value_col="value", id_col="id", k=8)
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    assert list(got["id"]) == [1, 2, 3]
+    assert list(got["bucket"]) == [1, 2, 3]
+    # n = 10, k = 4 → bucket sizes 3,3,2,2 (SQL ntile split)
+    df = pd.DataFrame({"id": range(10),
+                       "value": [float(9 - i) for i in range(10)]})
+    got = (ntile_transform(rd.from_pandas(df).repartition(3),
+                           value_col="value", id_col="id", k=4)
+           .to_pandas())
+    sizes = got["bucket"].value_counts().sort_index()
+    assert list(sizes) == [3, 3, 2, 2]
+    # lowest values land in bucket 1
+    assert set(got.loc[got["bucket"] == 1, "id"]) == {9, 8, 7}

@@ -191,3 +191,46 @@ def test_dup_passages_planted(ray_session):
     assert out.loc[2, "n_dup_windows"] == 1
     assert out.loc[3, "n_dup_windows"] == 0
     assert out.loc[3, "dup_fraction"] == 0.0
+
+
+def test_levenshtein_matches_textbook_dp():
+    import random
+
+    from sigraph_ray.stages.dedup import _levenshtein
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            ndp = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                ndp[j] = min(dp[j] + 1, ndp[j - 1] + 1,
+                             dp[j - 1] + (a[i - 1] != b[j - 1]))
+            dp = ndp
+        return dp[-1]
+
+    rng = random.Random(5)
+    for _ in range(300):
+        a = "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 14)))
+        b = "".join(rng.choice("abcde ") for _ in range(rng.randint(0, 14)))
+        assert _levenshtein(a, b) == ref(a, b), (a, b)
+
+
+def test_blocked_levenshtein_pairs_planted(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.dedup import blocked_levenshtein_pairs
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "name": ["alpha beta", "alpha betz",      # dist 1, same block
+                 "alpha beta",                    # dist 0 vs id1 — other block
+                 "totally different name here",   # same block as 1,2
+                 "alpha bet"],                    # dist 1 vs id1, same block
+        "blk": ["x", "x", "y", "x", "x"],
+    })
+    got = (blocked_levenshtein_pairs(
+        rd.from_pandas(df).repartition(3), id_col="id",
+        text_col="name", block_cols=["blk"], max_dist=2)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert [tuple(r) for r in got.to_numpy()] == [
+        (1, 2, 1), (1, 5, 1), (2, 5, 1)]

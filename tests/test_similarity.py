@@ -170,3 +170,29 @@ def test_pq_recall_and_determinism(ray_session, vecs):
         hits += len(e & a)
         total += len(e)
     assert hits / total >= 0.5, f"PQ recall {hits / total}"
+
+
+def test_grouped_centroid_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.similarity import grouped_centroid
+
+    rng = np.random.default_rng(3)
+    n, dim = 60, 5
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=n),
+        "v": [rng.standard_normal(dim).astype(np.float32)
+              for _ in range(n)],
+    })
+    for parts in (1, 7):
+        got = (grouped_centroid(rd.from_pandas(df).repartition(parts),
+                                group="g", vec_col="v")
+               .to_pandas().sort_values(["g", "dim"])
+               .reset_index(drop=True))
+        assert len(got) == 3 * dim
+        for g in "abc":
+            want = np.stack(df.loc[df["g"] == g, "v"]).astype(
+                np.float64).mean(axis=0)
+            np.testing.assert_allclose(
+                got.loc[got["g"] == g, "mean"].to_numpy(), want,
+                rtol=1e-12, atol=1e-12)
