@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_hours": Q.q_burst_hours,
         "cohort_retention": Q.q_cohort_retention,
         "funnel_conversion": Q.q_funnel_conversion,
+        "event_transitions": Q.q_event_transitions,
         "supplier_nation": Q.q_supplier_nation,
         "asof_attribution": Q.q_asof_attribution,
         "range_join": Q.q_range_join,
@@ -148,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_cosine_pairs": Q.q_embed_cosine_pairs,
         "embed_dup_clusters": Q.q_embed_dup_clusters,
         "name_editdist_pairs": Q.q_name_editdist_pairs,
+        "tfidf_cosine_pairs": Q.q_tfidf_cosine_pairs,
         # similarity search
         "knn_cosine": Q.q_knn_cosine,
         "knn_cosine_lsh": Q.q_knn_cosine_lsh,
@@ -194,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "burst_hours": Q.SQL_BURST_HOURS,
         "cohort_retention": Q.SQL_COHORT_RETENTION,
         "funnel_conversion": Q.SQL_FUNNEL_CONVERSION,
+        "event_transitions": Q.SQL_EVENT_TRANSITIONS,
         "supplier_nation": Q.SQL_SUPPLIER_NATION,
         "asof_attribution": Q.SQL_ASOF_ATTRIBUTION,
         "range_join": Q.SQL_RANGE_JOIN,
@@ -256,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_cosine_pairs": Q.SQL_EMBED_COSINE_PAIRS,
         "embed_dup_clusters": Q.SQL_EMBED_DUP_CLUSTERS,
         "name_editdist_pairs": Q.SQL_NAME_EDITDIST_PAIRS,
+        "tfidf_cosine_pairs": Q.SQL_TFIDF_COSINE_PAIRS,
         "label_centroids": Q.SQL_LABEL_CENTROIDS,
         "knn_cosine": Q.SQL_KNN_COSINE,
         "knn_self_join": Q.SQL_KNN_SELF_JOIN,

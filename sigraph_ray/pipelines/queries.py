@@ -4258,3 +4258,78 @@ WITH d AS (
 SELECT label, CAST(dim AS BIGINT) AS dim, avg(v) AS mean
 FROM d GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def q_event_transitions(sf_dir: str):
+    """Per-user event-type transition counts
+    (stages/temporal.event_transitions): the Markov bigram table over
+    each user's time-ordered event stream — one range sort, vectorized
+    within-block pair counts, O(#blocks) seam stitch."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.temporal import event_transitions
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    return event_transitions(ds, key="user_id", ts="ts",
+                             tiebreak="event_id", value="event_type")
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS prev_value, event_type AS next_value, count(*) AS n
+FROM s WHERE prev IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_tfidf_cosine_pairs(sf_dir: str):
+    """Sparse TF-IDF cosine similarity join
+    (stages/dedup.tfidf_cosine_pairs): doc pairs at cosine ≥ 0.3 over
+    tf·ln(N/df) weights, terms df-capped at 200 (stop-word cut that
+    also bounds every posting list) — the sparse sibling of the dense
+    embedding pair join, with an exact SQL oracle."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.dedup import tfidf_cosine_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return tfidf_cosine_pairs(ds, threshold=0.3, df_cap=200)
+
+
+SQL_TFIDF_COSINE_PAIRS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+           AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / df.df)
+           AS w
+  FROM tf JOIN df USING (term) WHERE df.df <= 200
+), nrm AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1
+), pair AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT pair.id_a, pair.id_b,
+       pair.dot / (na.nrm * nb.nrm) AS cos
+FROM pair
+JOIN nrm na ON na.doc_id = pair.id_a
+JOIN nrm nb ON nb.doc_id = pair.id_b
+WHERE pair.dot / (na.nrm * nb.nrm) >= 0.3
+ORDER BY 1, 2
+"""

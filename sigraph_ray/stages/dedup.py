@@ -819,3 +819,146 @@ def blocked_levenshtein_pairs(ds, *, id_col: str, text_col: str,
 
     return ds.groupby(block_cols).map_groups(per_group,
                                              batch_format="pandas")
+
+
+# --- sparse TF-IDF cosine similarity join ------------------------------------
+
+_TFIDF_PACK = 1 << 20  # packed posting = doc_id * PACK + min(tf, PACK-1)
+
+
+def tfidf_cosine_pairs(ds, *, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       threshold: float = 0.3, df_cap: int = 200):
+    """EXACT sparse cosine similarity join over TF-IDF weighted
+    bag-of-words vectors: all document pairs (id_a < id_b) with
+    cosine ≥ ``threshold`` after dropping terms with document
+    frequency > ``df_cap`` (frequency-based stop-word removal — the
+    standard trick that simultaneously bounds every posting list, so
+    the candidate step is local to a term bucket). The sparse sibling
+    of the dense ``embed_cosine_pairs``; weights tf·ln(N/df).
+
+    Dataflow: per-batch vectorized (doc, term, tf) rows (a doc is one
+    row in one batch, so tf is exact) → ONE ``sorted_collect`` into
+    per-term posting lists with the ``max_members = df_cap + 1``
+    overflow sentinel (an over-cap term is skipped EXACTLY — the
+    sentinel list is longer than the cap, never truncated into wrong
+    weights) → per-bucket outer-product dot contributions and per-doc
+    norm² contributions → two grouped-sum stitches → two bounded
+    sort-merge joins to attach norms → threshold filter. Driver state
+    stays O(#blocks); nothing corpus-sized is collected.
+
+    Partitioning assumption (documented per the brief): one term's
+    capped posting list (≤ df_cap entries) fits a worker block —
+    guaranteed by the cap itself."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import (sorted_collect,
+                                            sorted_groupby_agg)
+    from sigraph_ray.stages.joins import sorted_merge_join
+
+    n_docs = ds.count()
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"term": pd.Series(dtype="object"),
+                              id_col: pd.Series(dtype="int64"),
+                              "packed": pd.Series(dtype="int64")})
+        if len(df) == 0:
+            return empty
+        toks = df[text_col].str.lower().str.findall(r"[a-z0-9]+")
+        e = (df[[id_col]].assign(term=toks).explode("term")
+             .dropna(subset=["term"]))
+        if len(e) == 0:
+            return empty
+        g = (e.groupby([id_col, "term"], sort=False).size()
+             .rename("tf").reset_index())
+        packed = (g[id_col].to_numpy(np.int64) * _TFIDF_PACK
+                  + np.minimum(g["tf"].to_numpy(np.int64),
+                               _TFIDF_PACK - 1))
+        return pd.DataFrame({"term": g["term"],
+                             id_col: g[id_col].astype("int64"),
+                             "packed": packed})
+
+    rows = ds.map_batches(tf_rows, batch_format="pandas")
+    buckets = sorted_collect(rows, key="term", order_col=id_col,
+                             value="packed",
+                             max_members=df_cap + 1).materialize()
+
+    def unpack(vals):
+        arr = np.asarray(vals, dtype=np.int64)
+        ids = arr // _TFIDF_PACK
+        w = ((arr % _TFIDF_PACK).astype(np.float64)
+             * np.log(n_docs / len(arr)))
+        return ids, w
+
+    def pair_contribs(df: pd.DataFrame) -> pd.DataFrame:
+        a_, b_, d_ = [], [], []
+        for vals in df["values"]:
+            if not (1 < len(vals) <= df_cap):
+                continue  # singleton or df-cap overflow sentinel
+            ids, w = unpack(vals)
+            iu, iv = np.triu_indices(len(ids), 1)
+            a_.append(ids[iu])
+            b_.append(ids[iv])
+            d_.append(w[iu] * w[iv])
+        if not a_:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "dot_p": pd.Series(dtype="float64")})
+        return pd.DataFrame({"id_a": np.concatenate(a_),
+                             "id_b": np.concatenate(b_),
+                             "dot_p": np.concatenate(d_)})
+
+    def norm_contribs(df: pd.DataFrame) -> pd.DataFrame:
+        i_, n_ = [], []
+        for vals in df["values"]:
+            if len(vals) > df_cap:
+                continue
+            ids, w = unpack(vals)
+            i_.append(ids)
+            n_.append(w * w)
+        if not i_:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "nsq_p": pd.Series(dtype="float64")})
+        return pd.DataFrame({id_col: np.concatenate(i_),
+                             "nsq_p": np.concatenate(n_)})
+
+    pairs = sorted_groupby_agg(
+        buckets.map_batches(pair_contribs, batch_format="pandas"),
+        key=["id_a", "id_b"], aggs={"dot": ("dot_p", "sum")})
+    norms = sorted_groupby_agg(
+        buckets.map_batches(norm_contribs, batch_format="pandas"),
+        key=[id_col], aggs={"nsq": ("nsq_p", "sum")})
+
+    empty_out = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
+    if pairs.count() == 0:
+        return rd.from_pandas(empty_out)
+
+    def rename_norm(col_out):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({col_out: df[id_col].astype("int64"),
+                                 f"nsq_{col_out[-1]}": df["nsq"]})
+        return f
+
+    na = norms.map_batches(rename_norm("id_a"), batch_format="pandas")
+    nb = norms.map_batches(rename_norm("id_b"), batch_format="pandas")
+    j1 = sorted_merge_join(pairs, na, on="id_a",
+                           left_cols=["id_b", "dot"],
+                           right_cols=["nsq_a"])
+    j2 = sorted_merge_join(j1, nb, on="id_b",
+                           left_cols=["id_a", "dot", "nsq_a"],
+                           right_cols=["nsq_b"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty_out
+        cos = (df["dot"].to_numpy()
+               / (np.sqrt(df["nsq_a"].to_numpy())
+                  * np.sqrt(df["nsq_b"].to_numpy())))
+        out = pd.DataFrame({"id_a": df["id_a"].astype("int64"),
+                            "id_b": df["id_b"].astype("int64"),
+                            "cos": cos})
+        return out[out["cos"] >= threshold]
+
+    return j2.map_batches(finish, batch_format="pandas")

@@ -301,3 +301,62 @@ def sliding_window_agg(ds, *, key: str, ts: str, tiebreak: str,
         return df.assign(n_window=df["n_window"].astype("int64"))
 
     return out.map_batches(finalize, batch_format="pandas")
+
+
+def event_transitions(ds, *, key: str, ts: str, tiebreak: str,
+                      value: str):
+    """Per-key consecutive-event transition counts — the Markov /
+    sequential-pattern table ``(prev_value, next_value, n)`` over each
+    key's ``(ts, tiebreak)``-ordered event stream (SQL ``lag() OVER
+    (PARTITION BY key ORDER BY ts, tiebreak)`` + GROUP BY). What a
+    behavioral model or next-event predictor trains on.
+
+    Scale shape: ONE range sort by (key, ts, tiebreak); each sorted
+    block counts its within-block adjacent pairs vectorized and ships
+    only a tiny partial-count dict + its four boundary scalars (first/
+    last key and value) to the driver; the driver chains the O(#blocks)
+    block seams (a pair spans a seam only when the same key continues)
+    and folds the partial dicts — O(#blocks × |alphabet|²) driver
+    state, never row-scale."""
+    import ray
+
+    sorted_ds = ds.sort([key, ts, tiebreak]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_stats(t):
+        if not t.num_rows:
+            return None
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        v = t.column(value).to_numpy(zero_copy_only=False)
+        same = k[1:] == k[:-1]
+        prev, nxt = v[:-1][same], v[1:][same]
+        counts: dict = {}
+        for p, x in zip(prev.tolist(), nxt.tolist()):
+            pair = (p, x)
+            counts[pair] = counts.get(pair, 0) + 1
+        first_sort = (t.column(key)[0].as_py(), t.column(ts)[0].as_py(),
+                      t.column(tiebreak)[0].as_py())
+        return (first_sort, k[0], v[0], k[-1], v[-1], counts)
+
+    stats = [s for s in ray.get([block_stats.remote(r) for r in refs])
+             if s is not None]
+    stats.sort(key=lambda s: s[0])
+    total: dict = {}
+    for i, (_, _fk, _fv, lk, lv, counts) in enumerate(stats):
+        for pair, n in counts.items():
+            total[pair] = total.get(pair, 0) + n
+        if i + 1 < len(stats):
+            nfk, nfv = stats[i + 1][1], stats[i + 1][2]
+            if lk == nfk:  # same key continues across the seam
+                pair = (lv, nfv)
+                total[pair] = total.get(pair, 0) + 1
+    if not total:
+        return pd.DataFrame({"prev_value": pd.Series(dtype="object"),
+                             "next_value": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
+    items = sorted(total.items())
+    return pd.DataFrame({
+        "prev_value": [p for (p, _), _n in items],
+        "next_value": [x for (_, x), _n in items],
+        "n": pd.Series([n for _, n in items], dtype="int64")})

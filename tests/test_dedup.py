@@ -234,3 +234,33 @@ def test_blocked_levenshtein_pairs_planted(ray_session):
         .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
     assert [tuple(r) for r in got.to_numpy()] == [
         (1, 2, 1), (1, 5, 1), (2, 5, 1)]
+
+
+def test_tfidf_cosine_pairs_planted_and_capped(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.dedup import tfidf_cosine_pairs
+
+    # docs 1/2 share most rare terms (high cosine); doc 3 disjoint;
+    # "common" appears in EVERY doc → df over the cap → contributes
+    # nothing (else 3 would pair with everyone)
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "common zebra quark nebula fjord",
+            "common zebra quark nebula blimp",
+            "common unrelated words entirely here",
+            "common other stuff again altogether",
+            "common zebra quark nebula fjord",   # exact dup of 1
+        ],
+    })
+    got = (tfidf_cosine_pairs(rd.from_pandas(df).repartition(3),
+                              threshold=0.3, df_cap=4)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (1, 5) in pairs and (1, 2) in pairs and (2, 5) in pairs
+    assert all(a in (1, 2, 5) and b in (1, 2, 5) for a, b in pairs)
+    exact = got.set_index(["id_a", "id_b"])["cos"]
+    assert abs(exact[(1, 5)] - 1.0) < 1e-12
+    assert 0.3 <= exact[(1, 2)] < 0.999

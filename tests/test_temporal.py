@@ -186,3 +186,36 @@ def test_range_join_overflow_fallback(ray_session, monkeypatch):
     slow = run()
     assert len(fast) > 0
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_event_transitions_seams_and_layouts(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.temporal import event_transitions
+
+    rng = np.random.default_rng(17)
+    n = 400
+    df = pd.DataFrame({
+        "u": rng.integers(0, 3, n),          # 3 users × ~133 events:
+        "ts": rng.integers(0, 10_000, n),    # every user spans blocks
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.choice(["a", "b", "c", "d"], n),
+    })
+
+    def want_pairs(df):
+        s = df.sort_values(["u", "ts", "id"], kind="stable")
+        prev = s.groupby("u")["v"].shift()
+        ok = prev.notna()
+        return (pd.DataFrame({"prev_value": prev[ok],
+                              "next_value": s.loc[ok, "v"]})
+                .value_counts().rename("n").reset_index()
+                .sort_values(["prev_value", "next_value"])
+                .reset_index(drop=True))
+
+    want = want_pairs(df)
+    for parts in (1, 16):
+        got = event_transitions(
+            rd.from_pandas(df).repartition(parts), key="u", ts="ts",
+            tiebreak="id", value="v").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"n": "int64"}), want.astype({"n": "int64"}))
