@@ -75,6 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": Q.q_cohort_retention,
         "funnel_conversion": Q.q_funnel_conversion,
         "event_transitions": Q.q_event_transitions,
+        "value_time_corr": Q.q_value_time_corr,
+        "type_trend": Q.q_type_trend,
+        "rolling_active_users": Q.q_rolling_active_users,
         "supplier_nation": Q.q_supplier_nation,
         "asof_attribution": Q.q_asof_attribution,
         "range_join": Q.q_range_join,
@@ -197,6 +200,9 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": Q.SQL_COHORT_RETENTION,
         "funnel_conversion": Q.SQL_FUNNEL_CONVERSION,
         "event_transitions": Q.SQL_EVENT_TRANSITIONS,
+        "value_time_corr": Q.SQL_VALUE_TIME_CORR,
+        "type_trend": Q.SQL_TYPE_TREND,
+        "rolling_active_users": Q.SQL_ROLLING_ACTIVE_USERS,
         "supplier_nation": Q.SQL_SUPPLIER_NATION,
         "asof_attribution": Q.SQL_ASOF_ATTRIBUTION,
         "range_join": Q.SQL_RANGE_JOIN,

@@ -4333,3 +4333,139 @@ JOIN nrm nb ON nb.doc_id = pair.id_b
 WHERE pair.dot / (na.nrm * nb.nrm) >= 0.3
 ORDER BY 1, 2
 """
+
+
+def q_value_time_corr(sf_dir: str):
+    """Pearson correlation between event value and event time
+    (stages/stats.column_corr): ONE shuffle-free pass of per-block
+    moment partials; x shifted by a constant epoch base so Σx² stays
+    cancellation-safe (shift-invariant statistic)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.stats import column_corr
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["ts"].astype("datetime64[us]").astype("int64") / 1e6
+        return pd.DataFrame({"x": x, "y": df["value"]})
+
+    return column_corr(ds.map_batches(prep, batch_format="pandas"),
+                       x="x", y="y", x_base=1_704_000_000.0)
+
+
+SQL_VALUE_TIME_CORR = """
+SELECT corr(value, epoch(ts)) AS corr_xy, count(*) AS n FROM events
+"""
+
+
+def q_type_trend(sf_dir: str):
+    """Per-event-type OLS trend of value over time
+    (stages/stats.grouped_linreg): grouped moment partials + one
+    stitch; intercept reported at the shifted origin (epoch base
+    1704000000) so both sides compute an O(value)-scale number
+    instead of an extrapolation to epoch 0."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.stats import grouped_linreg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["ts"].astype("datetime64[us]").astype("int64") / 1e6
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "x": x, "y": df["value"]})
+
+    out = grouped_linreg(ds.map_batches(prep, batch_format="pandas"),
+                         key="event_type", x="x", y="y",
+                         x_base=1_704_000_000.0)
+
+    def shift_origin(df: pd.DataFrame) -> pd.DataFrame:
+        # icept at raw x=0 → icept at x_base (matches the SQL's
+        # regr_intercept over the shifted x)
+        df = df.copy()
+        df["icept0"] = df["icept"] + df["slope"] * 1_704_000_000.0
+        return df[["event_type", "slope", "icept0", "n"]]
+
+    return out.map_batches(shift_origin, batch_format="pandas")
+
+
+SQL_TYPE_TREND = """
+SELECT event_type,
+       regr_slope(value, epoch(ts) - 1704000000.0) AS slope,
+       regr_intercept(value, epoch(ts) - 1704000000.0) AS icept0,
+       count(*) AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_rolling_active_users(sf_dir: str):
+    """7-day rolling distinct active users per calendar day — the
+    exact windowed COUNT DISTINCT, which no mergeable aggregate gives
+    you: each distinct (day, user) activity contributes itself to the
+    7 window-days it supports (vectorized ×7 explode), a second
+    distinct collapses multi-activity users per window, and the final
+    per-day count folds calendar-bounded partials on the driver."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def day_user(t: pa.Table) -> pa.Table:
+        return pa.table({"d": pc.floor_temporal(t.column("ts"),
+                                                unit="day"),
+                         "user_id": t.column("user_id")})
+
+    du = sorted_distinct(ds.map_batches(day_user,
+                                        batch_format="pyarrow"),
+                         ["d", "user_id"]).materialize()
+    hi_parts = du.map_batches(
+        lambda df: pd.DataFrame({"m": [df["d"].max()]}) if len(df)
+        else pd.DataFrame({"m": pd.Series(dtype="datetime64[us]")}),
+        batch_format="pandas", batch_size=None).to_pandas()
+    hi = hi_parts["m"].max()
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"wd": pd.Series(dtype="datetime64[us]"),
+                 "user_id": pd.Series(dtype="int64")})
+        k = 7
+        wd = (np.repeat(df["d"].to_numpy(), k)
+              + np.tile(np.arange(k), len(df))
+              .astype("timedelta64[D]"))
+        out = pd.DataFrame({"wd": wd,
+                            "user_id": np.repeat(
+                                df["user_id"].to_numpy(), k)})
+        return out[out["wd"] <= hi]
+
+    win = sorted_distinct(du.map_batches(explode,
+                                         batch_format="pandas"),
+                          ["wd", "user_id"])
+    parts = win.map_batches(
+        lambda df: (df["wd"].value_counts().rename_axis("day")
+                    .reset_index(name="n_p")),
+        batch_format="pandas", batch_size=None).to_pandas()
+    out = (parts.groupby("day", sort=True)["n_p"].sum()
+           .reset_index(name="active_users"))
+    out["active_users"] = out["active_users"].astype("int64")
+    return out
+
+
+SQL_ROLLING_ACTIVE_USERS = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+), bounds AS (SELECT max(d) AS hi FROM du),
+ex AS (
+  SELECT d + (i::INT) * INTERVAL 1 DAY AS wd, user_id
+  FROM du, range(0, 7) r(i)
+), win AS (
+  SELECT DISTINCT wd, user_id FROM ex, bounds WHERE wd <= bounds.hi
+)
+SELECT wd AS day, count(*) AS active_users
+FROM win GROUP BY 1 ORDER BY 1
+"""

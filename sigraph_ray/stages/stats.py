@@ -1,0 +1,106 @@
+"""Moment-sum statistics — correlation and grouped linear regression
+as ONE shuffle-free (or one-stitch) pass of per-block partial moments.
+
+The classic scale shape for second-order statistics: each block emits
+(n, Σx, Σy, Σx², Σy², Σxy) — six scalars per block (per group) — and
+the fold is exact re-combination. x is shifted by a constant ``x_base``
+before squaring: correlation and slope are shift-invariant, and the
+shift keeps Σx² ~ var·n instead of ~(1e9)²·n, avoiding the float64
+cancellation a raw epoch-seconds column would cause (DuckDB's
+``corr``/``regr_*`` use streaming-stable accumulators; the shifted
+moment sums match them to ~1e-12 relative).
+
+Beyond-reference operators (the reference has no numeric-statistics
+surface; SURVEY.md §2.7/§2.11) — the data-quality / drift-analysis
+pass a training-data pipeline runs over numeric columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_MOMS = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+
+
+def _moment_partial(df: pd.DataFrame, x: str, y: str,
+                    x_base: float) -> dict:
+    xs = df[x].to_numpy(dtype=np.float64) - x_base
+    ys = df[y].to_numpy(dtype=np.float64)
+    return {"n": float(len(df)), "sx": float(xs.sum()),
+            "sy": float(ys.sum()), "sxx": float((xs * xs).sum()),
+            "syy": float((ys * ys).sum()), "sxy": float((xs * ys).sum())}
+
+
+def column_corr(ds, *, x: str, y: str, x_base: float = 0.0):
+    """Pearson correlation between two numeric columns — one
+    shuffle-free pass, O(#blocks) × 6 scalars on the driver. Returns a
+    one-row DataFrame ``(corr_xy, n)`` matching DuckDB ``corr(y, x)``
+    (sample/population factors cancel)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({m: pd.Series(dtype="float64")
+                                 for m in _MOMS})
+        return pd.DataFrame([_moment_partial(df, x, y, x_base)])
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    n, sx, sy, sxx, syy, sxy = (float(parts[m].sum()) for m in _MOMS)
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    r = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else np.nan
+    return pd.DataFrame({"corr_xy": [r], "n": pd.Series([n], dtype="int64")})
+
+
+def grouped_linreg(ds, *, key: str, x: str, y: str,
+                   x_base: float = 0.0):
+    """Per-group ordinary least squares ``y = slope·x + icept`` — the
+    per-segment trend fit (drift per event type, quality-over-time per
+    source). Per-batch grouped moment partials (six scalars per group
+    per block, never row-scale) re-combine exactly through ONE
+    sorted_groupby_agg stitch; slope/intercept are a per-row epilogue.
+    Matches DuckDB ``regr_slope(y, x)`` / ``regr_intercept(y, x)``.
+
+    Returns ``(key, slope, icept, n)``."""
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = {key: pd.Series(dtype="object")}
+            out.update({f"{m}_p": pd.Series(dtype="float64")
+                        for m in _MOMS})
+            return pd.DataFrame(out)
+        rows = []
+        for g, idx in df.groupby(key, sort=False).indices.items():
+            m = _moment_partial(df.iloc[idx], x, y, x_base)
+            m[key] = g
+            rows.append(m)
+        out = pd.DataFrame(rows)
+        return out.rename(columns={m: f"{m}_p" for m in _MOMS})
+
+    sums = sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        key=key, aggs={m: (f"{m}_p", "sum") for m in _MOMS})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series(dtype="object"),
+                                 "slope": pd.Series(dtype="float64"),
+                                 "icept": pd.Series(dtype="float64"),
+                                 "n": pd.Series(dtype="int64")})
+        n = df["n"].to_numpy()
+        mx = df["sx"].to_numpy() / n
+        my = df["sy"].to_numpy() / n
+        cov = df["sxy"].to_numpy() - n * mx * my
+        vx = df["sxx"].to_numpy() - n * mx * mx
+        slope = np.where(vx > 0, cov / np.where(vx > 0, vx, 1.0),
+                         np.nan)
+        # intercept at RAW x = 0: x̄_raw = x_base + x̄_shifted
+        icept = my - slope * (x_base + mx)
+        return pd.DataFrame({key: df[key], "slope": slope,
+                             "icept": icept,
+                             "n": n.astype("int64")})
+
+    return sums.map_batches(finish, batch_format="pandas")
