@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": Q.q_sliding_window,
         "customers_without_orders": Q.q_customers_without_orders,
         "order_revenue": Q.q_order_revenue,
+        "source_enriched": Q.q_source_enriched,
         "bloom_semi_lineitem": Q.q_bloom_semi_lineitem,
         "upsert_compact": Q.q_upsert_compact,
         "upsert_with_deletes": Q.q_upsert_with_deletes,
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window": Q.SQL_SLIDING_WINDOW,
         "customers_without_orders": Q.SQL_CUSTOMERS_WITHOUT_ORDERS,
         "order_revenue": Q.SQL_ORDER_REVENUE,
+        "source_enriched": Q.SQL_SOURCE_ENRICHED,
         "bloom_semi_lineitem": Q.SQL_BLOOM_SEMI_LINEITEM,
         "upsert_compact": Q.SQL_UPSERT_COMPACT,
         "upsert_with_deletes": Q.SQL_UPSERT_WITH_DELETES,

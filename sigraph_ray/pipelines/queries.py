@@ -4469,3 +4469,49 @@ ex AS (
 SELECT wd AS day, count(*) AS active_users
 FROM win GROUP BY 1 ORDER BY 1
 """
+
+
+def q_source_enriched(sf_dir: str):
+    """Aggregate-back enrichment join under total key skew: a
+    10-row per-source count table joined back onto every document —
+    every key is hot (a source holds ~10-50% of the corpus), the case
+    that breaks a plain merge join's bounded-fan-out assumption.
+    stages/joins.salted_merge_join replicates the aggregate row per
+    salt bucket and joins on (source, salt); deterministic salts make
+    the result layout-invariant."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+    from sigraph_ray.stages.joins import salted_merge_join
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", sort=False).size()
+        return pd.DataFrame({"source": g.index.to_numpy(),
+                             "cnt_p": g.to_numpy().astype("int64")})
+
+    counts = sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        key="source", aggs={"n_source_docs": ("cnt_p", "sum")})
+
+    out = salted_merge_join(ds, counts, on="source",
+                            left_cols=["doc_id"],
+                            right_cols=["n_source_docs"],
+                            salt_col="doc_id", buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "source": df["source"],
+            "n_source_docs": df["n_source_docs"].astype("int64")})
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_SOURCE_ENRICHED = """
+SELECT doc_id, source,
+       count(*) OVER (PARTITION BY source) AS n_source_docs
+FROM documents ORDER BY doc_id
+"""

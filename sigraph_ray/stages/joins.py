@@ -229,3 +229,68 @@ def broadcast_semi_anti(left, right, *, left_key: str, right_key: str,
         return df[~hit] if anti else df[hit]
 
     return left.map_batches(probe, batch_format="pandas")
+
+
+def salted_merge_join(left, right, *, on: str, left_cols: list[str],
+                      right_cols: list[str], salt_col: str,
+                      buckets: int = 8, hot_keys=None):
+    """Skew-treated equi-join — the salting tier that repairs
+    :func:`sorted_merge_join`'s bounded-fan-out assumption when the
+    LEFT side has hot keys (a per-source enrichment join where one
+    source holds 30% of the corpus; the hot keys come straight from
+    ``stages/profile.key_skew``). Standard replicate-salt scheme:
+
+    - left rows of a hot key get a deterministic salt
+      ``splitmix64(salt_col) % buckets`` (PYTHONHASHSEED-independent,
+      so any block layout salts a row identically);
+    - right rows of a hot key are REPLICATED once per bucket (the
+      right side per hot key is small — here it's one aggregate row);
+    - one :func:`sorted_merge_join` on the composite ``(on, _salt)``
+      key, whose per-key fan-out is now ≤ hot-key-rows / buckets.
+
+    ``hot_keys=None`` salts every key (right side replicated
+    ``buckets`` ×) — the safe default when the right side is a small
+    per-key aggregate. The result equals the unsalted join for ANY
+    bucket count (property-tested)."""
+    import numpy as np
+    import pandas as pd
+
+    from sigraph_ray.functions.hashing import splitmix64
+
+    hot = set(hot_keys) if hot_keys is not None else None
+
+    def salt_left(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            df = df.copy()
+            df["_salt"] = pd.Series(dtype="int64")
+            return df
+        h = splitmix64(
+            pd.util.hash_pandas_object(
+                df[salt_col].reset_index(drop=True), index=False)
+            .to_numpy().astype(np.uint64))
+        s = (h % np.uint64(buckets)).astype(np.int64)
+        if hot is not None:
+            s = np.where(df[on].isin(hot).to_numpy(), s, 0)
+        df = df.copy()
+        df["_salt"] = s
+        return df
+
+    def replicate_right(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            df = df.copy()
+            df["_salt"] = pd.Series(dtype="int64")
+            return df
+        reps = np.full(len(df), buckets, dtype=np.int64)
+        if hot is not None:
+            reps = np.where(df[on].isin(hot).to_numpy(), reps, 1)
+        out = df.loc[df.index.repeat(reps)].copy()
+        out["_salt"] = np.concatenate(
+            [np.arange(r, dtype=np.int64) for r in reps])
+        return out
+
+    joined = sorted_merge_join(
+        left.map_batches(salt_left, batch_format="pandas"),
+        right.map_batches(replicate_right, batch_format="pandas"),
+        on=[on, "_salt"], left_cols=left_cols, right_cols=right_cols)
+    return joined.map_batches(
+        lambda df: df.drop(columns=["_salt"]), batch_format="pandas")

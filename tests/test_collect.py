@@ -381,3 +381,53 @@ def test_ntile_small_n_and_exact_split(ray_session):
     assert list(sizes) == [3, 3, 2, 2]
     # lowest values land in bucket 1
     assert set(got.loc[got["bucket"] == 1, "id"]) == {9, 8, 7}
+
+
+def test_salted_merge_join_equals_plain_merge(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.joins import salted_merge_join
+
+    rng = np.random.default_rng(31)
+    n = 500
+    # one giant key (70% of rows) + a tail — the skew case
+    left = pd.DataFrame({
+        "k": np.where(rng.uniform(size=n) < 0.7, "hot",
+                      rng.choice(["a", "b", "c"], n)),
+        "rid": np.arange(n, dtype=np.int64),
+    })
+    right = (left.groupby("k").size().rename("cnt").reset_index())
+    want = (left.merge(right, on="k")
+            .sort_values("rid").reset_index(drop=True))
+    for buckets in (1, 4, 16):
+        got = (salted_merge_join(
+            rd.from_pandas(left).repartition(6),
+            rd.from_pandas(right), on="k", left_cols=["rid"],
+            right_cols=["cnt"], salt_col="rid", buckets=buckets)
+            .to_pandas().sort_values("rid").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["k", "rid", "cnt"]].astype({"rid": "int64",
+                                             "cnt": "int64"}),
+            want[["k", "rid", "cnt"]].astype({"rid": "int64",
+                                              "cnt": "int64"}))
+
+
+def test_salted_merge_join_hot_keys_only(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.joins import salted_merge_join
+
+    left = pd.DataFrame({"k": ["h"] * 40 + ["x", "y"] * 5,
+                         "rid": np.arange(50, dtype=np.int64)})
+    right = pd.DataFrame({"k": ["h", "x", "y"],
+                          "v": [1, 2, 3]})
+    got = (salted_merge_join(
+        rd.from_pandas(left).repartition(4), rd.from_pandas(right),
+        on="k", left_cols=["rid"], right_cols=["v"], salt_col="rid",
+        buckets=4, hot_keys=["h"])
+        .to_pandas().sort_values("rid").reset_index(drop=True))
+    want = (left.merge(right, on="k").sort_values("rid")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["k", "rid", "v"]].astype({"rid": "int64", "v": "int64"}),
+        want[["k", "rid", "v"]].astype({"rid": "int64", "v": "int64"}))
