@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node_degrees": Q.q_node_degrees,
         "component_labels": Q.q_component_labels,
         "triangle_cooccur": Q.q_triangle_cooccur,
+        "cooccur_shortest_paths": Q.q_cooccur_shortest_paths,
         "mixture_sample": Q.q_mixture_sample,
         "unigram_logprob": Q.q_unigram_logprob,
         "nb_classify": Q.q_nb_classify,
@@ -235,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "node_degrees": Q.SQL_NODE_DEGREES,
         "component_labels": Q.SQL_COMPONENT_LABELS,
         "triangle_cooccur": Q.SQL_TRIANGLE_COOCCUR,
+        "cooccur_shortest_paths": Q.SQL_COOCCUR_SHORTEST_PATHS,
         "mixture_sample": Q.SQL_MIXTURE_SAMPLE,
         "unigram_logprob": Q.SQL_UNIGRAM_LOGPROB,
         "nb_classify": Q.SQL_NB_CLASSIFY,

@@ -4515,3 +4515,102 @@ SELECT doc_id, source,
        count(*) OVER (PARTITION BY source) AS n_source_docs
 FROM documents ORDER BY doc_id
 """
+
+
+def q_cooccur_shortest_paths(sf_dir: str):
+    """Bounded-hop weighted single-source shortest paths
+    (stages/graphalgo.khop_min_dist) over the IP co-occurrence graph
+    (edge weight 1/shared-trace-count — heavier co-occurrence =
+    closer): 3 Bellman-Ford rounds, each one bounded merge join + one
+    grouped-min stitch, from the lexicographically smallest node."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import (sorted_collect,
+                                            sorted_distinct,
+                                            sorted_groupby_agg)
+    from sigraph_ray.stages.graphalgo import khop_min_dist
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"]).filter(
+            expr="event_type == 'purchase'")
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id")
+        uid = t.column("user_id").cast(pa.string())
+        ip = pc.binary_join_element_wise(
+            "10.0.0.",
+            pc.cast(pc.subtract(eid, pc.multiply(
+                pc.divide(eid, 256), 256)), pa.string()), "")
+        tid = pc.binary_join_element_wise("trace_", uid, "")
+        return pa.table({"tid": tid, "ip": ip})
+
+    pairs = sorted_distinct(
+        ev.map_batches(to_pairs, batch_format="pyarrow"),
+        ["tid", "ip"])
+    per_trace = sorted_collect(pairs, key="tid", order_col="ip",
+                               value="ip")
+
+    def clique_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a_, b_ = [], []
+        for vals in df["values"]:
+            if len(vals) > 1:
+                arr = np.asarray(vals)
+                iu, iv = np.triu_indices(len(arr), 1)
+                a_.append(arr[iu])
+                b_.append(arr[iv])
+        if not a_:
+            return pd.DataFrame({"a": pd.Series(dtype="object"),
+                                 "b": pd.Series(dtype="object"),
+                                 "one": pd.Series(dtype="int64")})
+        a = np.concatenate(a_)
+        return pd.DataFrame({"a": a, "b": np.concatenate(b_),
+                             "one": np.ones(len(a), dtype=np.int64)})
+
+    und = sorted_groupby_agg(
+        per_trace.map_batches(clique_pairs, batch_format="pandas"),
+        key=["a", "b"], aggs={"cnt": ("one", "sum")}).materialize()
+
+    seed_parts = und.map_batches(
+        lambda df: pd.DataFrame({"m": [df["a"].min()]}) if len(df)
+        else pd.DataFrame({"m": pd.Series(dtype="object")}),
+        batch_format="pandas", batch_size=None).to_pandas()
+    seed = seed_parts["m"].min()
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        w = 1.0 / df["cnt"].to_numpy()
+        return pd.DataFrame({
+            "src": np.concatenate([df["a"].to_numpy(),
+                                   df["b"].to_numpy()]),
+            "dst": np.concatenate([df["b"].to_numpy(),
+                                   df["a"].to_numpy()]),
+            "w": np.concatenate([w, w])})
+
+    edges = und.map_batches(sym, batch_format="pandas")
+    out = khop_min_dist(edges, seed=seed, k=3)
+    return out.map_batches(
+        lambda df: df[["node", "dist"]], batch_format="pandas")
+
+
+SQL_COOCCUR_SHORTEST_PATHS = """
+WITH RECURSIVE p AS (
+  SELECT DISTINCT 'trace_' || CAST(user_id AS VARCHAR) AS tid,
+         '10.0.0.' || CAST(event_id % 256 AS VARCHAR) AS ip
+  FROM events WHERE event_type = 'purchase'
+), und AS (
+  SELECT x.ip AS a, y.ip AS b, count(*) AS cnt
+  FROM p x JOIN p y ON x.tid = y.tid AND x.ip < y.ip
+  GROUP BY 1, 2
+), sym AS (
+  SELECT a AS src, b AS dst, 1.0 / cnt AS w FROM und
+  UNION ALL
+  SELECT b, a, 1.0 / cnt FROM und
+), walk(node, dist, hops) AS (
+  SELECT (SELECT min(a) FROM und), CAST(0 AS DOUBLE), 0
+  UNION ALL
+  SELECT s.dst, walk.dist + s.w, walk.hops + 1
+  FROM walk JOIN sym s ON s.src = walk.node
+  WHERE walk.hops < 3
+)
+SELECT node, min(dist) AS dist FROM walk GROUP BY 1 ORDER BY 1
+"""

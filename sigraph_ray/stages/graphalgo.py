@@ -371,3 +371,48 @@ def kcore(edges, *, k: int = 2, u: str = "u", v: str = "v",
     out = degs.rename(columns={"deg": "degree_in_core"})
     out["degree_in_core"] = out["degree_in_core"].astype("int64")
     return out.sort_values("node", kind="stable").reset_index(drop=True)
+
+
+def khop_min_dist(edges, *, seed, k: int, src: str = "src",
+                  dst: str = "dst", w: str = "w"):
+    """Bounded-hop weighted single-source shortest paths: min total
+    weight over directed paths of ≤ ``k`` edges from ``seed`` —
+    ``k`` Bellman-Ford relaxation rounds, each ONE bounded merge join
+    (frontier ⨝ edges on the source node; fan-out = out-degree) plus
+    ONE grouped-min stitch. The weighted sibling of the BFS-hop
+    traversal tier (stages/traversal G3), and exactly the semantics a
+    bounded recursive CTE gives, so it is SQL-oracle-checkable: float
+    path sums associate left in both engines and float ``+`` is
+    monotone, so relaxation's min-of-prefix + w equals the true
+    per-path float minimum.
+
+    Scale shape: the frontier/dist table is node-sized, edges are
+    joined ``k`` times but never materialized to the driver; per-key
+    join fan-out is the graph's max out-degree (document/cap for
+    power-law graphs — same contract as the merge join itself).
+
+    Returns ``(node, dist)`` for every node reachable in ≤ k edges."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+    from sigraph_ray.stages.joins import sorted_merge_join
+
+    dist = rd.from_pandas(pd.DataFrame(
+        {"node": [seed], "dist": [0.0]}))
+    for _ in range(k):
+        frontier = dist.map_batches(
+            lambda df: df.rename(columns={"node": src})
+            .rename(columns={"dist": "d0"}),
+            batch_format="pandas")
+        j = sorted_merge_join(edges, frontier, on=src,
+                              left_cols=[dst, w],
+                              right_cols=["d0"])
+        cand = j.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df[dst],
+                 "dist": df["d0"].to_numpy() + df[w].to_numpy()}),
+            batch_format="pandas")
+        dist = sorted_groupby_agg(dist.union(cand), key="node",
+                                  aggs={"dist": ("dist", "min")})
+        dist = dist.materialize()  # pin: next round reads it twice
+    return dist

@@ -233,3 +233,40 @@ def test_kcore_matches_peeling(ray_session, blocks):
         assert dict(zip(got["node"], got["degree_in_core"])) == want
     got4 = kcore(edges, k=4)
     assert {f"n0{i}" for i in range(5)} <= set(got4["node"])
+
+
+def test_khop_min_dist_matches_dp(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from sigraph_ray.stages.graphalgo import khop_min_dist
+
+    rng = np.random.default_rng(13)
+    n, m, k = 25, 120, 3
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    edges = pd.DataFrame({
+        "src": [f"n{int(s):02d}" for s in src[keep]],
+        "dst": [f"n{int(d):02d}" for d in dst[keep]],
+        "w": rng.uniform(0.1, 2.0, int(keep.sum())),
+    }).drop_duplicates(["src", "dst"])
+    seed = "n00"
+
+    # reference: k rounds of dense Bellman-Ford
+    INF = float("inf")
+    dist = {seed: 0.0}
+    for _ in range(k):
+        nxt = dict(dist)
+        for r in edges.itertuples():
+            d = dist.get(r.src, INF)
+            if d + r.w < nxt.get(r.dst, INF):
+                nxt[r.dst] = d + r.w
+        dist = nxt
+
+    got = (khop_min_dist(rd.from_pandas(edges).repartition(4),
+                         seed=seed, k=k)
+           .to_pandas().set_index("node")["dist"].to_dict())
+    assert set(got) == set(dist)
+    for node, d in dist.items():
+        assert abs(got[node] - d) < 1e-12, node
