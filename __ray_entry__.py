@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": Q.q_range_join,
         "approx_distinct": Q.q_approx_distinct,
         "grouped_approx_distinct": Q.q_grouped_approx_distinct,
+        "distinct_users_per_type": Q.q_distinct_users_per_type,
         "sessionize": Q.q_sessionize,
         "quantiles": Q.q_quantiles,
         "grouped_quantiles": Q.q_grouped_quantiles,
@@ -137,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_capped": Q.q_source_capped,
         "temperature_mixture": Q.q_temperature_mixture,
         "dedup_weighted_tokens": Q.q_dedup_weighted_tokens,
+        "source_lang_entropy": Q.q_source_lang_entropy,
+        "source_unigram_kl": Q.q_source_unigram_kl,
         "profile": Q.q_profile,
         "key_skew": Q.q_key_skew,
         "grouped_mode": Q.q_grouped_mode,
@@ -209,6 +212,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution": Q.SQL_ASOF_ATTRIBUTION,
         "range_join": Q.SQL_RANGE_JOIN,
         "sessionize": Q.SQL_SESSIONIZE,
+        "distinct_users_per_type": Q.SQL_DISTINCT_USERS_PER_TYPE,
+        "source_lang_entropy": Q.SQL_SOURCE_LANG_ENTROPY,
+        "source_unigram_kl": Q.SQL_SOURCE_UNIGRAM_KL,
         "quantiles": Q.SQL_QUANTILES,
         "grouped_quantiles": Q.SQL_GROUPED_QUANTILES,
         "top_orders_per_customer": Q.SQL_TOP_ORDERS_PER_CUSTOMER,

@@ -4614,3 +4614,157 @@ WITH RECURSIVE p AS (
 )
 SELECT node, min(dist) AS dist FROM walk GROUP BY 1 ORDER BY 1
 """
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """EXACT grouped COUNT DISTINCT (distinct users per event type):
+    one sorted_distinct on the (key, member) pair + per-batch count
+    partials + one grouped-sum stitch — the exact tier under
+    grouped_approx_distinct's HLL sketch."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import (sorted_distinct,
+                                            sorted_groupby_agg)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    d = sorted_distinct(ds, ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False).size()
+        return pd.DataFrame({"event_type": g.index.to_numpy(),
+                             "c_p": g.to_numpy().astype("int64")})
+
+    out = sorted_groupby_agg(
+        d.map_batches(partial, batch_format="pandas"),
+        key="event_type", aggs={"n_users": ("c_p", "sum")})
+    return out.map_batches(
+        lambda df: df.astype({"n_users": "int64"}),
+        batch_format="pandas")
+
+
+SQL_DISTINCT_USERS_PER_TYPE = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_source_lang_entropy(sf_dir: str):
+    """Shannon entropy of the language mix per source —
+    H = ln(n) − Σ c·ln(c) / n over per-(source, lang) counts; the
+    corpus-diversity metric behind mixture decisions. Grouped counts
+    via one stitch; the per-source epilogue folds O(#sources × #langs)
+    rows on the driver (bounded by construction)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "lang"], sort=False).size()
+        return g.rename("c_p").reset_index()
+
+    counts = sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        key=["source", "lang"], aggs={"c": ("c_p", "sum")}).to_pandas()
+    c = counts["c"].to_numpy(dtype=np.float64)
+    counts["cl"] = c * np.log(c)
+    g = counts.groupby("source", sort=True).agg(
+        n=("c", "sum"), s=("cl", "sum")).reset_index()
+    n = g["n"].to_numpy(dtype=np.float64)
+    return pd.DataFrame({"source": g["source"],
+                         "entropy": np.log(n) - g["s"].to_numpy() / n,
+                         "n_docs": g["n"].astype("int64")})
+
+
+SQL_SOURCE_LANG_ENTROPY = """
+WITH c AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+)
+SELECT source, ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy,
+       sum(c) AS n_docs
+FROM c GROUP BY source ORDER BY source
+"""
+
+
+def q_source_unigram_kl(sf_dir: str):
+    """KL divergence KL(src0 ‖ src1) between two sources' unigram
+    term distributions (add-1 smoothing over the union vocabulary) —
+    the corpus-drift / domain-shift metric run before mixing or
+    swapping a source. One (term) grouped-count stitch with per-source
+    partial columns; scalar totals and the final contribution sum fold
+    O(#blocks) partials on the driver."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"]).filter(
+        expr="source == 'src0' or source == 'src1'")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"term": pd.Series(dtype="object"),
+                              "c0_p": pd.Series(dtype="int64"),
+                              "c1_p": pd.Series(dtype="int64")})
+        if len(df) == 0:
+            return empty
+        toks = df["text"].str.lower().str.findall(r"[a-z0-9]+")
+        e = (df[["source"]].assign(term=toks).explode("term")
+             .dropna(subset=["term"]))
+        if len(e) == 0:
+            return empty
+        g = (e.groupby(["term", "source"], sort=False).size()
+             .unstack(fill_value=0))
+        out = pd.DataFrame({"term": g.index.to_numpy()})
+        for src, col in (("src0", "c0_p"), ("src1", "c1_p")):
+            out[col] = (g[src].to_numpy().astype("int64")
+                        if src in g.columns
+                        else np.zeros(len(g), dtype=np.int64))
+        return out
+
+    counts = sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        key="term", aggs={"c0": ("c0_p", "sum"),
+                          "c1": ("c1_p", "sum")}).materialize()
+
+    scal = counts.map_batches(
+        lambda df: pd.DataFrame({"n0": [int(df["c0"].sum())],
+                                 "n1": [int(df["c1"].sum())],
+                                 "v": [len(df)]}),
+        batch_format="pandas", batch_size=None).to_pandas()
+    n0 = float(scal["n0"].sum())
+    n1 = float(scal["n1"].sum())
+    v = float(scal["v"].sum())
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        p0 = (df["c0"].to_numpy(np.float64) + 1.0) / (n0 + v)
+        p1 = (df["c1"].to_numpy(np.float64) + 1.0) / (n1 + v)
+        return pd.DataFrame({"s": [float((p0 * np.log(p0 / p1)).sum())]})
+
+    parts = counts.map_batches(contrib, batch_format="pandas",
+                               batch_size=None).to_pandas()
+    return pd.DataFrame({"kl": [float(parts["s"].sum())],
+                         "n_terms": pd.Series([int(v)], dtype="int64")})
+
+
+SQL_SOURCE_UNIGRAM_KL = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents WHERE source IN ('src0', 'src1')
+), c AS (
+  SELECT term,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c1
+  FROM tok GROUP BY 1
+), s AS (
+  SELECT sum(c0) AS n0, sum(c1) AS n1, count(*) AS v FROM c
+)
+SELECT sum(((c0 + 1.0) / (n0 + v))
+           * ln(((c0 + 1.0) / (n0 + v)) / ((c1 + 1.0) / (n1 + v))))
+         AS kl,
+       CAST(min(v) AS BIGINT) AS n_terms
+FROM c, s
+"""
