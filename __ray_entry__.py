@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation": Q.q_supplier_nation,
         "asof_attribution": Q.q_asof_attribution,
         "range_join": Q.q_range_join,
+        "purchase_error_overlap": Q.q_purchase_error_overlap,
         "approx_distinct": Q.q_approx_distinct,
         "grouped_approx_distinct": Q.q_grouped_approx_distinct,
         "distinct_users_per_type": Q.q_distinct_users_per_type,
@@ -134,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": Q.q_stratified_sample,
         "weighted_sample": Q.q_weighted_sample,
         "value_outliers": Q.q_value_outliers,
+        "value_drift_psi": Q.q_value_drift_psi,
         "length_histogram": Q.q_length_histogram,
         "source_capped": Q.q_source_capped,
         "temperature_mixture": Q.q_temperature_mixture,
@@ -211,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_nation": Q.SQL_SUPPLIER_NATION,
         "asof_attribution": Q.SQL_ASOF_ATTRIBUTION,
         "range_join": Q.SQL_RANGE_JOIN,
+        "purchase_error_overlap": Q.SQL_PURCHASE_ERROR_OVERLAP,
         "sessionize": Q.SQL_SESSIONIZE,
         "distinct_users_per_type": Q.SQL_DISTINCT_USERS_PER_TYPE,
         "source_lang_entropy": Q.SQL_SOURCE_LANG_ENTROPY,
@@ -257,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": Q.SQL_STRATIFIED_SAMPLE,
         "weighted_sample": Q.SQL_WEIGHTED_SAMPLE,
         "value_outliers": Q.SQL_VALUE_OUTLIERS,
+        "value_drift_psi": Q.SQL_VALUE_DRIFT_PSI,
         "length_histogram": Q.SQL_LENGTH_HISTOGRAM,
         "source_capped": Q.SQL_SOURCE_CAPPED,
         "temperature_mixture": Q.SQL_TEMPERATURE_MIXTURE,

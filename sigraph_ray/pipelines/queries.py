@@ -4768,3 +4768,135 @@ SELECT sum(((c0 + 1.0) / (n0 + v))
        CAST(min(v) AS BIGINT) AS n_terms
 FROM c, s
 """
+
+
+def q_value_drift_psi(sf_dir: str):
+    """Population Stability Index between two time periods of the
+    event value distribution — THE standard production drift metric:
+    decile bins from the reference period's exact quantiles
+    (stages/quantiles.exact_quantiles matches quantile_disc
+    bit-for-bit, so the bin EDGES agree with SQL exactly), add-1
+    smoothed bin shares, PSI = Σ (p_a − p_b)·ln(p_a/p_b). Two
+    filtered passes with broadcast bin edges; per-batch bin counts
+    fold O(#blocks × 10) rows on the driver."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.quantiles import exact_quantiles
+
+    split = pd.Timestamp("2024-01-16")
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "value"])
+
+    def period(before: bool):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            m = df["ts"] < split
+            return df.loc[m if before else ~m, ["value"]]
+        return ds.map_batches(f, batch_format="pandas")
+
+    a, b = period(True), period(False)
+    qs = [i / 10 for i in range(1, 10)]
+    bounds = np.sort(exact_quantiles(a, "value", qs)["value"]
+                     .to_numpy(dtype=np.float64))
+
+    def bin_counts(df: pd.DataFrame) -> pd.DataFrame:
+        # bin = count of edges strictly below the value (SQL: bnd < v)
+        bins = np.searchsorted(bounds, df["value"].to_numpy(),
+                               side="left")
+        vc = pd.Series(bins).value_counts()
+        return pd.DataFrame({"bin": vc.index.to_numpy(),
+                             "c": vc.to_numpy().astype("int64")})
+
+    def fold(stream) -> np.ndarray:
+        parts = stream.map_batches(bin_counts, batch_format="pandas",
+                                   batch_size=None).to_pandas()
+        out = np.zeros(10, dtype=np.float64)
+        agg = parts.groupby("bin")["c"].sum()
+        out[agg.index.to_numpy()] = agg.to_numpy()
+        return out
+
+    ca, cb = fold(a), fold(b)
+    pa = (ca + 1.0) / (ca.sum() + 10)
+    pb = (cb + 1.0) / (cb.sum() + 10)
+    psi = float(((pa - pb) * np.log(pa / pb)).sum())
+    return pd.DataFrame({"psi": [psi],
+                         "n_bins": pd.Series([10], dtype="int64")})
+
+
+SQL_VALUE_DRIFT_PSI = """
+WITH a AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+b AS (SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+q AS (
+  SELECT unnest([quantile_disc(value, 0.1), quantile_disc(value, 0.2),
+                 quantile_disc(value, 0.3), quantile_disc(value, 0.4),
+                 quantile_disc(value, 0.5), quantile_disc(value, 0.6),
+                 quantile_disc(value, 0.7), quantile_disc(value, 0.8),
+                 quantile_disc(value, 0.9)]) AS bnd
+  FROM a
+), bins AS (SELECT i AS bin FROM range(0, 10) r(i)),
+ac AS (
+  SELECT (SELECT count(*) FROM q WHERE q.bnd < a.value) AS bin,
+         count(*) AS c
+  FROM a GROUP BY 1
+), bc AS (
+  SELECT (SELECT count(*) FROM q WHERE q.bnd < b.value) AS bin,
+         count(*) AS c
+  FROM b GROUP BY 1
+), na AS (SELECT sum(c) AS n FROM ac),
+nb AS (SELECT sum(c) AS n FROM bc),
+j AS (
+  SELECT bins.bin,
+         (coalesce(ac.c, 0) + 1.0) / (na.n + 10) AS pa,
+         (coalesce(bc.c, 0) + 1.0) / (nb.n + 10) AS pb
+  FROM bins LEFT JOIN ac USING (bin) LEFT JOIN bc USING (bin), na, nb
+)
+SELECT sum((pa - pb) * ln(pa / pb)) AS psi,
+       CAST(count(*) AS BIGINT) AS n_bins
+FROM j
+"""
+
+
+def q_purchase_error_overlap(sf_dir: str):
+    """INTERVAL OVERLAP join (stages/temporal.interval_overlap_join):
+    per-user purchase windows [ts, ts+1h] × error windows
+    [ts, ts+30m] that overlap — grid-partitioned (1h cells) so one
+    merge join on (user, cell) finds every pair, exact predicate +
+    distinct afterwards."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.temporal import interval_overlap_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def windows(kind: str, minutes: int, idc: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["event_type"] == kind]
+            return pd.DataFrame({
+                "user_id": d["user_id"].astype("int64"),
+                idc: d["event_id"].astype("int64"),
+                "start": d["ts"],
+                "end": d["ts"] + pd.Timedelta(minutes=minutes)})
+        return ev.map_batches(f, batch_format="pandas")
+
+    a = windows("purchase", 60, "purchase_id")
+    b = windows("error", 30, "error_id")
+    out = interval_overlap_join(
+        a, b, key="user_id", id_l="purchase_id", start_l="start",
+        end_l="end", id_r="error_id", start_r="start", end_r="end",
+        grid_us=3_600_000_000)
+    return out.map_batches(
+        lambda df: df.astype({"user_id": "int64",
+                              "purchase_id": "int64",
+                              "error_id": "int64"}),
+        batch_format="pandas")
+
+
+SQL_PURCHASE_ERROR_OVERLAP = """
+SELECT a.user_id, a.event_id AS purchase_id, b.event_id AS error_id
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'purchase' AND b.event_type = 'error'
+  AND a.ts <= b.ts + INTERVAL 30 MINUTE
+  AND b.ts <= a.ts + INTERVAL 1 HOUR
+ORDER BY 1, 2, 3
+"""

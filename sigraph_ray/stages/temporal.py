@@ -360,3 +360,70 @@ def event_transitions(ds, *, key: str, ts: str, tiebreak: str,
         "prev_value": [p for (p, _), _n in items],
         "next_value": [x for (_, x), _n in items],
         "n": pd.Series([n for _, n in items], dtype="int64")})
+
+
+def interval_overlap_join(left, right, *, key: str, id_l: str,
+                          start_l: str, end_l: str, id_r: str,
+                          start_r: str, end_r: str, grid_us: int):
+    """Per-key INTERVAL OVERLAP join — all (left, right) interval
+    pairs of the same ``key`` with ``start_l ≤ end_r AND start_r ≤
+    end_l`` (inclusive). The join type behind session×incident
+    correlation, ad-impression attribution windows, shift overlap.
+
+    Grid partitioning: each interval is replicated to every
+    ``grid_us``-wide time cell it touches; two overlapping intervals
+    share the cell containing any common instant, so ONE merge join on
+    the composite (key, cell) finds every qualifying pair (no misses),
+    the exact predicate prunes cell-mates that don't overlap, and a
+    distinct pass drops pairs found in several shared cells. Cost
+    contract (documented): replication factor = interval_len/grid_us
+    + 1 and per-(key, cell) fan-out = concurrent intervals per key per
+    cell — pick ``grid_us`` ≈ the max interval length.
+
+    Returns ``(key, id_l, id_r)`` distinct rows."""
+    from sigraph_ray.stages.collect import sorted_distinct
+    from sigraph_ray.stages.joins import sorted_merge_join
+
+    def cells(idc, start, end, sfx):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                key: pd.Series(dtype="object"),
+                "cell": pd.Series(dtype="int64"),
+                f"id{sfx}": pd.Series(dtype="int64"),
+                f"s{sfx}": pd.Series(dtype="int64"),
+                f"e{sfx}": pd.Series(dtype="int64")})
+            if len(df) == 0:
+                return empty
+            s = df[start].astype("datetime64[us]").astype("int64")
+            e = df[end].astype("datetime64[us]").astype("int64")
+            c0, c1 = s.to_numpy() // grid_us, e.to_numpy() // grid_us
+            reps = (c1 - c0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(df)), reps)
+            offs = (np.arange(int(reps.sum()), dtype=np.int64)
+                    - np.repeat(np.cumsum(reps) - reps, reps))
+            return pd.DataFrame({
+                key: df[key].to_numpy()[idx],
+                "cell": c0[idx] + offs,
+                f"id{sfx}": df[idc].to_numpy()[idx],
+                f"s{sfx}": s.to_numpy()[idx],
+                f"e{sfx}": e.to_numpy()[idx]})
+        return f
+
+    lc = left.map_batches(cells(id_l, start_l, end_l, "_l"),
+                          batch_format="pandas")
+    rc = right.map_batches(cells(id_r, start_r, end_r, "_r"),
+                           batch_format="pandas")
+    j = sorted_merge_join(lc, rc, on=[key, "cell"],
+                          left_cols=["id_l", "s_l", "e_l"],
+                          right_cols=["id_r", "s_r", "e_r"])
+
+    def overlap(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ((df["s_l"].to_numpy() <= df["e_r"].to_numpy())
+                & (df["s_r"].to_numpy() <= df["e_l"].to_numpy()))
+        out = df.loc[keep, [key, "id_l", "id_r"]].copy()
+        out = out.rename(columns={"id_l": id_l, "id_r": id_r})
+        return out
+
+    return sorted_distinct(
+        j.map_batches(overlap, batch_format="pandas"),
+        [key, id_l, id_r])

@@ -219,3 +219,39 @@ def test_event_transitions_seams_and_layouts(ray_session):
             tiebreak="id", value="v").reset_index(drop=True)
         pd.testing.assert_frame_equal(
             got.astype({"n": "int64"}), want.astype({"n": "int64"}))
+
+
+def test_interval_overlap_join_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.temporal import interval_overlap_join
+
+    rng = np.random.default_rng(41)
+    base = pd.Timestamp("2024-03-01")
+
+    def mk(n, max_len_min, idc):
+        start = base + pd.to_timedelta(
+            rng.integers(0, 5_000, n), unit="m")
+        return pd.DataFrame({
+            "k": rng.integers(0, 4, n),
+            idc: np.arange(n, dtype=np.int64),
+            "s": start,
+            "e": start + pd.to_timedelta(
+                rng.integers(1, max_len_min, n), unit="m"),
+        })
+
+    # intervals up to 3x the grid width → multi-cell replication path
+    A, B = mk(80, 90, "aid"), mk(60, 45, "bid")
+    got = (interval_overlap_join(
+        rd.from_pandas(A).repartition(5), rd.from_pandas(B).repartition(3),
+        key="k", id_l="aid", start_l="s", end_l="e",
+        id_r="bid", start_r="s", end_r="e",
+        grid_us=30 * 60_000_000)
+        .to_pandas().sort_values(["k", "aid", "bid"])
+        .reset_index(drop=True))
+    m = A.merge(B, on="k", suffixes=("_a", "_b"))
+    keep = (m["s_a"] <= m["e_b"]) & (m["s_b"] <= m["e_a"])
+    want = (m.loc[keep, ["k", "aid", "bid"]]
+            .sort_values(["k", "aid", "bid"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"))
