@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prov_nodes": Q.q_prov_nodes,
         "prov_traces": Q.q_prov_traces,
         "prov_edges": Q.q_prov_edges,
+        "incremental_traces": Q.q_incremental_traces,
+        "incremental_edges": Q.q_incremental_edges,
         "prov_contains": Q.q_prov_contains,
         "prov_contains_pruned": Q.q_prov_contains_pruned,
         "prov_quarantine": Q.q_prov_quarantine,
@@ -183,6 +185,8 @@ def oracle_sql() -> dict[str, str]:
         "prov_nodes": Q.SQL_PROV_NODES,
         "prov_traces": Q.SQL_PROV_TRACES,
         "prov_edges": Q.SQL_PROV_EDGES,
+        "incremental_traces": Q.SQL_INCREMENTAL_TRACES,
+        "incremental_edges": Q.SQL_INCREMENTAL_EDGES,
         "prov_contains": Q.SQL_PROV_CONTAINS,
         "prov_contains_pruned": Q.SQL_PROV_CONTAINS_PRUNED,
         "prov_quarantine": Q.SQL_PROV_QUARANTINE,

@@ -4900,3 +4900,44 @@ WHERE a.event_type = 'purchase' AND b.event_type = 'error'
   AND b.ts <= a.ts + INTERVAL 1 HOUR
 ORDER BY 1, 2, 3
 """
+
+
+def q_incremental_traces(sf_dir: str):
+    """U2 through the INCREMENTAL-maintenance path
+    (stages/incremental): the event stream is split deterministically
+    into a base (~15/16) and a delta (~1/16), the base is aggregated to
+    its mergeable encoded state, and the delta is merged in with ZERO
+    shuffle over the base (one vectorized patch pass against the
+    broadcast delta aggregate). The result must be bit-identical to the
+    full rebuild — the oracle is the full-rebuild SQL. Reference
+    analog: the per-event Neo4j MERGE steady state
+    (element_behavior.py:350-381), re-expressed as mergeable-state
+    maintenance."""
+    from sigraph_ray.stages import incremental as I
+    from sigraph_ray.stages import provenance_graph as G
+
+    parsed = _parsed_events(sf_dir)
+    ok, _ = G.split_quarantine(parsed)
+    base, delta = I.split_base_delta(ok)
+    return I.decode_trace_state(
+        I.merge_trace_delta(I.trace_state(base), delta))
+
+
+SQL_INCREMENTAL_TRACES = SQL_PROV_TRACES
+
+
+def q_incremental_edges(sf_dir: str):
+    """U3 (last-writer-wins edge merge) through the incremental path —
+    the arg-max payload is mergeable, so base state + delta aggregate
+    equals the full rebuild exactly (see q_incremental_traces)."""
+    from sigraph_ray.stages import incremental as I
+    from sigraph_ray.stages import provenance_graph as G
+
+    parsed = _parsed_events(sf_dir)
+    ok, _ = G.split_quarantine(parsed)
+    base, delta = I.split_base_delta(ok)
+    return I.decode_edge_state(
+        I.merge_edge_delta(I.edge_state(base), delta))
+
+
+SQL_INCREMENTAL_EDGES = SQL_PROV_EDGES
