@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": Q.q_lang_id,
         "term_topk": Q.q_term_topk,
         "bigram_topk": Q.q_bigram_topk,
+        "pmi_collocations": Q.q_pmi_collocations,
         "percent_rank": Q.q_percent_rank,
         "approx_term_topk": Q.q_approx_term_topk,
         "tfidf_keywords": Q.q_tfidf_keywords,
@@ -258,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": Q.SQL_LANG_ID,
         "term_topk": Q.SQL_TERM_TOPK,
         "bigram_topk": Q.SQL_BIGRAM_TOPK,
+        "pmi_collocations": Q.SQL_PMI_COLLOCATIONS,
         "percent_rank": Q.SQL_PERCENT_RANK,
         "tfidf_keywords": Q.SQL_TFIDF_KEYWORDS,
         "inverted_index": Q.SQL_INVERTED_INDEX,

@@ -4941,3 +4941,43 @@ def q_incremental_edges(sf_dir: str):
 
 
 SQL_INCREMENTAL_EDGES = SQL_PROV_EDGES
+
+
+def q_pmi_collocations(sf_dir: str):
+    """PMI collocation mining (stages/textstats.pmi_collocations) —
+    the multi-word-expression / entity-phrase discovery step ahead of
+    KG extraction: top-50 adjacent-bigram collocations by pointwise
+    mutual information, bigram count ≥ 3."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import pmi_collocations
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return pmi_collocations(ds, min_count=3, k=50)
+
+
+SQL_PMI_COLLOCATIONS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS ord
+  FROM t
+), uni AS (
+  SELECT term, count(*) AS c FROM toks GROUP BY 1
+), n AS (SELECT count(*) AS n FROM toks),
+bg AS (
+  SELECT term AS w1,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+  FROM toks
+), bc AS (
+  SELECT w1, w2, count(*) AS c_xy FROM bg WHERE w2 IS NOT NULL
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT bc.w1, bc.w2, c_xy,
+       ln(CAST(c_xy AS DOUBLE) * n.n / (u1.c * u2.c)) AS pmi
+FROM bc JOIN uni u1 ON bc.w1 = u1.term
+        JOIN uni u2 ON bc.w2 = u2.term, n
+ORDER BY pmi DESC, w1, w2 LIMIT 50
+"""

@@ -458,3 +458,96 @@ def ngram_topk(ds, *, n: int = 2, k: int = 50,
            .head(k).reset_index(drop=True))
     out["freq"] = out["freq"].astype("int64")
     return out
+
+
+def pmi_collocations(ds, *, min_count: int = 3, k: int = 50,
+                     text_col: str = "text") -> pd.DataFrame:
+    """PMI collocation extraction (Church & Hanks 1990) — the phrase/
+    multi-word-entity mining step of a KG-construction pipeline:
+    ``pmi(w1,w2) = ln(c_xy · N / (c_x · c_y))`` over adjacent token
+    bigrams, N = total token count; bigrams below ``min_count`` are
+    dropped (PMI is unstable at tiny counts), top-k by
+    (pmi DESC, w1, w2).
+
+    Dataflow: TWO grouped-sum stitches share one tokenizing scan shape
+    (unigram counts; bigram counts pre-thresholded AFTER the stitch),
+    the scalar N folds per-block partial sums, and the two marginal
+    attachments run as bounded sorted-merge joins on w1 then w2 —
+    no hash-join pool spin-up, nothing corpus-sized on the driver.
+    The min_count filter runs before the joins, so only surviving
+    bigrams shuffle; a Zipf-hot head word (``the``-style) bounds the
+    join fan-out by its DISTINCT surviving partners, not its token
+    frequency (the salted join tier covers degenerate cases)."""
+    import re
+
+    from sigraph_ray.stages.collect import sorted_groupby_sum
+    from sigraph_ray.stages.joins import sorted_merge_join
+
+    rx = re.compile(_WORD_RE)
+
+    def uni_partial(df: pd.DataFrame) -> pa.Table:
+        toks = df[text_col].str.lower().str.findall(rx)
+        vc = toks.explode().dropna().value_counts()
+        return pa.table({"term": vc.index.astype(str),
+                         "cnt": vc.to_numpy().astype("int64")})
+
+    def bi_partial(df: pd.DataFrame) -> pa.Table:
+        toks = df[text_col].str.lower().str.findall(rx)
+        s = toks.explode().dropna()
+        gram = (s + " " + s.groupby(level=0).shift(-1)).dropna()
+        vc = gram.value_counts()
+        return pa.table({"gram": vc.index.astype(str),
+                         "cnt": vc.to_numpy().astype("int64")})
+
+    uni = sorted_groupby_sum(
+        ds.map_batches(uni_partial, batch_format="pandas"),
+        key="term", sum_cols={"c": "cnt"}).materialize()
+    n_parts = uni.map_batches(
+        lambda df: pd.DataFrame({"n": [int(df["c"].sum())]}),
+        batch_format="pandas", batch_size=None).to_pandas()
+    n_tokens = float(n_parts["n"].sum())
+
+    bi = sorted_groupby_sum(
+        ds.map_batches(bi_partial, batch_format="pandas"),
+        key="gram", sum_cols={"c_xy": "cnt"})
+
+    def split_gram(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["c_xy"] >= min_count]
+        parts = d["gram"].str.split(" ", n=1, expand=True)
+        if len(d) == 0:
+            return pd.DataFrame({"w1": pd.Series(dtype="object"),
+                                 "w2": pd.Series(dtype="object"),
+                                 "c_xy": pd.Series(dtype="int64")})
+        return pd.DataFrame({"w1": parts[0], "w2": parts[1],
+                             "c_xy": d["c_xy"].astype("int64")})
+
+    pairs = bi.map_batches(split_gram, batch_format="pandas")
+
+    u1 = uni.map_batches(
+        lambda df: df.rename(columns={"term": "w1", "c": "c_x"}),
+        batch_format="pandas")
+    u2 = uni.map_batches(
+        lambda df: df.rename(columns={"term": "w2", "c": "c_y"}),
+        batch_format="pandas")
+    j1 = sorted_merge_join(pairs, u1, on="w1",
+                           left_cols=["w2", "c_xy"], right_cols=["c_x"])
+    j2 = sorted_merge_join(j1, u2, on="w2",
+                           left_cols=["w1", "c_xy", "c_x"],
+                           right_cols=["c_y"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        # identical expression tree to the SQL oracle:
+        # ln(CAST(c_xy AS DOUBLE) * N / (c_x * c_y))
+        num = df["c_xy"].to_numpy(np.float64) * n_tokens
+        den = (df["c_x"].to_numpy(np.int64)
+               * df["c_y"].to_numpy(np.int64)).astype(np.float64)
+        out = pd.DataFrame({"w1": df["w1"], "w2": df["w2"],
+                            "c_xy": df["c_xy"].astype("int64"),
+                            "pmi": np.log(num / den)})
+        return out.sort_values(["pmi", "w1", "w2"],
+                               ascending=[False, True, True]).head(k)
+
+    partials = j2.map_batches(score, batch_format="pandas").to_pandas()
+    return (partials.sort_values(["pmi", "w1", "w2"],
+                                 ascending=[False, True, True])
+            .head(k).reset_index(drop=True))

@@ -474,3 +474,35 @@ def test_profile_table_all_null_column(ray_session):
     row = out.iloc[0]
     assert row["n_null"] == 2 and row["min_value"] is None \
         and row["max_value"] is None
+
+
+def test_pmi_collocations_hand_values(ray_session):
+    """PMI against an independent Counter-based computation on a tiny
+    planted corpus: 'san francisco' is a perfect collocation (every
+    occurrence of either word is in the pair), 'the data' is frequent
+    but independent — PMI must rank the planted pair first."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import pmi_collocations
+
+    docs = (["san francisco is far from here you know"] * 4
+            + ["the data and the data and the story of the data"] * 4)
+    out = pmi_collocations(
+        rd.from_pandas(pd.DataFrame({"text": docs})).repartition(3),
+        min_count=3, k=20)
+
+    toks = [d.split() for d in docs]
+    uni = Counter(t for ts in toks for t in ts)
+    bi = Counter((a, b) for ts in toks for a, b in zip(ts, ts[1:]))
+    n = sum(uni.values())
+    want = {(a, b): math.log(c * n / (uni[a] * uni[b]))
+            for (a, b), c in bi.items() if c >= 3}
+    got = {(r["w1"], r["w2"]): r["pmi"] for _, r in out.iterrows()}
+    assert set(got) == set(want)
+    for k_, v in want.items():
+        assert abs(got[k_] - v) < 1e-12, k_
+    assert (out.iloc[0]["w1"], out.iloc[0]["w2"]) != ("the", "data")
+    assert ("san", "francisco") in got
