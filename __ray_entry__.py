@@ -131,6 +131,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_topk": Q.q_term_topk,
         "bigram_topk": Q.q_bigram_topk,
         "pmi_collocations": Q.q_pmi_collocations,
+        "gazetteer_mentions": Q.q_gazetteer_mentions,
+        "part_skyline": Q.q_part_skyline,
+        "basket_pairs": Q.q_basket_pairs,
+        "chi2_type_weekday": Q.q_chi2_type_weekday,
         "percent_rank": Q.q_percent_rank,
         "approx_term_topk": Q.q_approx_term_topk,
         "tfidf_keywords": Q.q_tfidf_keywords,
@@ -260,6 +264,10 @@ def oracle_sql() -> dict[str, str]:
         "term_topk": Q.SQL_TERM_TOPK,
         "bigram_topk": Q.SQL_BIGRAM_TOPK,
         "pmi_collocations": Q.SQL_PMI_COLLOCATIONS,
+        "gazetteer_mentions": Q.SQL_GAZETTEER_MENTIONS,
+        "part_skyline": Q.SQL_PART_SKYLINE,
+        "basket_pairs": Q.SQL_BASKET_PAIRS,
+        "chi2_type_weekday": Q.SQL_CHI2_TYPE_WEEKDAY,
         "percent_rank": Q.SQL_PERCENT_RANK,
         "tfidf_keywords": Q.SQL_TFIDF_KEYWORDS,
         "inverted_index": Q.SQL_INVERTED_INDEX,

@@ -4981,3 +4981,123 @@ FROM bc JOIN uni u1 ON bc.w1 = u1.term
         JOIN uni u2 ON bc.w2 = u2.term, n
 ORDER BY pmi DESC, w1, w2 LIMIT 50
 """
+
+
+GAZETTEER_TERMS = ["hash join", "merge part", "quantum flux", "spark",
+                   "table scan", "window"]
+
+
+def q_gazetteer_mentions(sf_dir: str):
+    """Lexicon-match NER (stages/textstats.gazetteer_mentions) — the
+    dictionary-tagging step of KG construction: per-phrase mention and
+    document counts over the corpus (one planted zero-hit phrase
+    proves absent-term handling)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import gazetteer_mentions
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return gazetteer_mentions(ds, GAZETTEER_TERMS)
+
+
+SQL_GAZETTEER_MENTIONS = r"""
+WITH terms(term) AS (VALUES ('hash join'), ('merge part'),
+                            ('quantum flux'), ('spark'),
+                            ('table scan'), ('window'))
+SELECT t.term,
+       CAST(sum(len(regexp_extract_all(
+           lower(d.text), '\b' || t.term || '\b'))) AS BIGINT)
+           AS n_mentions,
+       CAST(sum(CASE WHEN regexp_matches(
+           lower(d.text), '\b' || t.term || '\b')
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+FROM terms t, documents d
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_part_skyline(sf_dir: str):
+    """2-D Pareto frontier (stages/stats.skyline): parts not dominated
+    on (cheaper price, larger size) — partial-skyline-per-block then
+    one bounded final reduce (Börzsönyi ICDE'01), never the quadratic
+    NOT EXISTS self-join the oracle runs."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.stats import skyline
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_retailprice", "p_size"])
+    return skyline(ds, minimize="p_retailprice", maximize="p_size")
+
+
+SQL_PART_SKYLINE = """
+SELECT p_partkey, p_retailprice, p_size FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
+
+
+def q_basket_pairs(sf_dir: str):
+    """Market-basket pair mining (stages/itemsets.frequent_pairs):
+    top-20 co-purchased part pairs by distinct-order support ≥ 2 —
+    the entity co-occurrence edge-mining shape of KG construction."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.itemsets import frequent_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    return frequent_pairs(ds, group="l_orderkey", item="l_partkey",
+                          min_support=2, k=20)
+
+
+SQL_BASKET_PAIRS = """
+WITH pi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       count(*) AS support
+FROM pi a JOIN pi b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY support DESC, p1, p2 LIMIT 20
+"""
+
+
+def q_chi2_type_weekday(sf_dir: str):
+    """Pearson χ² independence (stages/stats.chi2_independence) between
+    event_type and ISO weekday — the drift/association screen of a
+    data-quality pass; contingency partials per block, one bounded
+    final fold."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.stats import chi2_independence
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    prep = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"event_type": df["event_type"],
+             "dow": (df["ts"].dt.dayofweek + 1).astype("int64")}),
+        batch_format="pandas")
+    return chi2_independence(prep, a="event_type", b="dow")
+
+
+SQL_CHI2_TYPE_WEEKDAY = """
+WITH obs AS (
+  SELECT event_type AS a, isodow(ts) AS b,
+         CAST(count(*) AS DOUBLE) AS o
+  FROM events GROUP BY 1, 2
+), ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1),
+cb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY 1),
+nn AS (SELECT sum(o) AS n FROM obs),
+grid AS (SELECT ra.a, cb.b, ra.ra * cb.cb / nn.n AS e FROM ra, cb, nn),
+cells AS (
+  SELECT grid.a, grid.b, coalesce(obs.o, 0) AS o, grid.e
+  FROM grid LEFT JOIN obs ON grid.a = obs.a AND grid.b = obs.b)
+SELECT sum((o - e) * (o - e) / e) AS chi2,
+       CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT)
+           AS dof,
+       CAST(sum(o) AS BIGINT) AS n
+FROM cells
+"""

@@ -104,3 +104,74 @@ def grouped_linreg(ds, *, key: str, x: str, y: str,
                              "n": n.astype("int64")})
 
     return sums.map_batches(finish, batch_format="pandas")
+
+
+def _pareto_block(df: pd.DataFrame, *, minimize: str,
+                  maximize: str) -> pd.DataFrame:
+    """Vectorized 2-D skyline of one block: keep rows whose
+    (minimize, maximize) pair is not dominated (another row ≤ on
+    ``minimize``, ≥ on ``maximize``, strict on at least one). Ties on
+    both axes all survive (neither dominates). One sort + one grouped
+    cummax — no pairwise comparison."""
+    if len(df) == 0:
+        return df
+    per_lo = (df.groupby(minimize)[maximize].max()
+              .sort_index())                      # max hi per lo value
+    prev_best = per_lo.cummax().shift(1, fill_value=-np.inf)
+    surviving_lo = per_lo[per_lo > prev_best]     # beats all cheaper lo
+    keep = (df[minimize].map(surviving_lo).to_numpy()
+            == df[maximize].to_numpy())           # NaN != x → dropped
+    return df[keep]
+
+
+def skyline(ds, *, minimize: str, maximize: str):
+    """Pareto frontier (skyline) over two columns — SQL
+    ``WHERE NOT EXISTS (dominating row)`` without the quadratic
+    self-join. Börzsönyi et al., ICDE 2001: the skyline of a union is
+    the skyline of the partial skylines, so each block reduces to its
+    own (small) frontier in parallel and ONE bounded final task
+    re-reduces the concatenated partials — the classic
+    combiner-then-reduce shape; the full input never co-locates. The
+    final task's input is Σ per-block frontier sizes (tiny on real
+    data; worst case anti-correlated axes, still ≪ the input)."""
+    parts = ds.map_batches(
+        lambda df: _pareto_block(df, minimize=minimize, maximize=maximize),
+        batch_format="pandas")
+    return parts.repartition(1).map_batches(
+        lambda df: _pareto_block(df, minimize=minimize, maximize=maximize),
+        batch_format="pandas", batch_size=None)
+
+
+def chi2_independence(ds, *, a: str, b: str):
+    """Pearson χ² test of independence between two categorical columns,
+    over the FULL r×c grid (unobserved cells contribute their expected
+    mass). One pass of per-block contingency partials (a vectorized
+    ``value_counts`` per block — the combiner), one bounded final task
+    folds the r×c grid and emits a single (chi2, dof, n) row. The grid
+    is vocabulary-sized, never row-sized, so the reduce input is
+    #blocks × |observed cells|."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df.value_counts([a, b])
+        idx = vc.index.to_frame(index=False)
+        return pd.DataFrame({"a": idx[a].astype(str),
+                             "b": idx[b].astype(str),
+                             "o": vc.to_numpy().astype("int64")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"chi2": pd.Series(dtype="float64"),
+                                 "dof": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        obs = (df.groupby(["a", "b"], sort=True)["o"].sum()
+               .unstack(fill_value=0).astype("float64"))
+        n = float(obs.to_numpy().sum())
+        exp = np.outer(obs.sum(axis=1), obs.sum(axis=0)) / n
+        chi2 = float(((obs.to_numpy() - exp) ** 2 / exp).sum())
+        dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+        return pd.DataFrame({"chi2": [chi2], "dof": [dof],
+                             "n": [int(n)]})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=None))

@@ -506,3 +506,106 @@ def test_pmi_collocations_hand_values(ray_session):
         assert abs(got[k_] - v) < 1e-12, k_
     assert (out.iloc[0]["w1"], out.iloc[0]["w2"]) != ("the", "data")
     assert ("san", "francisco") in got
+
+
+def test_skyline_vs_bruteforce(ray_session):
+    """Partial-skyline merge vs the quadratic NOT-EXISTS definition on
+    a seeded random set with planted ties (duplicate non-dominated
+    pairs must BOTH survive; equal-price-worse-size must drop)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.stats import skyline
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"id": np.arange(60),
+                       "lo": rng.randint(0, 12, 60).astype("float64"),
+                       "hi": rng.randint(0, 12, 60)})
+    # planted: duplicate pair at an extreme corner → both survive
+    df = pd.concat([df, pd.DataFrame({"id": [100, 101],
+                                      "lo": [-1.0, -1.0],
+                                      "hi": [99, 99]})],
+                   ignore_index=True)
+    got = (skyline(rd.from_pandas(df).repartition(5),
+                   minimize="lo", maximize="hi")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    keep = []
+    for _, p in df.iterrows():
+        dominated = ((df["lo"] <= p["lo"]) & (df["hi"] >= p["hi"])
+                     & ((df["lo"] < p["lo"]) | (df["hi"] > p["hi"])))
+        if not dominated.any():
+            keep.append(p["id"])
+    want = df[df["id"].isin(keep)].sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert {100, 101}.issubset(set(got["id"]))
+
+
+def test_frequent_pairs_hand_counts(ray_session):
+    """Hand-counted baskets: (a,b) co-occurs in 3 baskets, (a,c) in 2,
+    (b,c) in 1 (below min_support); duplicate items inside one basket
+    count once."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.itemsets import frequent_pairs
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (1, "a"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "b"),
+            (4, "a"), (4, "c")]
+    ds = rd.from_pandas(pd.DataFrame(rows, columns=["g", "i"])).repartition(3)
+    out = frequent_pairs(ds, group="g", item="i", min_support=2, k=10)
+    got = {(r.p1, r.p2): r.support for r in out.itertuples()}
+    assert got == {("a", "b"): 3, ("a", "c"): 2}
+    assert out.iloc[0]["support"] == 3
+
+
+def test_frequent_pairs_basket_cap_drops_degenerate_group(ray_session):
+    """A degenerate giant basket is dropped by max_basket instead of
+    expanding quadratically; normal baskets are unaffected."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.itemsets import frequent_pairs
+
+    rows = [(99, f"x{j}") for j in range(50)]          # giant basket
+    rows += [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    ds = rd.from_pandas(pd.DataFrame(rows, columns=["g", "i"])).repartition(4)
+    out = frequent_pairs(ds, group="g", item="i", min_support=2, k=10,
+                         max_basket=10)
+    got = {(r.p1, r.p2): r.support for r in out.itertuples()}
+    assert got == {("a", "b"): 2}
+
+
+def test_chi2_independence_hand_value(ray_session):
+    """χ² against a hand-computed 2×2 contingency table, including a
+    zero-observed cell (which still contributes its expected mass)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.stats import chi2_independence
+
+    # obs: (x,1)=10, (x,2)=20, (y,1)=30, (y,2)=0
+    df = pd.DataFrame({"a": ["x"] * 30 + ["y"] * 30,
+                       "b": [1] * 10 + [2] * 20 + [1] * 30})
+    out = chi2_independence(rd.from_pandas(df).repartition(4),
+                            a="a", b="b").to_pandas()
+    obs = np.array([[10.0, 20.0], [30.0, 0.0]])
+    exp = np.outer(obs.sum(1), obs.sum(0)) / obs.sum()
+    want = (((obs - exp) ** 2) / exp).sum()
+    assert out.shape == (1, 3)
+    assert abs(out.iloc[0]["chi2"] - want) < 1e-9
+    assert out.iloc[0]["dof"] == 1 and out.iloc[0]["n"] == 60
+
+
+def test_gazetteer_mentions_counts_and_boundaries(ray_session):
+    """Word-boundary + non-overlap semantics: 'scan' must not match
+    inside 'rescan'; multi-word phrases count non-overlapping hits;
+    absent terms report explicit zeros."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import gazetteer_mentions
+
+    docs = ["table scan then table scan again", "a rescan happened",
+            "Table Scan uppercase"]
+    ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(2)
+    out = gazetteer_mentions(ds, ["table scan", "scan", "ghost"])
+    got = {r.term: (r.n_mentions, r.n_docs) for r in out.itertuples()}
+    assert got == {"table scan": (3, 2), "scan": (3, 2),
+                   "ghost": (0, 0)}
