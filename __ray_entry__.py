@@ -135,6 +135,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_skyline": Q.q_part_skyline,
         "basket_pairs": Q.q_basket_pairs,
         "chi2_type_weekday": Q.q_chi2_type_weekday,
+        "embed_covariance": Q.q_embed_covariance,
+        "pca_embeddings": Q.q_pca_embeddings,
+        "softmax_train": Q.q_softmax_train,
+        "ip_jaccard": Q.q_ip_jaccard,
         "percent_rank": Q.q_percent_rank,
         "approx_term_topk": Q.q_approx_term_topk,
         "tfidf_keywords": Q.q_tfidf_keywords,
@@ -268,6 +272,8 @@ def oracle_sql() -> dict[str, str]:
         "part_skyline": Q.SQL_PART_SKYLINE,
         "basket_pairs": Q.SQL_BASKET_PAIRS,
         "chi2_type_weekday": Q.SQL_CHI2_TYPE_WEEKDAY,
+        "embed_covariance": Q.SQL_EMBED_COVARIANCE,
+        "ip_jaccard": Q.SQL_IP_JACCARD,
         "percent_rank": Q.SQL_PERCENT_RANK,
         "tfidf_keywords": Q.SQL_TFIDF_KEYWORDS,
         "inverted_index": Q.SQL_INVERTED_INDEX,

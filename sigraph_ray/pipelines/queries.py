@@ -5101,3 +5101,109 @@ SELECT sum((o - e) * (o - e) / e) AS chi2,
        CAST(sum(o) AS BIGINT) AS n
 FROM cells
 """
+
+
+def q_embed_covariance(sf_dir: str):
+    """Full d×d sample covariance of the embedding column
+    (stages/linalg.covariance_matrix): per-block Gram partials (one
+    matmul each), one grouped-sum fold of d² scalars, one bounded
+    finish task — the corpus streams, only d×d state moves."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.linalg import covariance_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    return covariance_matrix(ds)
+
+
+SQL_EMBED_COVARIANCE = """
+WITH v AS (
+  SELECT vec_id, unnest(embedding) AS val,
+         unnest(range(1, len(embedding) + 1)) AS ord
+  FROM embeddings
+)
+SELECT a.ord AS i, b.ord AS j, covar_samp(a.val, b.val) AS cov
+FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.ord <= b.ord
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_pca_embeddings(sf_dir: str):
+    """PCA to 4 components (stages/linalg.pca_project): streaming Gram
+    fold → one d×d eigendecomposition (embedding-width-sized, never
+    corpus-sized) → broadcast projection pass. Sign-fixed components
+    make the output deterministic. No SQL analog (eigendecomposition);
+    gated by pytest against a single-process numpy reference."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.linalg import pca_project
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return pca_project(ds, n_components=4)
+
+
+def q_softmax_train(sf_dir: str):
+    """Distributed multinomial logistic regression
+    (stages/linalg.softmax_train): 30 full-batch GD epochs, gradient
+    partials folded per epoch, model state broadcast by closure —
+    the iterative-training loop as dataflow. Returns the per-class
+    weight-norm table. No SQL analog (iterative optimization); gated
+    by pytest vs a single-process numpy reference."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.linalg import softmax_train
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding", "label"])
+    norms, hist, _ = softmax_train(ds, n_classes=10, epochs=30)
+    assert hist["accuracy"].iloc[-1] > hist["accuracy"].iloc[0]
+    return norms
+
+
+def q_ip_jaccard(sf_dir: str):
+    """Common-neighbor (Jaccard) link prediction
+    (stages/itemsets.jaccard_neighbors) over the trace↔IP bipartite
+    observation table — proposes relatedness edges between NETWORK
+    artifacts sharing traces; wedge counting reuses the pair-support
+    core, marginals attach by bounded sorted-merge joins."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.itemsets import jaccard_neighbors
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"]).filter(
+            expr="event_type == 'purchase'")
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id")
+        uid = t.column("user_id").cast(pa.string())
+        ip = pc.binary_join_element_wise(
+            "10.0.0.",
+            pc.cast(pc.subtract(eid, pc.multiply(
+                pc.divide(eid, 256), 256)), pa.string()), "")
+        tid = pc.binary_join_element_wise("trace_", uid, "")
+        return pa.table({"tid": tid, "ip": ip})
+
+    pairs = ev.map_batches(to_pairs, batch_format="pyarrow")
+    return jaccard_neighbors(pairs, group="tid", item="ip",
+                             min_common=2, k=20)
+
+
+SQL_IP_JACCARD = """
+WITH p AS (
+  SELECT DISTINCT 'trace_' || CAST(user_id AS VARCHAR) AS tid,
+         '10.0.0.' || CAST(event_id % 256 AS VARCHAR) AS ip
+  FROM events WHERE event_type = 'purchase'
+), inter AS (
+  SELECT a.ip AS p1, b.ip AS p2, count(*) AS common
+  FROM p a JOIN p b ON a.tid = b.tid AND a.ip < b.ip
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), deg AS (SELECT ip, count(*) AS d FROM p GROUP BY 1)
+SELECT i.p1, i.p2, i.common,
+       CAST(i.common AS DOUBLE) / (d1.d + d2.d - i.common) AS jaccard
+FROM inter i JOIN deg d1 ON i.p1 = d1.ip JOIN deg d2 ON i.p2 = d2.ip
+ORDER BY jaccard DESC, p1, p2 LIMIT 20
+"""

@@ -30,9 +30,12 @@ _EMPTY = {"p1": pd.Series(dtype="object"), "p2": pd.Series(dtype="object"),
           "support": pd.Series(dtype="int64")}
 
 
-def frequent_pairs(ds, *, group: str, item: str, min_support: int = 2,
-                   k: int = 20, max_basket: int | None = None):
-    """Top-k co-occurring item pairs by group support.
+def pair_supports(ds, *, group: str, item: str,
+                  max_basket: int | None = None):
+    """Exact global co-occurrence supports as a Dataset of
+    ``(p1, p2, support)`` with ``p1 < p2`` — the shared counting core
+    under :func:`frequent_pairs` (thresholded top-k) and
+    :func:`jaccard_neighbors` (common-neighbor link prediction).
 
     ``max_basket`` (optional) caps basket width via ``sorted_collect``'s
     ``max_members`` guard — baskets over the cap are DROPPED (logged
@@ -65,9 +68,19 @@ def frequent_pairs(ds, *, group: str, item: str, min_support: int = 2,
         return pd.DataFrame({"p1": idx["item_x"], "p2": idx["item_y"],
                              "support": vc.to_numpy().astype("int64")})
 
-    counts = sorted_groupby_sum(
+    return sorted_groupby_sum(
         baskets.map_batches(expand, batch_format="pandas"),
         key=["p1", "p2"], sum_cols={"support": "support"})
+
+
+def frequent_pairs(ds, *, group: str, item: str, min_support: int = 2,
+                   k: int = 20, max_basket: int | None = None):
+    """Top-k co-occurring item pairs by group support (see
+    :func:`pair_supports` for the dataflow); two-phase top-k — the
+    min_support filter runs distributed, only per-block heads reach
+    the final fold."""
+    counts = pair_supports(ds, group=group, item=item,
+                           max_basket=max_basket)
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         d = df[df["support"] >= min_support]
@@ -81,3 +94,65 @@ def frequent_pairs(ds, *, group: str, item: str, min_support: int = 2,
     return (partials.sort_values(["support", "p1", "p2"],
                                  ascending=[False, True, True])
             .head(k).reset_index(drop=True))
+
+
+def jaccard_neighbors(ds, *, group: str, item: str, min_common: int = 2,
+                      k: int = 20, max_basket: int | None = None):
+    """Common-neighbor link prediction over a bipartite observation
+    table: for each item pair, ``jaccard = |groups(p1) ∩ groups(p2)| /
+    |groups(p1) ∪ groups(p2)|``, top-k by (jaccard DESC, p1, p2) among
+    pairs with ≥ ``min_common`` shared groups — the classic
+    neighborhood-similarity scorer (Liben-Nowell & Kleinberg 2003)
+    used to propose KG alias/relatedness edges.
+
+    Intersections reuse the :func:`pair_supports` wedge counting (one
+    range sort, block-local expansion); item degrees are one grouped
+    count; both marginals attach via bounded sorted-merge joins, so
+    the union term is ``d1 + d2 - common`` without a second pass over
+    the data."""
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+    from sigraph_ray.stages.joins import sorted_merge_join
+
+    uniq = ds  # pair_supports dedups inside sorted_collect
+    common = pair_supports(uniq, group=group, item=item,
+                           max_basket=max_basket)
+    # threshold BEFORE the marginal joins: only surviving pairs shuffle
+    common = common.map_batches(
+        lambda df: df[df["support"] >= min_common],
+        batch_format="pandas")
+    deg = sorted_groupby_agg(
+        _distinct_pairs(uniq, group, item),
+        key=item, aggs={"deg": (group, "count")})
+
+    d1 = deg.map_batches(
+        lambda df: df.rename(columns={item: "p1", "deg": "d1"}),
+        batch_format="pandas")
+    d2 = deg.map_batches(
+        lambda df: df.rename(columns={item: "p2", "deg": "d2"}),
+        batch_format="pandas")
+    j1 = sorted_merge_join(common, d1, on="p1",
+                           left_cols=["p2", "support"], right_cols=["d1"])
+    j2 = sorted_merge_join(j1, d2, on="p2",
+                           left_cols=["p1", "support", "d1"],
+                           right_cols=["d2"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        d = df
+        c = d["support"].to_numpy(np.float64)
+        union = (d["d1"].to_numpy(np.float64)
+                 + d["d2"].to_numpy(np.float64) - c)
+        out = pd.DataFrame({"p1": d["p1"], "p2": d["p2"],
+                            "common": d["support"].astype("int64"),
+                            "jaccard": c / union})
+        return out.sort_values(["jaccard", "p1", "p2"],
+                               ascending=[False, True, True]).head(k)
+
+    partials = j2.map_batches(score, batch_format="pandas").to_pandas()
+    return (partials.sort_values(["jaccard", "p1", "p2"],
+                                 ascending=[False, True, True])
+            .head(k).reset_index(drop=True))
+
+
+def _distinct_pairs(ds, group: str, item: str):
+    from sigraph_ray.stages.collect import sorted_distinct
+    return sorted_distinct(ds, [group, item])

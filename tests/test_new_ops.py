@@ -609,3 +609,102 @@ def test_gazetteer_mentions_counts_and_boundaries(ray_session):
     got = {r.term: (r.n_mentions, r.n_docs) for r in out.itertuples()}
     assert got == {"table scan": (3, 2), "scan": (3, 2),
                    "ghost": (0, 0)}
+
+
+def _emb_frame(n=120, d=6, seed=3):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, d) * np.linspace(3.0, 0.5, d)  # distinct spectrum
+    y = (x[:, 0] > 0).astype("int64") + 2 * (x[:, 1] > 0).astype("int64")
+    return pd.DataFrame({"vec_id": np.arange(n),
+                         "embedding": [r.astype("float32") for r in x],
+                         "label": y})
+
+
+def test_covariance_matrix_vs_numpy(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.linalg import covariance_matrix
+
+    df = _emb_frame()
+    out = covariance_matrix(
+        rd.from_pandas(df).repartition(5)).to_pandas()
+    x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    want = np.cov(x, rowvar=False, ddof=1)
+    assert len(out) == 6 * 7 // 2
+    for r in out.itertuples():
+        assert abs(r.cov - want[r.i - 1, r.j - 1]) < 1e-9
+
+
+def test_pca_project_vs_numpy(ray_session):
+    """Distributed PCA equals the single-process eigendecomposition
+    under the same sign convention; components capture decreasing
+    variance."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.linalg import pca_project
+
+    df = _emb_frame()
+    got = (pca_project(rd.from_pandas(df).repartition(5),
+                       n_components=3)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    xc = x - x.mean(axis=0)
+    w, v = np.linalg.eigh(np.cov(x, rowvar=False, ddof=1))
+    order = np.argsort(w)[::-1][:3]
+    comps = v[:, order]
+    comps = comps * np.sign(comps[np.abs(comps).argmax(axis=0),
+                                  np.arange(3)])
+    want = xc @ comps
+    np.testing.assert_allclose(
+        got[["pc1", "pc2", "pc3"]].to_numpy(), want, atol=1e-8)
+    vars_ = got[["pc1", "pc2", "pc3"]].var().to_numpy()
+    assert vars_[0] > vars_[1] > vars_[2]
+
+
+def test_softmax_train_vs_numpy(ray_session):
+    """Distributed full-batch GD matches the single-process loop
+    step-for-step and learns (accuracy strictly improves on a
+    separable planted labeling)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.linalg import softmax_train
+
+    df = _emb_frame()
+    norms, hist, (w_got, b_got) = softmax_train(
+        rd.from_pandas(df).repartition(4), n_classes=4,
+        lr=0.5, epochs=15)
+
+    x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    y = df["label"].to_numpy()
+    w = np.zeros((6, 4)); b = np.zeros(4)
+    for _ in range(15):
+        z = x @ w + b
+        z -= z.max(axis=1, keepdims=True)
+        p = np.exp(z); p /= p.sum(axis=1, keepdims=True)
+        oh = np.zeros_like(p); oh[np.arange(len(y)), y] = 1.0
+        w -= 0.5 * (x.T @ (p - oh)) / len(y)
+        b -= 0.5 * (p - oh).sum(axis=0) / len(y)
+    np.testing.assert_allclose(w_got, w, atol=1e-8)
+    np.testing.assert_allclose(b_got, b, atol=1e-8)
+    assert hist["accuracy"].iloc[-1] > hist["accuracy"].iloc[0]
+    assert hist["loss"].iloc[-1] < hist["loss"].iloc[0]
+    assert len(norms) == 4
+
+
+def test_jaccard_neighbors_hand_values(ray_session):
+    """groups: a∈{1,2,3}, b∈{1,2,4}, c∈{1,2}: J(a,b)=2/4, J(a,c)=2/3,
+    J(b,c)=2/3 — ranked by (jaccard DESC, p1, p2)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.itemsets import jaccard_neighbors
+
+    rows = [(1, "a"), (2, "a"), (3, "a"),
+            (1, "b"), (2, "b"), (4, "b"),
+            (1, "c"), (2, "c")]
+    ds = rd.from_pandas(pd.DataFrame(rows, columns=["g", "i"])).repartition(3)
+    out = jaccard_neighbors(ds, group="g", item="i", min_common=2, k=10)
+    got = [(r.p1, r.p2, r.common, round(r.jaccard, 9))
+           for r in out.itertuples()]
+    assert got == [("a", "c", 2, round(2 / 3, 9)),
+                   ("b", "c", 2, round(2 / 3, 9)),
+                   ("a", "b", 2, 0.5)]
