@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": Q.q_pca_embeddings,
         "softmax_train": Q.q_softmax_train,
         "ip_jaccard": Q.q_ip_jaccard,
+        "association_rules": Q.q_association_rules,
+        "mention_snippets": Q.q_mention_snippets,
+        "knn_label_agreement": Q.q_knn_label_agreement,
         "percent_rank": Q.q_percent_rank,
         "approx_term_topk": Q.q_approx_term_topk,
         "tfidf_keywords": Q.q_tfidf_keywords,
@@ -274,6 +277,9 @@ def oracle_sql() -> dict[str, str]:
         "chi2_type_weekday": Q.SQL_CHI2_TYPE_WEEKDAY,
         "embed_covariance": Q.SQL_EMBED_COVARIANCE,
         "ip_jaccard": Q.SQL_IP_JACCARD,
+        "association_rules": Q.SQL_ASSOCIATION_RULES,
+        "mention_snippets": Q.SQL_MENTION_SNIPPETS,
+        "knn_label_agreement": Q.SQL_KNN_LABEL_AGREEMENT,
         "percent_rank": Q.SQL_PERCENT_RANK,
         "tfidf_keywords": Q.SQL_TFIDF_KEYWORDS,
         "inverted_index": Q.SQL_INVERTED_INDEX,

@@ -5207,3 +5207,153 @@ SELECT i.p1, i.p2, i.common,
 FROM inter i JOIN deg d1 ON i.p1 = d1.ip JOIN deg d2 ON i.p2 = d2.ip
 ORDER BY jaccard DESC, p1, p2 LIMIT 20
 """
+
+
+def q_association_rules(sf_dir: str):
+    """Directed association rules over order baskets
+    (stages/itemsets.association_rules): top-20 part→part rules by
+    lift with support ≥ 2 — the co-occurrence edge WEIGHTING step
+    after pair mining."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.itemsets import association_rules
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    return association_rules(ds, group="l_orderkey", item="l_partkey",
+                             min_support=2, k=20)
+
+
+SQL_ASSOCIATION_RULES = """
+WITH pi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nn AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n FROM pi),
+deg AS (SELECT l_partkey, count(*) AS d FROM pi GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS c
+  FROM pi a JOIN pi b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), dir AS (
+  SELECT p1 AS ant, p2 AS cons, c FROM pairs
+  UNION ALL SELECT p2, p1, c FROM pairs
+)
+SELECT ant, cons, c AS support,
+       CAST(c AS DOUBLE) / da.d AS confidence,
+       CAST(c AS DOUBLE) * nn.n / (da.d * dc.d) AS lift
+FROM dir JOIN deg da ON dir.ant = da.l_partkey
+         JOIN deg dc ON dir.cons = dc.l_partkey, nn
+ORDER BY lift DESC, ant, cons LIMIT 20
+"""
+
+
+def q_mention_snippets(sf_dir: str):
+    """Evidence-snippet extraction (stages/textstats.mention_snippets):
+    first-occurrence KWIC window per (gazetteer term, document) —
+    the provenance column a KG keeps so every mined edge cites its
+    source span."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import mention_snippets
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return mention_snippets(ds, ["hash join", "table scan", "spark"],
+                            window=20, k=100)
+
+
+SQL_MENTION_SNIPPETS = """
+WITH terms(term) AS (VALUES ('hash join'), ('spark'), ('table scan')),
+hits AS (
+  SELECT t.term, d.doc_id,
+         strpos(lower(d.text), t.term) AS pos, d.text
+  FROM terms t, documents d
+  WHERE strpos(lower(d.text), t.term) > 0
+)
+SELECT term, doc_id, pos,
+       substr(text, greatest(pos - 20, 1),
+              pos + len(term) + 20 - greatest(pos - 20, 1)) AS snippet
+FROM hits ORDER BY term, doc_id LIMIT 100
+"""
+
+
+def q_knn_label_agreement(sf_dir: str):
+    """Label-noise screen: per-label mean fraction of each vector's
+    top-5 cosine neighbors sharing its label (kNN agreement — the
+    standard label-quality signal for curating classification data).
+    Composes the exact all-pairs kNN with two bounded sorted-merge
+    label joins and one grouped fold."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+    from sigraph_ray.stages.joins import sorted_merge_join
+    from sigraph_ray.stages.similarity import knn_self_join
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"])
+    knn = knn_self_join(
+        emb.drop_columns(["label"]), k=5)      # vec_id, rank, nbr_id
+    labels = emb.map_batches(
+        lambda df: pd.DataFrame({"vec_id": df["vec_id"],
+                                 "label": df["label"].astype("int64")}),
+        batch_format="pandas")
+
+    own = labels
+    nbr = labels.map_batches(
+        lambda df: df.rename(columns={"vec_id": "nbr_id",
+                                      "label": "nbr_label"}),
+        batch_format="pandas")
+    j1 = sorted_merge_join(knn, own, on="vec_id",
+                           left_cols=["rank", "nbr_id"],
+                           right_cols=["label"])
+    j2 = sorted_merge_join(j1, nbr, on="nbr_id",
+                           left_cols=["vec_id", "rank", "label"],
+                           right_cols=["nbr_label"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "label": df["label"],
+            "same": (df["label"] == df["nbr_label"]).astype("int64"),
+            "one": np.ones(len(df), dtype="int64"),
+            "first": (df["rank"] == 1).astype("int64")})
+
+    agg = sorted_groupby_agg(
+        j2.map_batches(partial, batch_format="pandas"),
+        key="label",
+        aggs={"same": ("same", "sum"), "one": ("one", "sum"),
+              "first": ("first", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "label": df["label"].astype("int64"),
+            "n_vecs": df["first"].astype("int64"),
+            "mean_agreement": df["same"].to_numpy(np.float64)
+            / df["one"].to_numpy(np.float64)})
+            .sort_values("label").reset_index(drop=True))
+
+    return finish(agg.to_pandas())
+
+
+SQL_KNN_LABEL_AGREEMENT = """
+WITH scored AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         round(list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])), 9) AS cos
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, nbr_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, nbr_id ASC) AS rank
+  FROM scored
+), knn AS (SELECT vec_id, nbr_id, rank FROM ranked WHERE rank <= 5),
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings)
+SELECT la.label,
+       CAST(sum(CASE WHEN k.rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_vecs,
+       CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*) AS mean_agreement
+FROM knn k JOIN lab la ON k.vec_id = la.vec_id
+           JOIN lab lb ON k.nbr_id = lb.vec_id
+GROUP BY 1 ORDER BY 1
+"""

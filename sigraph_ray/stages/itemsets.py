@@ -156,3 +156,64 @@ def jaccard_neighbors(ds, *, group: str, item: str, min_common: int = 2,
 def _distinct_pairs(ds, group: str, item: str):
     from sigraph_ray.stages.collect import sorted_distinct
     return sorted_distinct(ds, [group, item])
+
+
+def association_rules(ds, *, group: str, item: str, min_support: int = 2,
+                      k: int = 20, max_basket: int | None = None):
+    """Directed association rules (Agrawal & Srikant, VLDB'94 — the
+    pair case): for every supported pair, both rule directions with
+    ``confidence = supp(a∪c)/supp(a)`` and
+    ``lift = confidence / (supp(c)/N)``; top-k by (lift DESC, ant,
+    cons). Reuses :func:`pair_supports` wedge counting; item marginals
+    attach as bounded sorted-merge joins and the basket count N is one
+    distributed distinct-count — the fact table is scanned once per
+    marginal, never joined to itself."""
+    from sigraph_ray.stages.collect import sorted_distinct, sorted_groupby_agg
+    from sigraph_ray.stages.joins import sorted_merge_join
+
+    supports = pair_supports(ds, group=group, item=item,
+                             max_basket=max_basket)
+    supports = supports.map_batches(
+        lambda df: df[df["support"] >= min_support],
+        batch_format="pandas")
+    deg = sorted_groupby_agg(
+        _distinct_pairs(ds, group, item),
+        key=item, aggs={"deg": (group, "count")})
+    n_groups = float(sorted_distinct(ds, [group]).count())
+
+    # both rule directions from the p1<p2 support table
+    directed = supports.map_batches(
+        lambda df: pd.concat([
+            df.rename(columns={"p1": "ant", "p2": "cons"}),
+            df.rename(columns={"p2": "ant", "p1": "cons"})],
+            ignore_index=True)[["ant", "cons", "support"]],
+        batch_format="pandas")
+
+    da = deg.map_batches(
+        lambda df: df.rename(columns={item: "ant", "deg": "da"}),
+        batch_format="pandas")
+    dc = deg.map_batches(
+        lambda df: df.rename(columns={item: "cons", "deg": "dc"}),
+        batch_format="pandas")
+    j1 = sorted_merge_join(directed, da, on="ant",
+                           left_cols=["cons", "support"],
+                           right_cols=["da"])
+    j2 = sorted_merge_join(j1, dc, on="cons",
+                           left_cols=["ant", "support", "da"],
+                           right_cols=["dc"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["support"].to_numpy(np.float64)
+        da_ = df["da"].to_numpy(np.float64)
+        dc_ = df["dc"].to_numpy(np.float64)
+        out = pd.DataFrame({"ant": df["ant"], "cons": df["cons"],
+                            "support": df["support"].astype("int64"),
+                            "confidence": c / da_,
+                            "lift": c * n_groups / (da_ * dc_)})
+        return out.sort_values(["lift", "ant", "cons"],
+                               ascending=[False, True, True]).head(k)
+
+    partials = j2.map_batches(score, batch_format="pandas").to_pandas()
+    return (partials.sort_values(["lift", "ant", "cons"],
+                                 ascending=[False, True, True])
+            .head(k).reset_index(drop=True))

@@ -594,3 +594,53 @@ def gazetteer_mentions(ds, terms: list[str], *,
               "n_docs": ("n_docs", "sum")}).to_pandas()
     out = out.sort_values("term").reset_index(drop=True)
     return out.astype({"n_mentions": "int64", "n_docs": "int64"})
+
+
+def mention_snippets(ds, terms: list[str], *, text_col: str = "text",
+                     id_col: str = "doc_id", window: int = 20,
+                     k: int = 100) -> pd.DataFrame:
+    """Evidence-snippet (KWIC) extraction — the provenance step of KG
+    construction that keeps a context window around each matched
+    dictionary phrase so every extracted edge can cite its evidence
+    (reference analog: the matched raw Sigma documents kept alongside
+    MATCHES edges, stages/syslog.py).
+
+    For each (term, doc) with ≥1 occurrence: the FIRST occurrence's
+    1-based position and a ±``window``-char snippet. Plain substring
+    semantics (no word boundary) so the SQL oracle is exactly
+    ``strpos``/``substr``. Vectorized ``Series.str.find`` per term per
+    block; global order (term, id) with a two-phase top-k so only
+    per-block heads reach the bounded final fold."""
+    terms = sorted(terms)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        low = df[text_col].str.lower()
+        outs = []
+        for t in terms:
+            pos0 = low.str.find(t)
+            hit = pos0 >= 0
+            if not hit.any():
+                continue
+            pos = pos0[hit] + 1                      # 1-based like strpos
+            start = (pos - window).clip(lower=1)
+            length = pos + len(t) + window - start   # chars through +window
+            txt = df.loc[hit, text_col]
+            snip = [s[st - 1:st - 1 + ln] for s, st, ln
+                    in zip(txt, start, length)]
+            outs.append(pd.DataFrame({
+                "term": t,
+                id_col: df.loc[hit, id_col].to_numpy(),
+                "pos": pos.to_numpy().astype("int64"),
+                "snippet": snip}))
+        if not outs:
+            return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                 id_col: pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64"),
+                                 "snippet": pd.Series(dtype="object")})
+        return (pd.concat(outs, ignore_index=True)
+                .sort_values(["term", id_col]).head(k))
+
+    partials = (ds.map_batches(partial, batch_format="pandas")
+                .to_pandas())
+    return (partials.sort_values(["term", id_col])
+            .head(k).reset_index(drop=True))

@@ -708,3 +708,52 @@ def test_jaccard_neighbors_hand_values(ray_session):
     assert got == [("a", "c", 2, round(2 / 3, 9)),
                    ("b", "c", 2, round(2 / 3, 9)),
                    ("a", "b", 2, 0.5)]
+
+
+def test_association_rules_hand_values(ray_session):
+    """N=5 baskets {ab, ab, ac, ac, b}: supp(a)=4, supp(b)=3,
+    supp(c)=2, supp(ab)=supp(ac)=2 → lift(a,b)=2·5/(4·3)=5/6,
+    lift(a,c)=2·5/(4·2)=1.25; directions share lift but not
+    confidence (conf(c→a)=1 vs conf(a→c)=0.5)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.itemsets import association_rules
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"), (4, "a"), (4, "c"),
+            (5, "b"), (3, "a")]            # dup inside basket ignored
+    ds = rd.from_pandas(pd.DataFrame(rows, columns=["g", "i"])).repartition(3)
+    out = association_rules(ds, group="g", item="i",
+                            min_support=2, k=10)
+    got = {(r.ant, r.cons): (r.support, round(r.confidence, 9),
+                             round(r.lift, 9)) for r in out.itertuples()}
+    assert got == {
+        ("a", "b"): (2, 0.5, round(5 / 6, 9)),
+        ("b", "a"): (2, round(2 / 3, 9), round(5 / 6, 9)),
+        ("a", "c"): (2, 0.5, 1.25),
+        ("c", "a"): (2, 1.0, 1.25),
+    }
+    # ranked by lift first
+    assert round(out.iloc[0]["lift"], 9) == 1.25
+
+
+def test_mention_snippets_positions_and_windows(ray_session):
+    """First-occurrence position is 1-based; the window clamps at the
+    string start; case-insensitive match returns the ORIGINAL text."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import mention_snippets
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["Spark at start", "no match here",
+                 "x" * 30 + " spark tail spark"]})
+    out = mention_snippets(rd.from_pandas(docs).repartition(2),
+                           ["spark"], window=5, k=10)
+    got = {r.doc_id: (r.pos, r.snippet) for r in out.itertuples()}
+    # doc 1: pos 1, window clamps to start, extends 5 past the term
+    assert got[1] == (1, "Spark at s")
+    # doc 3: first occurrence only (pos 32 — 30 x's + the space),
+    # window covers chars 27..41: 4 x's, the space, term, " tail"
+    assert got[3] == (32, "xxxx spark tail")
+    assert 2 not in got
