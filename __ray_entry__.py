@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "association_rules": Q.q_association_rules,
         "mention_snippets": Q.q_mention_snippets,
         "knn_label_agreement": Q.q_knn_label_agreement,
+        "bm25_topk": Q.q_bm25_topk,
+        "user_trigrams": Q.q_user_trigrams,
         "percent_rank": Q.q_percent_rank,
         "approx_term_topk": Q.q_approx_term_topk,
         "tfidf_keywords": Q.q_tfidf_keywords,
@@ -280,6 +282,8 @@ def oracle_sql() -> dict[str, str]:
         "association_rules": Q.SQL_ASSOCIATION_RULES,
         "mention_snippets": Q.SQL_MENTION_SNIPPETS,
         "knn_label_agreement": Q.SQL_KNN_LABEL_AGREEMENT,
+        "bm25_topk": Q.SQL_BM25_TOPK,
+        "user_trigrams": Q.SQL_USER_TRIGRAMS,
         "percent_rank": Q.SQL_PERCENT_RANK,
         "tfidf_keywords": Q.SQL_TFIDF_KEYWORDS,
         "inverted_index": Q.SQL_INVERTED_INDEX,

@@ -5357,3 +5357,106 @@ FROM knn k JOIN lab la ON k.vec_id = la.vec_id
            JOIN lab lb ON k.nbr_id = lb.vec_id
 GROUP BY 1 ORDER BY 1
 """
+
+
+BM25_QUERY_TERMS = ["spark", "window", "hash", "join"]
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 retrieval (stages/textstats.bm25_topk): top-20 documents
+    for a broadcast 4-term query — one tokenizing scan, scalar-fold
+    corpus statistics, closure-broadcast idf, two-phase top-k."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import bm25_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bm25_topk(ds, BM25_QUERY_TERMS, k=20)
+
+
+SQL_BM25_TOPK = r"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl,
+         len(regexp_extract_all(lower(text), '\bspark\b'))  AS tf_spark,
+         len(regexp_extract_all(lower(text), '\bwindow\b')) AS tf_window,
+         len(regexp_extract_all(lower(text), '\bhash\b'))   AS tf_hash,
+         len(regexp_extract_all(lower(text), '\bjoin\b'))   AS tf_join
+  FROM documents
+), g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(dl AS DOUBLE)) / count(*) AS avgdl,
+         CAST(sum(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+         CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_window,
+         CAST(sum(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_hash,
+         CAST(sum(CASE WHEN tf_join   > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_join
+  FROM s
+)
+SELECT doc_id,
+       ln(1 + (n - df_spark + 0.5) / (df_spark + 0.5))
+         * tf_spark / (tf_spark + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+     + ln(1 + (n - df_window + 0.5) / (df_window + 0.5))
+         * tf_window / (tf_window + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+     + ln(1 + (n - df_hash + 0.5) / (df_hash + 0.5))
+         * tf_hash / (tf_hash + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+     + ln(1 + (n - df_join + 0.5) / (df_join + 0.5))
+         * tf_join / (tf_join + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+       AS score
+FROM s, g
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def q_user_trigrams(sf_dir: str):
+    """Top-20 per-user event-type trigrams (behavioral sequence
+    motifs): one sorted_collect co-locates each user's ordered
+    sequence, n-grams expand vectorized per block (the PMI shift
+    pattern), one grouped-sum stitch, two-phase top-k."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_collect, sorted_groupby_sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "event_type"])
+    seqs = sorted_collect(ev, key="user_id", order_col="event_id",
+                          value="event_type")
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"gram": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        s = df["values"].explode().dropna().astype(str)
+        g2 = s.groupby(level=0).shift(-1)
+        g3 = s.groupby(level=0).shift(-2)
+        gram = (s + ">" + g2 + ">" + g3).dropna()
+        vc = gram.value_counts()
+        return pd.DataFrame({"gram": vc.index.astype(str),
+                             "c": vc.to_numpy().astype("int64")})
+
+    counts = sorted_groupby_sum(
+        seqs.map_batches(grams, batch_format="pandas"),
+        key="gram", sum_cols={"cnt": "c"})
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["cnt", "gram"],
+                               ascending=[False, True]).head(20)
+                .astype({"cnt": "int64"}))
+
+    partials = counts.map_batches(topk, batch_format="pandas").to_pandas()
+    return (partials.sort_values(["cnt", "gram"],
+                                 ascending=[False, True])
+            .head(20).reset_index(drop=True))
+
+
+SQL_USER_TRIGRAMS = """
+WITH g AS (
+  SELECT event_type || '>'
+         || lead(event_type, 1) OVER w || '>'
+         || lead(event_type, 2) OVER w AS gram
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT gram, count(*) AS cnt FROM g WHERE gram IS NOT NULL
+GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 20
+"""

@@ -644,3 +644,65 @@ def mention_snippets(ds, terms: list[str], *, text_col: str = "text",
                 .to_pandas())
     return (partials.sort_values(["term", id_col])
             .head(k).reset_index(drop=True))
+
+
+def bm25_topk(ds, query_terms: list[str], *, k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text",
+              id_col: str = "doc_id") -> pd.DataFrame:
+    """BM25 document ranking (Robertson & Zaragoza 2009) for one
+    broadcast query — the retrieval scorer a RAG / dedup-aware corpus
+    pipeline runs next to embedding search:
+    ``score = Σ_t idf_t · tf/(tf + k1·(1−b+b·dl/avgdl))`` with
+    ``idf = ln(1 + (N−df+0.5)/(df+0.5))``.
+
+    Dataflow: ONE tokenizing scan emits per-doc (dl, tf_t…) rows,
+    materialized once for two consumers; the corpus statistics
+    (N, Σdl, df_t) fold from per-block partials (|terms|+2 scalars
+    each); idf/avgdl broadcast back by closure for the scoring pass;
+    top-k is two-phase. Token-exact term matching (word-bounded regex
+    count — 'join' does not hit 'joins')."""
+    import re
+
+    terms = list(query_terms)
+    rxs = [(t, re.compile(r"\b" + re.escape(t) + r"\b")) for t in terms]
+    tok = re.compile(_WORD_RE)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        low = df[text_col].str.lower()
+        out = {id_col: df[id_col].to_numpy(),
+               "dl": low.str.count(tok).to_numpy().astype("int64")}
+        for t, rx in rxs:
+            out[f"tf_{t}"] = low.str.count(rx).to_numpy().astype("int64")
+        return pd.DataFrame(out)
+
+    per_doc = ds.map_batches(stats, batch_format="pandas").materialize()
+
+    def fold_partial(df: pd.DataFrame) -> pd.DataFrame:
+        row = {"n": float(len(df)), "sum_dl": float(df["dl"].sum())}
+        for t in terms:
+            row[f"df_{t}"] = float((df[f"tf_{t}"] > 0).sum())
+        return pd.DataFrame([row])
+
+    g = (per_doc.map_batches(fold_partial, batch_format="pandas")
+         .to_pandas().sum())
+    n, avgdl = float(g["n"]), float(g["sum_dl"]) / float(g["n"])
+    idf = {t: float(np.log(1.0 + (n - g[f"df_{t}"] + 0.5)
+                           / (g[f"df_{t}"] + 0.5))) for t in terms}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dl = df["dl"].to_numpy(np.float64)
+        denom_base = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(len(df))
+        for t in terms:
+            tf = df[f"tf_{t}"].to_numpy(np.float64)
+            s += idf[t] * tf / (tf + denom_base)
+        out = pd.DataFrame({id_col: df[id_col], "score": s})
+        return out.sort_values(["score", id_col],
+                               ascending=[False, True]).head(k)
+
+    partials = (per_doc.map_batches(score, batch_format="pandas")
+                .to_pandas())
+    return (partials.sort_values(["score", id_col],
+                                 ascending=[False, True])
+            .head(k).reset_index(drop=True))

@@ -757,3 +757,75 @@ def test_mention_snippets_positions_and_windows(ray_session):
     # window covers chars 27..41: 4 x's, the space, term, " tail"
     assert got[3] == (32, "xxxx spark tail")
     assert 2 not in got
+
+
+def test_bm25_hand_values(ray_session):
+    """BM25 against an independent Counter-based computation on a tiny
+    corpus; token-exact matching ('join' must not hit 'joins')."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import bm25_topk
+
+    docs = ["spark join spark", "joins only here", "spark and nothing",
+            "join join join join", "totally unrelated text"]
+    terms = ["spark", "join"]
+    out = bm25_topk(
+        rd.from_pandas(pd.DataFrame({"doc_id": range(5), "text": docs}))
+        .repartition(3), terms, k=5)
+
+    toks = [d.split() for d in docs]
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks) / n
+    want = {}
+    for i, ts in enumerate(toks):
+        c = Counter(ts)
+        s = 0.0
+        for t in terms:
+            df_t = sum(1 for tt in toks if t in tt)
+            idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+            tf = c[t]
+            s += idf * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * len(ts) / avgdl))
+        want[i] = s
+    got = dict(zip(out["doc_id"], out["score"]))
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-12, i
+    # doc 1 ('joins only here') scores 0 — token-exact
+    assert abs(got[1]) < 1e-12
+    # tf saturation: the two-term doc beats four repeats of one term
+    assert out.iloc[0]["doc_id"] == 0
+    assert want[0] > want[3] > 0
+
+
+def test_user_trigrams_hand_counts(ray_session):
+    """Trigram counts respect per-user ordering and never cross
+    users."""
+    import ray.data as rd
+    from sigraph_ray.pipelines.queries import q_user_trigrams  # noqa: F401
+    from sigraph_ray.stages.collect import sorted_collect, sorted_groupby_sum
+
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2, 2],
+        "event_id": [1, 2, 3, 4, 5, 6, 7],
+        "event_type": ["a", "b", "a", "b", "a", "b", "a"]})
+    seqs = sorted_collect(rd.from_pandas(ev).repartition(3),
+                          key="user_id", order_col="event_id",
+                          value="event_type")
+
+    def grams(df):
+        s = df["values"].explode().dropna().astype(str)
+        g2 = s.groupby(level=0).shift(-1)
+        g3 = s.groupby(level=0).shift(-2)
+        gram = (s + ">" + g2 + ">" + g3).dropna()
+        vc = gram.value_counts()
+        return pd.DataFrame({"gram": vc.index.astype(str),
+                             "c": vc.to_numpy().astype("int64")})
+
+    out = sorted_groupby_sum(
+        seqs.map_batches(grams, batch_format="pandas"),
+        key="gram", sum_cols={"cnt": "c"}).to_pandas()
+    got = dict(zip(out["gram"], out["cnt"].astype(int)))
+    # user1: a>b>a, b>a>b; user2: a>b>a — no cross-user b>a>a etc.
+    assert got == {"a>b>a": 2, "b>a>b": 1}
