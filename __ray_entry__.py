@@ -144,6 +144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_agreement": Q.q_knn_label_agreement,
         "bm25_topk": Q.q_bm25_topk,
         "user_trigrams": Q.q_user_trigrams,
+        "recency_score": Q.q_recency_score,
+        "winsorized_value": Q.q_winsorized_value,
+        "hits_cooccur": Q.q_hits_cooccur,
         "percent_rank": Q.q_percent_rank,
         "approx_term_topk": Q.q_approx_term_topk,
         "tfidf_keywords": Q.q_tfidf_keywords,
@@ -284,6 +287,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_label_agreement": Q.SQL_KNN_LABEL_AGREEMENT,
         "bm25_topk": Q.SQL_BM25_TOPK,
         "user_trigrams": Q.SQL_USER_TRIGRAMS,
+        "recency_score": Q.SQL_RECENCY_SCORE,
+        "winsorized_value": Q.SQL_WINSORIZED_VALUE,
         "percent_rank": Q.SQL_PERCENT_RANK,
         "tfidf_keywords": Q.SQL_TFIDF_KEYWORDS,
         "inverted_index": Q.SQL_INVERTED_INDEX,

@@ -5460,3 +5460,95 @@ WITH g AS (
 SELECT gram, count(*) AS cnt FROM g WHERE gram IS NOT NULL
 GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 20
 """
+
+
+def q_recency_score(sf_dir: str):
+    """Exponential-decay recency-weighted activity per user (τ = 1
+    day) — the freshness prior a crawl/training pipeline attaches to
+    sources. One scalar fold finds the corpus max timestamp; one
+    combiner pass sums decayed weights per user (µs-exact deltas so
+    the SQL twin matches bit-for-bit)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    tmax = ds.max("ts")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dt_us = (tmax - df["ts"]).to_numpy() \
+            .astype("timedelta64[us]").astype("int64")
+        w = np.exp(-dt_us.astype(np.float64) / 86400000000.0)
+        g = (pd.DataFrame({"user_id": df["user_id"], "w": w})
+             .groupby("user_id", sort=False)["w"].sum().reset_index())
+        return g
+
+    out = sorted_groupby_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        key="user_id", sum_cols={"recency": "w"}).to_pandas()
+    return (out.sort_values("user_id").reset_index(drop=True)
+            .astype({"user_id": "int64"}))
+
+
+SQL_RECENCY_SCORE = """
+WITH m AS (SELECT max(ts) AS tmax FROM events)
+SELECT user_id,
+       sum(exp(-CAST(date_diff('microsecond', ts, m.tmax) AS DOUBLE)
+               / 86400000000.0)) AS recency
+FROM events, m GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_winsorized_value(sf_dir: str):
+    """Winsorized mean of the event value column: exact distributed
+    p01/p99 (stages/quantiles.exact_quantiles — the quantile_disc
+    rule) broadcast as clip bounds into one moment-fold pass. The
+    outlier-robust rescaling step of numeric feature curation."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.quantiles import exact_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    qv = exact_quantiles(ds, "value", [0.01, 0.99])
+    lo, hi = float(qv["value"].iloc[0]), float(qv["value"].iloc[1])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64).clip(lo, hi)
+        return pd.DataFrame({"s": [v.sum()], "n": [float(len(v))]})
+
+    g = (ds.map_batches(partial, batch_format="pandas")
+         .to_pandas().sum())
+    return pd.DataFrame({"lo": [lo], "hi": [hi],
+                         "wins_mean": [float(g["s"]) / float(g["n"])],
+                         "n": [int(g["n"])]})
+
+
+SQL_WINSORIZED_VALUE = """
+WITH q AS (
+  SELECT quantile_disc(value, 0.01) AS lo,
+         quantile_disc(value, 0.99) AS hi
+  FROM events
+)
+SELECT q.lo AS lo, q.hi AS hi,
+       avg(CASE WHEN value < q.lo THEN q.lo
+                WHEN value > q.hi THEN q.hi ELSE value END) AS wins_mean,
+       count(*) AS n
+FROM events, q GROUP BY q.lo, q.hi
+"""
+
+
+def q_hits_cooccur(sf_dir: str):
+    """HITS hubs/authorities (stages/graphalgo.hits, broadcast tier)
+    over the provenance edge table — process hubs vs artifact
+    authorities. Rows-only: iterative/fixed-point, not
+    SQL-expressible; the pytest gate matches a dense power iteration
+    iteration-exactly."""
+    from sigraph_ray.stages import provenance_graph as G
+    from sigraph_ray.stages.graphalgo import hits
+
+    parsed = _parsed_events(sf_dir)
+    ok, _ = G.split_quarantine(parsed)
+    edges = G.build_edges(ok)
+    out = hits(edges, src="src", dst="dst", n_iter=10)
+    return out.sort_values("node").reset_index(drop=True)

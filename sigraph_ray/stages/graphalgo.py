@@ -416,3 +416,70 @@ def khop_min_dist(edges, *, seed, k: int, src: str = "src",
                                   aggs={"dist": ("dist", "min")})
         dist = dist.materialize()  # pin: next round reads it twice
     return dist
+
+
+def hits(edges, *, src: str = "src", dst: str = "dst",
+         n_iter: int = 20):
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over a directed
+    edge Dataset → (node, hub, authority) DataFrame, each vector
+    L2-normalized. Same tiering contract as :func:`pagerank`'s
+    broadcast tier: the per-node score vector is the broadcast-bound
+    state (``ray.put`` once per half-iteration, read by every task),
+    edges stream per pass, per-block contributions are one groupby —
+    the edge set never co-locates. Beyond the single-vector bound,
+    the documented upgrade is the pagerank join tier (score attach by
+    sorted-merge join); semantics identical.
+
+    Deterministic: fixed iteration count, zero-init-to-uniform,
+    float64; parallel edges count once each (weighted multigraph
+    semantics, matching the dense-matrix reference)."""
+    import ray
+
+    pair = edges.map_batches(
+        lambda t: pa.table({"src": t.column(src).cast(pa.string()),
+                            "dst": t.column(dst).cast(pa.string())}),
+        batch_format="pyarrow").materialize()
+
+    from sigraph_ray.stages.collect import sorted_distinct
+
+    srcs = pair.map_batches(lambda t: pa.table(
+        {"node": t.column("src")}), batch_format="pyarrow")
+    dsts = pair.map_batches(lambda t: pa.table(
+        {"node": t.column("dst")}), batch_format="pyarrow")
+    nodes_df = sorted_distinct(srcs.union(dsts), ["node"]).to_pandas()
+    if not len(nodes_df):
+        return pd.DataFrame({"node": pd.Series(dtype="object"),
+                             "hub": pd.Series(dtype="float64"),
+                             "authority": pd.Series(dtype="float64")})
+    nodes = np.sort(nodes_df["node"].to_numpy())
+    idx = pd.Index(nodes)
+    n = len(nodes)
+
+    def spread(col_from: str, col_to: str, vec: np.ndarray) -> np.ndarray:
+        """out[v] = Σ_{(u,v) ∈ E oriented col_from→col_to} vec[u]."""
+        vec_ref = ray.put((idx, vec))
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            ix, v = ray.get(vec_ref)
+            s = v[ix.get_indexer(df[col_from].to_numpy())]
+            return (pd.DataFrame({"to": df[col_to].to_numpy(), "c": s})
+                    .groupby("to", sort=False)["c"].sum().reset_index())
+
+        parts = (pair.map_batches(contrib, batch_format="pandas")
+                 .to_pandas())
+        out = np.zeros(n)
+        if len(parts):
+            agg = parts.groupby("to", sort=False)["c"].sum()
+            out[idx.get_indexer(agg.index.to_numpy())] = agg.to_numpy()
+        return out
+
+    hub = np.full(n, 1.0 / np.sqrt(n))
+    auth = np.full(n, 1.0 / np.sqrt(n))
+    for _ in range(n_iter):
+        auth = spread("src", "dst", hub)
+        na = np.linalg.norm(auth)
+        auth = auth / na if na > 0 else auth
+        hub = spread("dst", "src", auth)
+        nh = np.linalg.norm(hub)
+        hub = hub / nh if nh > 0 else hub
+    return pd.DataFrame({"node": nodes, "hub": hub, "authority": auth})

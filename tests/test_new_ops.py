@@ -829,3 +829,32 @@ def test_user_trigrams_hand_counts(ray_session):
     got = dict(zip(out["gram"], out["cnt"].astype(int)))
     # user1: a>b>a, b>a>b; user2: a>b>a — no cross-user b>a>a etc.
     assert got == {"a>b>a": 2, "b>a>b": 1}
+
+
+def test_hits_matches_dense_power_iteration(ray_session):
+    """Distributed HITS equals the dense adjacency-matrix iteration
+    step-for-step (same init, normalization, iteration count), with
+    parallel edges counted once each."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.graphalgo import hits
+
+    edges = pd.DataFrame({
+        "src": ["a", "a", "b", "c", "c", "d", "a"],
+        "dst": ["b", "c", "c", "d", "b", "a", "b"]})  # a→b twice
+    got = (hits(rd.from_pandas(edges).repartition(3), n_iter=8)
+           .sort_values("node").reset_index(drop=True))
+
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    ix = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((4, 4))
+    for s, d in edges.itertuples(index=False):
+        A[ix[s], ix[d]] += 1.0   # multigraph: parallel edges add
+    h = np.full(4, 0.5); a = np.full(4, 0.5)
+    for _ in range(8):
+        a = A.T @ h; a /= np.linalg.norm(a)
+        h = A @ a; h /= np.linalg.norm(h)
+    np.testing.assert_allclose(got["authority"].to_numpy(), a, atol=1e-10)
+    np.testing.assert_allclose(got["hub"].to_numpy(), h, atol=1e-10)
+    # sanity: node b is the strongest authority (3 in-edges incl dup)
+    assert got.loc[got["authority"].idxmax(), "node"] == "b"
