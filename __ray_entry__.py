@@ -147,6 +147,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recency_score": Q.q_recency_score,
         "winsorized_value": Q.q_winsorized_value,
         "hits_cooccur": Q.q_hits_cooccur,
+        "ks_doclen": Q.q_ks_doclen,
+        "vocab_summary": Q.q_vocab_summary,
+        "rrf_hybrid": Q.q_rrf_hybrid,
         "percent_rank": Q.q_percent_rank,
         "approx_term_topk": Q.q_approx_term_topk,
         "tfidf_keywords": Q.q_tfidf_keywords,
@@ -289,6 +292,9 @@ def oracle_sql() -> dict[str, str]:
         "user_trigrams": Q.SQL_USER_TRIGRAMS,
         "recency_score": Q.SQL_RECENCY_SCORE,
         "winsorized_value": Q.SQL_WINSORIZED_VALUE,
+        "ks_doclen": Q.SQL_KS_DOCLEN,
+        "vocab_summary": Q.SQL_VOCAB_SUMMARY,
+        "rrf_hybrid": Q.SQL_RRF_HYBRID,
         "percent_rank": Q.SQL_PERCENT_RANK,
         "tfidf_keywords": Q.SQL_TFIDF_KEYWORDS,
         "inverted_index": Q.SQL_INVERTED_INDEX,

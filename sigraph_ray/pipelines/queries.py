@@ -5552,3 +5552,127 @@ def q_hits_cooccur(sf_dir: str):
     edges = G.build_edges(ok)
     out = hits(edges, src="src", dst="dst", n_iter=10)
     return out.sort_values("node").reset_index(drop=True)
+
+
+def q_ks_doclen(sf_dir: str):
+    """Exact two-sample KS statistic (stages/stats.ks_two_sample)
+    between src0 and src1 document-length distributions — the
+    binning-free drift screen next to PSI."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.stats import ks_two_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["n_chars", "source"])
+    return ks_two_sample(ds, value="n_chars", group="source",
+                         a="src0", b="src1")
+
+
+SQL_KS_DOCLEN = """
+WITH c AS (
+  SELECT n_chars AS v,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c2
+  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1
+), t AS (
+  SELECT CAST(sum(c1) AS DOUBLE) AS n1, CAST(sum(c2) AS DOUBLE) AS n2
+  FROM c
+), e AS (
+  SELECT sum(c1) OVER (ORDER BY v) / t.n1 AS f1,
+         sum(c2) OVER (ORDER BY v) / t.n2 AS f2
+  FROM c, t
+)
+SELECT max(abs(e.f1 - e.f2)) AS ks,
+       CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2
+FROM e, t GROUP BY t.n1, t.n2
+"""
+
+
+def q_vocab_summary(sf_dir: str):
+    """Corpus vocabulary summary (stages/textstats.vocab_summary):
+    distinct terms, hapax legomena, total tokens — Heaps'-law inputs
+    for corpus-health monitoring."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import vocab_summary
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return vocab_summary(ds)
+
+
+SQL_VOCAB_SUMMARY = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), c AS (SELECT term, count(*) AS c FROM toks GROUP BY 1)
+SELECT count(*) AS vocab,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(sum(c) AS BIGINT) AS tokens
+FROM c
+"""
+
+
+def q_rrf_hybrid(sf_dir: str):
+    """Reciprocal-rank fusion (stages/textstats.rrf_fuse) of two BM25
+    rankers' top-50 lists — the hybrid-retrieval merge step; each
+    ranker runs fully distributed, the fuse folds two bounded top-k
+    lists."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import bm25_topk, rrf_fuse
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    a = bm25_topk(ds, ["spark", "join"], k=50)
+    b = bm25_topk(ds, ["window", "hash"], k=50)
+    for r in (a, b):
+        r["rank"] = np.arange(1, len(r) + 1, dtype="int64")
+    return rrf_fuse([a, b], id_col="doc_id", c=60, k=20)
+
+
+SQL_RRF_HYBRID = r"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl,
+         len(regexp_extract_all(lower(text), '\bspark\b'))  AS tf_spark,
+         len(regexp_extract_all(lower(text), '\bjoin\b'))   AS tf_join,
+         len(regexp_extract_all(lower(text), '\bwindow\b')) AS tf_window,
+         len(regexp_extract_all(lower(text), '\bhash\b'))   AS tf_hash
+  FROM documents
+), g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(dl AS DOUBLE)) / count(*) AS avgdl,
+         CAST(sum(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+         CAST(sum(CASE WHEN tf_join   > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_join,
+         CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_window,
+         CAST(sum(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_hash
+  FROM s
+), sa AS (
+  SELECT doc_id,
+         ln(1 + (n - df_spark + 0.5) / (df_spark + 0.5))
+           * tf_spark / (tf_spark + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+       + ln(1 + (n - df_join + 0.5) / (df_join + 0.5))
+           * tf_join / (tf_join + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         AS score
+  FROM s, g
+), sb AS (
+  SELECT doc_id,
+         ln(1 + (n - df_window + 0.5) / (df_window + 0.5))
+           * tf_window / (tf_window + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+       + ln(1 + (n - df_hash + 0.5) / (df_hash + 0.5))
+           * tf_hash / (tf_hash + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         AS score
+  FROM s, g
+), ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM sa QUALIFY r <= 50
+), rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM sb QUALIFY r <= 50
+)
+SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+       coalesce(1.0 / (60 + ra.r), 0) + coalesce(1.0 / (60 + rb.r), 0)
+         AS rrf
+FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 20
+"""

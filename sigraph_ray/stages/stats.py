@@ -175,3 +175,43 @@ def chi2_independence(ds, *, a: str, b: str):
     return (ds.map_batches(partial, batch_format="pandas")
             .repartition(1)
             .map_batches(finish, batch_format="pandas", batch_size=None))
+
+
+def ks_two_sample(ds, *, value: str, group: str, a, b):
+    """Exact two-sample Kolmogorov–Smirnov statistic between groups
+    ``a`` and ``b`` of ``value``: ``ks = max_v |F_a(v) − F_b(v)|``.
+    The fold is per-VALUE grouped counts (distinct-value-sized, not
+    row-sized — one grouped-sum stitch), ECDFs are cumulative sums
+    over that bounded table in one final task. The distribution-drift
+    screen that complements the binned PSI metric with an exact,
+    binning-free answer."""
+    from sigraph_ray.stages.collect import sorted_groupby_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[group].isin([a, b])]
+        out = pd.DataFrame({
+            "v": d[value],
+            "c1": (d[group] == a).astype("int64"),
+            "c2": (d[group] == b).astype("int64")})
+        g = out.groupby("v", sort=False)[["c1", "c2"]].sum().reset_index()
+        return g
+
+    counts = sorted_groupby_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        key="v", sum_cols={"c1": "c1", "c2": "c2"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"ks": pd.Series(dtype="float64"),
+                                 "n1": pd.Series(dtype="int64"),
+                                 "n2": pd.Series(dtype="int64")})
+        d = df.sort_values("v")
+        n1 = float(d["c1"].sum())
+        n2 = float(d["c2"].sum())
+        f1 = d["c1"].to_numpy(np.int64).cumsum() / n1
+        f2 = d["c2"].to_numpy(np.int64).cumsum() / n2
+        return pd.DataFrame({"ks": [float(np.abs(f1 - f2).max())],
+                             "n1": [int(n1)], "n2": [int(n2)]})
+
+    return (counts.repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=None))

@@ -706,3 +706,55 @@ def bm25_topk(ds, query_terms: list[str], *, k: int = 20,
     return (partials.sort_values(["score", id_col],
                                  ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+def vocab_summary(ds, *, text_col: str = "text") -> pd.DataFrame:
+    """One-row corpus vocabulary summary — Heaps'-law inputs and the
+    hapax share (the vocabulary-health screen of corpus curation):
+    total tokens, distinct terms, hapax legomena count. One tokenizing
+    scan into the grouped-sum stitch (term-count table is
+    vocabulary-sized), then a scalar fold of (rows, freq==1, Σfreq)."""
+    import re
+
+    from sigraph_ray.stages.collect import sorted_groupby_sum
+
+    rx = re.compile(_WORD_RE)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = (df[text_col].str.lower().str.findall(rx)
+              .explode().dropna().value_counts())
+        return pd.DataFrame({"term": vc.index.astype(str),
+                             "c": vc.to_numpy().astype("int64")})
+
+    counts = sorted_groupby_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        key="term", sum_cols={"c": "c"})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vocab": [int(len(df))],
+            "hapax": [int((df["c"] == 1).sum())],
+            "tokens": [int(df["c"].sum())]})
+
+    g = counts.map_batches(fold, batch_format="pandas").to_pandas().sum()
+    return pd.DataFrame({"vocab": [int(g["vocab"])],
+                         "hapax": [int(g["hapax"])],
+                         "tokens": [int(g["tokens"])]})
+
+
+def rrf_fuse(rankings: list[pd.DataFrame], *, id_col: str,
+             c: int = 60, k: int = 20) -> pd.DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of bounded
+    top-k lists: ``rrf(d) = Σ_r 1/(c + rank_r(d))`` summed over the
+    lists d appears in; top-k by (rrf DESC, id). Operates on
+    already-bounded ranker outputs (each ≤ its own k), so the fuse is
+    a bounded final fold by construction — the heavy lifting happened
+    inside each ranker's distributed pass."""
+    scores: dict = {}
+    for r in rankings:
+        for row in r.itertuples():
+            rid = getattr(row, id_col)
+            scores[rid] = scores.get(rid, 0.0) + 1.0 / (c + row.rank)
+    out = pd.DataFrame({id_col: list(scores), "rrf": list(scores.values())})
+    return (out.sort_values(["rrf", id_col], ascending=[False, True])
+            .head(k).reset_index(drop=True))

@@ -858,3 +858,39 @@ def test_hits_matches_dense_power_iteration(ray_session):
     np.testing.assert_allclose(got["hub"].to_numpy(), h, atol=1e-10)
     # sanity: node b is the strongest authority (3 in-edges incl dup)
     assert got.loc[got["authority"].idxmax(), "node"] == "b"
+
+
+def test_ks_two_sample_hand_values(ray_session):
+    """Disjoint supports → KS = 1; identical samples → KS = 0; a
+    half-shifted case matches the hand ECDF computation."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.stats import ks_two_sample
+
+    def run(va, vb):
+        df = pd.DataFrame({"v": va + vb,
+                           "g": ["a"] * len(va) + ["b"] * len(vb)})
+        out = ks_two_sample(rd.from_pandas(df).repartition(3),
+                            value="v", group="g", a="a", b="b").to_pandas()
+        return out.iloc[0]
+
+    r = run([1, 2, 3], [10, 11, 12])
+    assert r["ks"] == 1.0 and r["n1"] == 3 and r["n2"] == 3
+    r = run([1, 2, 3, 4], [1, 2, 3, 4])
+    assert r["ks"] == 0.0
+    # a={1,2,3,4}, b={3,4,5,6}: at v=2 F_a=0.5, F_b=0 → KS=0.5
+    r = run([1, 2, 3, 4], [3, 4, 5, 6])
+    assert abs(r["ks"] - 0.5) < 1e-12
+
+
+def test_rrf_fuse_hand_values(ray_session):
+    from sigraph_ray.stages.textstats import rrf_fuse
+
+    a = pd.DataFrame({"doc_id": [10, 20, 30], "rank": [1, 2, 3]})
+    b = pd.DataFrame({"doc_id": [20, 40], "rank": [1, 2]})
+    out = rrf_fuse([a, b], id_col="doc_id", c=60, k=10)
+    got = dict(zip(out["doc_id"], out["rrf"]))
+    assert abs(got[20] - (1 / 62 + 1 / 61)) < 1e-15
+    assert abs(got[10] - 1 / 61) < 1e-15
+    assert abs(got[40] - 1 / 62) < 1e-15
+    assert out.iloc[0]["doc_id"] == 20  # appears in both lists
