@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_doclen": Q.q_ks_doclen,
         "vocab_summary": Q.q_vocab_summary,
         "rrf_hybrid": Q.q_rrf_hybrid,
+        "edge_type_signatures": Q.q_edge_type_signatures,
         "percent_rank": Q.q_percent_rank,
         "approx_term_topk": Q.q_approx_term_topk,
         "tfidf_keywords": Q.q_tfidf_keywords,
@@ -295,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_doclen": Q.SQL_KS_DOCLEN,
         "vocab_summary": Q.SQL_VOCAB_SUMMARY,
         "rrf_hybrid": Q.SQL_RRF_HYBRID,
+        "edge_type_signatures": Q.SQL_EDGE_TYPE_SIGNATURES,
         "percent_rank": Q.SQL_PERCENT_RANK,
         "tfidf_keywords": Q.SQL_TFIDF_KEYWORDS,
         "inverted_index": Q.SQL_INVERTED_INDEX,

@@ -5676,3 +5676,52 @@ SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
 FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
 ORDER BY rrf DESC, doc_id LIMIT 20
 """
+
+
+def q_edge_type_signatures(sf_dir: str):
+    """KG schema induction: per edge type, the (src label, dst label)
+    signature histogram over the aggregated edge table — the ontology
+    summary a KG pipeline publishes (reference analog: the fixed
+    label/verb vocabulary in graph/schema.py, here DERIVED from data).
+    One vectorized label-extract pass over the already-aggregated
+    edges + one tiny grouped-sum stitch."""
+    from sigraph_ray.stages import provenance_graph as G
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    parsed = _parsed_events(sf_dir)
+    ok, _ = G.split_quarantine(parsed)
+    edges = G.build_edges(ok)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "type": df["type"],
+            "src_label": df["src"].str.extract(r"@([A-Z]+)$")[0],
+            "dst_label": df["dst"].str.extract(r"@([A-Z]+)$")[0]})
+        g = (out.groupby(["type", "src_label", "dst_label"], sort=False)
+             .size().rename("c").reset_index())
+        return g
+
+    agg = sorted_groupby_agg(
+        edges.map_batches(partial, batch_format="pandas"),
+        key=["type", "src_label", "dst_label"],
+        aggs={"n_edges": ("c", "sum")}).to_pandas()
+    return (agg.sort_values(["type", "src_label", "dst_label"])
+            .reset_index(drop=True).astype({"n_edges": "int64"}))
+
+
+SQL_EDGE_TYPE_SIGNATURES = f"""
+WITH {_SQL_BASE},
+edges_raw AS (
+  SELECT CASE WHEN actor_type = 'READ_RECV' THEN artifact ELSE parent_key END AS src,
+         CASE WHEN actor_type = 'READ_RECV' THEN parent_key ELSE artifact END AS dst,
+         action_type AS type
+  FROM valid WHERE parent_key IS NOT NULL AND parent_span_id IS NOT NULL
+), agg AS (
+  SELECT DISTINCT src, dst, type FROM edges_raw
+)
+SELECT type,
+       regexp_extract(src, '@([A-Z]+)$', 1) AS src_label,
+       regexp_extract(dst, '@([A-Z]+)$', 1) AS dst_label,
+       count(*) AS n_edges
+FROM agg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
