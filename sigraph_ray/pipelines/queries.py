@@ -5725,3 +5725,88 @@ SELECT type,
        count(*) AS n_edges
 FROM agg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
+
+
+def q_charclass_entropy(sf_dir: str):
+    """Per-source character-class entropy screen
+    (stages/textstats.charclass_entropy_by_source) — gibberish /
+    boilerplate detection for corpus quality scoring."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import charclass_entropy_by_source
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "source"])
+    return charclass_entropy_by_source(ds)
+
+
+SQL_CHARCLASS_ENTROPY = """
+WITH s AS (
+  SELECT source,
+         CAST(len(lower(text)) AS DOUBLE) AS total,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE) AS a,
+         CAST(len(regexp_extract_all(lower(text), '[0-9]')) AS DOUBLE) AS d,
+         CAST(len(regexp_extract_all(lower(text), ' ')) AS DOUBLE) AS sp,
+         CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS DOUBLE) AS o
+  FROM documents
+), h AS (
+  SELECT source,
+         -(CASE WHEN a  > 0 THEN a  / total * ln(a  / total) ELSE 0 END
+         + CASE WHEN d  > 0 THEN d  / total * ln(d  / total) ELSE 0 END
+         + CASE WHEN sp > 0 THEN sp / total * ln(sp / total) ELSE 0 END
+         + CASE WHEN o  > 0 THEN o  / total * ln(o  / total) ELSE 0 END)
+           AS h
+  FROM s
+)
+SELECT source, avg(h) AS mean_entropy, count(*) AS n_docs
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_lexical_diversity(sf_dir: str):
+    """Per-source mean type-token ratio
+    (stages/textstats.lexical_diversity_by_source) — the lexical-
+    diversity quality signal; token-empty docs excluded in BOTH
+    engines."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import lexical_diversity_by_source
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "source"])
+    return lexical_diversity_by_source(ds)
+
+
+SQL_LEXICAL_DIVERSITY = """
+WITH s AS (
+  SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM documents
+), t AS (
+  SELECT source,
+         CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr) AS ttr
+  FROM s WHERE len(arr) > 0
+)
+SELECT source, avg(ttr) AS mean_ttr, count(*) AS n_docs
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_mmr_rerank(sf_dir: str):
+    """MMR diversified re-ranking (stages/textstats.mmr_diversify) of
+    the BM25 top-50 down to 10 — the redundancy-aware retrieval step
+    for RAG context assembly. Rows-only: greedy/iterative; gated by a
+    hand-value pytest (a planted near-duplicate must be displaced)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import bm25_topk, mmr_diversify
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    top = bm25_topk(ds, BM25_QUERY_TERMS, k=50)
+    ids = pa.array(top["doc_id"].tolist(), pa.int64())
+    texts = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=ids)),
+        batch_format="pyarrow").to_pandas()     # ≤50 rows by construction
+    cand = top.merge(texts, on="doc_id")
+    return mmr_diversify(cand, id_col="doc_id", text_col="text",
+                         score_col="score", k=10, lam=0.7)

@@ -758,3 +758,124 @@ def rrf_fuse(rankings: list[pd.DataFrame], *, id_col: str,
     out = pd.DataFrame({id_col: list(scores), "rrf": list(scores.values())})
     return (out.sort_values(["rrf", id_col], ascending=[False, True])
             .head(k).reset_index(drop=True))
+
+
+_CHAR_CLASSES = [("alpha", r"[a-z]"), ("digit", r"[0-9]"),
+                 ("space", r" "), ("other", r"[^a-z0-9 ]")]
+
+
+def charclass_entropy_by_source(ds, *, text_col: str = "text",
+                                group_col: str = "source"):
+    """Per-source mean character-class Shannon entropy — the
+    gibberish / boilerplate screen of corpus quality scoring (a page of
+    repeated punctuation or digit noise scores far from prose):
+    per doc, H = −Σ_c p_c ln p_c over {alpha, digit, space, other}
+    fractions of lowercased characters; then mean per source.
+
+    One scan (four vectorized class-count kernels per block → per-doc
+    H), per-block (sum H, n) partials per source, one grouped-sum
+    stitch of |sources| rows."""
+    import re
+
+    from sigraph_ray.stages.collect import sorted_groupby_sum
+
+    compiled = [(name, re.compile(rx)) for name, rx in _CHAR_CLASSES]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        low = df[text_col].str.lower()
+        total = low.str.len().to_numpy(np.float64)
+        h = np.zeros(len(df))
+        for _, rx in compiled:
+            c = low.str.count(rx).to_numpy(np.float64)
+            p = np.divide(c, total, out=np.zeros_like(c),
+                          where=total > 0)
+            h -= np.where(p > 0, p * np.log(np.where(p > 0, p, 1.0)),
+                          0.0)
+        g = (pd.DataFrame({group_col: df[group_col], "h": h,
+                           "n": np.ones(len(df), dtype="int64")})
+             .groupby(group_col, sort=False)
+             .agg(h=("h", "sum"), n=("n", "sum")).reset_index())
+        return g
+
+    agg = sorted_groupby_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        key=group_col, sum_cols={"h": "h", "n": "n"}).to_pandas()
+    out = pd.DataFrame({group_col: agg[group_col],
+                        "mean_entropy": agg["h"].to_numpy(np.float64)
+                        / agg["n"].to_numpy(np.float64),
+                        "n_docs": agg["n"].astype("int64")})
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def lexical_diversity_by_source(ds, *, text_col: str = "text",
+                                group_col: str = "source"):
+    """Per-source mean type-token ratio (distinct tokens / total
+    tokens per doc) — the lexical-diversity quality signal (template
+    farms and keyword-stuffed pages sit far below prose). Same
+    one-scan + |sources|-row stitch shape as the entropy screen."""
+    import re
+
+    from sigraph_ray.stages.collect import sorted_groupby_sum
+
+    rx = re.compile(_WORD_RE)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(rx)
+        ex = toks.explode().dropna()
+        total = ex.groupby(level=0).size()
+        distinct = ex.groupby(level=0).nunique()
+        ttr = (distinct / total).reindex(df.index)
+        keep = ttr.notna()
+        g = (pd.DataFrame({group_col: df.loc[keep, group_col],
+                           "t": ttr[keep].to_numpy(np.float64),
+                           "n": 1})
+             .groupby(group_col, sort=False)
+             .agg(t=("t", "sum"), n=("n", "sum")).reset_index())
+        return g
+
+    agg = sorted_groupby_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        key=group_col, sum_cols={"t": "t", "n": "n"}).to_pandas()
+    out = pd.DataFrame({group_col: agg[group_col],
+                        "mean_ttr": agg["t"].to_numpy(np.float64)
+                        / agg["n"].to_numpy(np.float64),
+                        "n_docs": agg["n"].astype("int64")})
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def mmr_diversify(candidates: pd.DataFrame, *, id_col: str,
+                  text_col: str, score_col: str, k: int = 10,
+                  lam: float = 0.7) -> pd.DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) of a BOUNDED candidate list (a ranker's top-k):
+    greedily pick argmax λ·rel − (1−λ)·max_sel cos(d, selected).
+    Relevance is min-max-normalized to [0, 1] so λ weighs comparable
+    scales. Runs on the driver by design — the input is already a
+    bounded top-k (the distributed work happened in the ranker);
+    embeddings are the deterministic hashed-ngram stand-in."""
+    from sigraph_ray.functions.embed import embed_texts
+
+    if len(candidates) == 0:
+        return candidates.assign(mmr=pd.Series(dtype="float64"))
+    cand = candidates.reset_index(drop=True)
+    vecs = np.stack(embed_texts(cand[text_col].tolist()))
+    rel = cand[score_col].to_numpy(np.float64)
+    span = rel.max() - rel.min()
+    rel = (rel - rel.min()) / span if span > 0 else np.ones_like(rel)
+    sims = vecs @ vecs.T
+    selected: list[int] = []
+    mmr_scores: list[float] = []
+    remaining = list(range(len(cand)))
+    while remaining and len(selected) < k:
+        if selected:
+            penalty = sims[np.ix_(remaining, selected)].max(axis=1)
+        else:
+            penalty = np.zeros(len(remaining))
+        obj = lam * rel[remaining] - (1 - lam) * penalty
+        # deterministic tie-break: lowest candidate index
+        best = int(np.lexsort((np.array(remaining), -obj))[0])
+        mmr_scores.append(float(obj[best]))
+        selected.append(remaining.pop(best))
+    out = cand.iloc[selected][[id_col, score_col]].copy()
+    out["mmr"] = mmr_scores
+    return out.reset_index(drop=True)

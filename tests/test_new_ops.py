@@ -894,3 +894,60 @@ def test_rrf_fuse_hand_values(ray_session):
     assert abs(got[10] - 1 / 61) < 1e-15
     assert abs(got[40] - 1 / 62) < 1e-15
     assert out.iloc[0]["doc_id"] == 20  # appears in both lists
+
+
+def test_charclass_entropy_hand_values(ray_session):
+    """Single-class docs score H=0; a 50/50 two-class doc scores ln 2;
+    empty docs count with H=0 (both engines keep them)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import charclass_entropy_by_source
+
+    docs = pd.DataFrame({
+        "source": ["s1", "s1", "s2", "s3"],
+        "text": ["aaaa", "ab12", "aa11", ""]})
+    out = charclass_entropy_by_source(
+        rd.from_pandas(docs).repartition(2))
+    got = dict(zip(out["source"], out["mean_entropy"]))
+    # s1: doc1 H=0 (all alpha); doc2 half alpha half digit → ln 2
+    assert abs(got["s1"] - math.log(2) / 2) < 1e-12
+    assert abs(got["s2"] - math.log(2)) < 1e-12
+    assert got["s3"] == 0.0
+    assert dict(zip(out["source"], out["n_docs"])) == \
+        {"s1": 2, "s2": 1, "s3": 1}
+
+
+def test_lexical_diversity_hand_values(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.textstats import lexical_diversity_by_source
+
+    docs = pd.DataFrame({
+        "source": ["s1", "s1", "s2", "s2"],
+        "text": ["a b c d", "a a a a", "x y", "!!!"]})  # last: no tokens
+    out = lexical_diversity_by_source(
+        rd.from_pandas(docs).repartition(2))
+    got = dict(zip(out["source"], out["mean_ttr"]))
+    assert abs(got["s1"] - (1.0 + 0.25) / 2) < 1e-12
+    assert got["s2"] == 1.0
+    assert dict(zip(out["source"], out["n_docs"])) == {"s1": 2, "s2": 1}
+
+
+def test_mmr_displaces_near_duplicate(ray_session):
+    """Greedy MMR must pick the distinct mid-relevance doc over an
+    exact duplicate of the top hit; pure-relevance order would not."""
+    from sigraph_ray.stages.textstats import mmr_diversify
+
+    cand = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["spark streaming joins explained",
+                 "spark streaming joins explained",   # dup of #1
+                 "completely different topic entirely"],
+        "score": [10.0, 9.9, 5.0]})
+    out = mmr_diversify(cand, id_col="doc_id", text_col="text",
+                        score_col="score", k=2, lam=0.5)
+    assert list(out["doc_id"]) == [1, 3]
+    # and with lam=1.0 (pure relevance) the duplicate wins instead
+    out2 = mmr_diversify(cand, id_col="doc_id", text_col="text",
+                         score_col="score", k=2, lam=1.0)
+    assert list(out2["doc_id"]) == [1, 2]
