@@ -5810,3 +5810,52 @@ def q_mmr_rerank(sf_dir: str):
     cand = top.merge(texts, on="doc_id")
     return mmr_diversify(cand, id_col="doc_id", text_col="text",
                          score_col="score", k=10, lam=0.7)
+
+
+def q_kg_negative_samples(sf_dir: str):
+    """Deterministic corrupted-tail negative sampling
+    (stages/kgtrain.negative_samples) over the provenance edge table —
+    the training-pair generator for KG-embedding models; self- and
+    accidental-true corruptions filtered exactly."""
+    from sigraph_ray.stages import provenance_graph as G
+    from sigraph_ray.stages.kgtrain import negative_samples
+
+    parsed = _parsed_events(sf_dir)
+    ok, _ = G.split_quarantine(parsed)
+    edges = G.build_edges(ok)
+    out = negative_samples(edges).to_pandas()
+    return (out.sort_values(["src", "type", "neg_dst"])
+            .reset_index(drop=True))
+
+
+SQL_KG_NEGATIVE_SAMPLES = f"""
+WITH {_SQL_BASE},
+edges_raw AS (
+  SELECT CASE WHEN actor_type = 'READ_RECV' THEN artifact ELSE parent_key END AS src,
+         CASE WHEN actor_type = 'READ_RECV' THEN parent_key ELSE artifact END AS dst,
+         action_type AS type
+  FROM valid WHERE parent_key IS NOT NULL AND parent_span_id IS NOT NULL
+), edges AS (SELECT DISTINCT src, dst, type FROM edges_raw),
+ents AS (
+  SELECT dst AS ent, row_number() OVER (ORDER BY dst) - 1 AS rank
+  FROM (SELECT DISTINCT dst FROM edges)
+), n AS (SELECT count(*) AS n FROM ents),
+corrupt AS (
+  SELECT e.src, e.type, e.dst,
+         ((strpos('0123456789abcdef', substr(md5(e.src || '|' || e.type || '|' || e.dst), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(md5(e.src || '|' || e.type || '|' || e.dst), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(md5(e.src || '|' || e.type || '|' || e.dst), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(e.src || '|' || e.type || '|' || e.dst), 4, 1)) - 1)) % n.n
+           AS idx
+  FROM edges e, n
+), neg AS (
+  SELECT c.src, c.type, c.dst, ents.ent AS neg_dst
+  FROM corrupt c JOIN ents ON c.idx = ents.rank
+)
+SELECT src, type, neg_dst FROM neg
+WHERE neg_dst <> dst
+  AND NOT EXISTS (SELECT 1 FROM edges t
+                  WHERE t.src = neg.src AND t.type = neg.type
+                    AND t.dst = neg.neg_dst)
+ORDER BY src, type, neg_dst
+"""

@@ -951,3 +951,34 @@ def test_mmr_displaces_near_duplicate(ray_session):
     out2 = mmr_diversify(cand, id_col="doc_id", text_col="text",
                          score_col="score", k=2, lam=1.0)
     assert list(out2["doc_id"]) == [1, 2]
+
+
+def test_negative_samples_properties(ray_session):
+    """Negatives are layout-invariant (pure function of triple bytes),
+    never equal the true tail, and never collide with ANY true edge."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.kgtrain import negative_samples
+
+    rng = np.random.RandomState(11)
+    edges = pd.DataFrame({
+        "src": [f"s{i % 7}" for i in range(60)],
+        "type": [["CALLS", "READS"][i % 2] for i in range(60)],
+        "dst": [f"d{rng.randint(0, 12)}" for i in range(60)],
+    }).drop_duplicates()
+    true_set = set(map(tuple, edges.to_numpy()))
+
+    outs = []
+    for blocks in (1, 5):
+        out = (negative_samples(rd.from_pandas(edges).repartition(blocks))
+               .to_pandas()
+               .sort_values(["src", "type", "neg_dst"])
+               .reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    assert len(got) > 0
+    ents = set(edges["dst"])
+    for s, t, nd in got.to_numpy():
+        assert (s, t, nd) not in true_set
+        assert nd in ents
