@@ -5859,3 +5859,20 @@ WHERE neg_dst <> dst
                     AND t.dst = neg.neg_dst)
 ORDER BY src, type, neg_dst
 """
+
+
+def q_transe_epoch(sf_dir: str):
+    """One TransE training epoch (stages/kgtrain.transe_epoch) over
+    the provenance edge table — KG-embedding training as dataflow
+    (sparse gradient stitch = the parameter-server update). Rows-only:
+    iterative optimization; the pytest gate matches a single-process
+    numpy epoch to 1e-9 and requires the margin loss to drop."""
+    from sigraph_ray.stages import provenance_graph as G
+    from sigraph_ray.stages.kgtrain import transe_epoch
+
+    parsed = _parsed_events(sf_dir)
+    ok, _ = G.split_quarantine(parsed)
+    edges = G.build_edges(ok)
+    summary, _, _ = transe_epoch(edges, dim=16, lr=0.1, margin=1.0)
+    assert summary["loss_after"].iloc[0] < summary["loss_before"].iloc[0]
+    return summary

@@ -88,3 +88,172 @@ def negative_samples(edges, *, src: str = "src", type_col: str = "type",
     return neg.map_batches(
         lambda df: df[[src, type_col, "neg_dst"]],
         batch_format="pandas")
+
+
+def _init_vecs(ids: np.ndarray, d: int, salt: str) -> np.ndarray:
+    """Deterministic embedding init: row j of entity e comes from
+    splitmix64(token_hash(salt:e) + j) mapped to [-0.5, 0.5), then
+    L2-normalized — identical in any process, no RNG state."""
+    from sigraph_ray.functions.hashing import splitmix64, token_hashes
+
+    base = token_hashes([f"{salt}:{i}" for i in ids])
+    cols = []
+    for j in range(d):
+        h = splitmix64(base + np.uint64(j))
+        cols.append(h.astype(np.float64) / 2.0 ** 64 - 0.5)
+    m = np.stack(cols, axis=1)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(norms > 0, norms, 1.0)
+
+
+def transe_epoch(edges, *, src: str = "src", type_col: str = "type",
+                 dst: str = "dst", dim: int = 16, lr: float = 0.1,
+                 margin: float = 1.0):
+    """ONE TransE epoch (Bordes et al., NeurIPS 2013) over the
+    constructed graph, as dataflow: training pairs are the true edges
+    joined with their deterministic corrupted tails (same corruption
+    as :func:`negative_samples`; self-corruptions dropped, accidental
+    trues retained — Bordes' unfiltered TRAINING setting; the filtered
+    variant composes :func:`negative_samples`' Bloom anti-join), the
+    entity/relation matrices are vocabulary-sized state broadcast once
+    via ``ray.put``, each block emits SPARSE per-entity gradient rows
+    ((kind, id, component) long form — touched entities only, the
+    parameter-server update as a grouped-sum stitch), and the driver
+    applies one SGD step to the bounded matrices. Returns
+    (loss_before, loss_after, n_pairs) plus the updated matrices —
+    loss recomputed in a second streaming pass with the updated
+    broadcast.
+
+    Deterministic end to end: hash init, hash corruption, margin-loss
+    subgradient with the 0-at-boundary convention; pytest matches a
+    single-process numpy epoch to 1e-9."""
+    import ray
+
+    from sigraph_ray.stages.collect import sorted_distinct, \
+        sorted_groupby_sum
+    from sigraph_ray.stages.joins import sorted_merge_join
+    from sigraph_ray.stages.ordering import _global_positions
+
+    uniq = sorted_distinct(edges, [src, type_col, dst]).materialize()
+
+    ents = sorted_distinct(
+        uniq.map_batches(lambda t: pa.table({"ent": t.column(dst),
+                                             "ent2": t.column(dst)}),
+                         batch_format="pyarrow")
+        .union(uniq.map_batches(
+            lambda t: pa.table({"ent": t.column(src),
+                                "ent2": t.column(src)}),
+            batch_format="pyarrow")), ["ent", "ent2"])
+    ents = sorted_distinct(ents, ["ent", "ent2"]).sort(["ent", "ent2"])
+
+    def make_out(t: pa.Table, offset: int) -> pa.Table:
+        return pa.table({"idx": pa.array(
+            np.arange(offset, offset + t.num_rows, dtype="int64")),
+            "neg_dst": t.column("ent")})
+
+    ranked = _global_positions(ents, make_out).materialize()
+    ent_ids = (ranked.to_pandas().sort_values("idx")["neg_dst"]
+               .to_numpy())
+    n_ents = len(ent_ids)
+    rel_ids = np.sort(uniq.map_batches(
+        lambda df: df[[type_col]].drop_duplicates(),
+        batch_format="pandas").to_pandas()[type_col].unique())
+
+    ent_idx = pd.Index(ent_ids)
+    rel_idx = pd.Index(rel_ids)
+    E = _init_vecs(ent_ids, dim, "ent")
+    R = _init_vecs(rel_ids, dim, "rel")
+
+    # training pairs: true edge + corrupted tail (tail-only corruption)
+    def corrupt(df: pd.DataFrame) -> pd.DataFrame:
+        keys = (df[src] + "|" + df[type_col] + "|" + df[dst]).tolist()
+        return pd.DataFrame({src: df[src], type_col: df[type_col],
+                             dst: df[dst],
+                             "idx": _h16(keys) % n_ents})
+
+    pairs = sorted_merge_join(
+        uniq.map_batches(corrupt, batch_format="pandas"),
+        ranked, on="idx",
+        left_cols=[src, type_col, dst], right_cols=["neg_dst"])
+    pairs = pairs.map_batches(
+        lambda df: df[df["neg_dst"] != df[dst]],
+        batch_format="pandas").materialize()
+
+    def pass_fn(state_ref, emit_grads: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            e_idx, r_idx, e_m, r_m = ray.get(state_ref)
+            s = e_m[e_idx.get_indexer(df[src].to_numpy())]
+            p = r_m[r_idx.get_indexer(df[type_col].to_numpy())]
+            o = e_m[e_idx.get_indexer(df[dst].to_numpy())]
+            o2 = e_m[e_idx.get_indexer(df["neg_dst"].to_numpy())]
+            dp = s + p - o
+            dn = s + p - o2
+            ndp = np.linalg.norm(dp, axis=1)
+            ndn = np.linalg.norm(dn, axis=1)
+            viol = margin + ndp - ndn > 0
+            loss = np.where(viol, margin + ndp - ndn, 0.0).sum()
+            if not emit_grads:
+                return pd.DataFrame(
+                    {"kind": ["L", "L"], "id": ["loss", "n"],
+                     "k": [0, 1], "v": [float(loss), float(len(df))]})
+            # subgradients on violating pairs: d||x|| /dx = x/||x||
+            gp = np.zeros_like(dp)
+            gn = np.zeros_like(dn)
+            vz = viol & (ndp > 0)
+            gp[vz] = dp[vz] / ndp[vz, None]
+            vz2 = viol & (ndn > 0)
+            gn[vz2] = dn[vz2] / ndn[vz2, None]
+            rows = []
+            for kind, ids, g in (
+                    ("E", df[src].to_numpy(), gp - gn),
+                    ("E", df[dst].to_numpy(), -gp),
+                    ("E", df["neg_dst"].to_numpy(), gn),
+                    ("R", df[type_col].to_numpy(), gp - gn)):
+                t = pd.DataFrame({"id": np.repeat(ids, dim),
+                                  "k": np.tile(np.arange(dim), len(ids)),
+                                  "v": g.ravel()})
+                t = t[t["v"] != 0.0]
+                t["kind"] = kind
+                rows.append(t)
+            out = pd.concat(rows, ignore_index=True)
+            out = (out.groupby(["kind", "id", "k"], sort=False)["v"]
+                   .sum().reset_index())
+            loss_row = pd.DataFrame(
+                {"kind": ["L", "L"], "id": ["loss", "n"], "k": [0, 1],
+                 "v": [float(loss), float(len(df))]})
+            return pd.concat([out, loss_row], ignore_index=True)
+        return fn
+
+    state0 = ray.put((ent_idx, rel_idx, E, R))
+    folded = sorted_groupby_sum(
+        pairs.map_batches(pass_fn(state0, True), batch_format="pandas"),
+        key=["kind", "id", "k"], sum_cols={"v": "v"}).to_pandas()
+
+    loss_before = float(
+        folded.loc[(folded["kind"] == "L") & (folded["id"] == "loss"),
+                   "v"].sum())
+    n_pairs = int(folded.loc[(folded["kind"] == "L")
+                             & (folded["id"] == "n"), "v"].sum())
+
+    E2, R2 = E.copy(), R.copy()
+    ge = folded[folded["kind"] == "E"]
+    if len(ge):
+        E2[ent_idx.get_indexer(ge["id"].to_numpy()),
+           ge["k"].to_numpy(np.int64)] -= lr * ge["v"].to_numpy()
+    gr = folded[folded["kind"] == "R"]
+    if len(gr):
+        R2[rel_idx.get_indexer(gr["id"].to_numpy()),
+           gr["k"].to_numpy(np.int64)] -= lr * gr["v"].to_numpy()
+
+    state1 = ray.put((ent_idx, rel_idx, E2, R2))
+    after = sorted_groupby_sum(
+        pairs.map_batches(pass_fn(state1, False), batch_format="pandas"),
+        key=["kind", "id", "k"], sum_cols={"v": "v"}).to_pandas()
+    loss_after = float(
+        after.loc[after["id"] == "loss", "v"].sum())
+
+    summary = pd.DataFrame({
+        "n_pairs": [n_pairs],
+        "loss_before": [loss_before / max(n_pairs, 1)],
+        "loss_after": [loss_after / max(n_pairs, 1)]})
+    return summary, (ent_ids, E2), (rel_ids, R2)

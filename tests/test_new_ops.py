@@ -982,3 +982,58 @@ def test_negative_samples_properties(ray_session):
     for s, t, nd in got.to_numpy():
         assert (s, t, nd) not in true_set
         assert nd in ents
+
+
+def test_transe_epoch_matches_numpy(ray_session):
+    """The distributed TransE epoch equals a single-process numpy
+    epoch (same hash init, same deterministic corruption) and the
+    margin loss drops after the SGD step."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.kgtrain import _h16, _init_vecs, transe_epoch
+
+    rng = np.random.RandomState(5)
+    edges = pd.DataFrame({
+        "src": [f"s{i % 6}" for i in range(40)],
+        "type": [["R1", "R2"][i % 2] for i in range(40)],
+        "dst": [f"d{rng.randint(0, 9)}" for i in range(40)],
+    }).drop_duplicates().reset_index(drop=True)
+
+    summary, (ent_ids, E2), (rel_ids, R2) = transe_epoch(
+        rd.from_pandas(edges).repartition(4), dim=8, lr=0.1, margin=1.0)
+
+    # --- independent numpy replay ---------------------------------------
+    ents = np.sort(pd.unique(pd.concat([edges["dst"], edges["src"]])))
+    rels = np.sort(edges["type"].unique())
+    E = _init_vecs(ents, 8, "ent")
+    R = _init_vecs(rels, 8, "rel")
+    eix = {e: i for i, e in enumerate(ents)}
+    rix = {r: i for i, r in enumerate(rels)}
+    keys = (edges["src"] + "|" + edges["type"] + "|" + edges["dst"]).tolist()
+    neg = [ents[h % len(ents)] for h in _h16(keys)]
+    gE = np.zeros_like(E); gR = np.zeros_like(R)
+    loss0 = 0.0; n = 0
+    for (s, t, d), nd in zip(edges.to_numpy(), neg):
+        if nd == d:
+            continue
+        n += 1
+        dp = E[eix[s]] + R[rix[t]] - E[eix[d]]
+        dn = E[eix[s]] + R[rix[t]] - E[eix[nd]]
+        m = 1.0 + np.linalg.norm(dp) - np.linalg.norm(dn)
+        if m > 0:
+            loss0 += m
+            u = dp / np.linalg.norm(dp) if np.linalg.norm(dp) > 0 else 0
+            v = dn / np.linalg.norm(dn) if np.linalg.norm(dn) > 0 else 0
+            gE[eix[s]] += u - v
+            gE[eix[d]] -= u
+            gE[eix[nd]] += v
+            gR[rix[t]] += u - v
+    E_want = E - 0.1 * gE
+    R_want = R - 0.1 * gR
+
+    assert list(ent_ids) == list(ents) and list(rel_ids) == list(rels)
+    np.testing.assert_allclose(E2, E_want, atol=1e-9)
+    np.testing.assert_allclose(R2, R_want, atol=1e-9)
+    assert summary["n_pairs"].iloc[0] == n
+    assert abs(summary["loss_before"].iloc[0] - loss0 / n) < 1e-9
+    assert summary["loss_after"].iloc[0] < summary["loss_before"].iloc[0]
