@@ -5876,3 +5876,20 @@ def q_transe_epoch(sf_dir: str):
     summary, _, _ = transe_epoch(edges, dim=16, lr=0.1, margin=1.0)
     assert summary["loss_after"].iloc[0] < summary["loss_before"].iloc[0]
     return summary
+
+
+def q_transe_rank_eval(sf_dir: str):
+    """Raw link-prediction evaluation (stages/kgtrain.transe_rank_eval)
+    of the one-epoch TransE embeddings on the provenance edges —
+    construct → corrupt → train → EVALUATE, the full KG-embedding
+    lane as dataflow. Rows-only: iterative + ranking; numpy-exact
+    pytest gate."""
+    from sigraph_ray.stages import provenance_graph as G
+    from sigraph_ray.stages.kgtrain import transe_epoch, transe_rank_eval
+
+    parsed = _parsed_events(sf_dir)
+    ok, _ = G.split_quarantine(parsed)
+    edges = G.build_edges(ok)
+    _, (ent_ids, E2), (rel_ids, R2) = transe_epoch(
+        edges, dim=16, lr=0.1, margin=1.0)
+    return transe_rank_eval(edges, ent_ids, E2, rel_ids, R2)

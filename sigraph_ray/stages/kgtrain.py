@@ -257,3 +257,52 @@ def transe_epoch(edges, *, src: str = "src", type_col: str = "type",
         "loss_before": [loss_before / max(n_pairs, 1)],
         "loss_after": [loss_after / max(n_pairs, 1)]})
     return summary, (ent_ids, E2), (rel_ids, R2)
+
+
+def transe_rank_eval(edges, ent_ids: np.ndarray, E: np.ndarray,
+                     rel_ids: np.ndarray, R: np.ndarray, *,
+                     src: str = "src", type_col: str = "type",
+                     dst: str = "dst"):
+    """RAW link-prediction ranking metrics (Bordes et al.: rank of the
+    true tail among ALL entities by ||s+p−e||, unfiltered, ties broken
+    by entity rank): returns one row (mrr, hits1, hits10, n).
+
+    The entity matrix is the broadcast bound (``ray.put`` once); each
+    block computes its b×|E| squared-distance matrix as one matmul and
+    emits FOUR scalars (Σ1/rank, Σ[rank≤1], Σ[rank≤10], n) — the
+    evaluation streams, only scalar partials fold. Squared distances
+    preserve the ranking; ties use the deterministic entity order so
+    the result is layout-invariant."""
+    import ray
+
+    ent_idx = pd.Index(ent_ids)
+    rel_idx = pd.Index(rel_ids)
+    e_norms = (E * E).sum(axis=1)
+    state_ref = ray.put((ent_idx, rel_idx, E, R, e_norms))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        e_ix, r_ix, e_m, r_m, en = ray.get(state_ref)
+        if len(df) == 0:
+            return pd.DataFrame({"k": pd.Series(dtype="int64"),
+                                 "v": pd.Series(dtype="float64")})
+        q = (e_m[e_ix.get_indexer(df[src].to_numpy())]
+             + r_m[r_ix.get_indexer(df[type_col].to_numpy())])
+        ti = e_ix.get_indexer(df[dst].to_numpy())
+        # ||q - e||² = ||q||² - 2 q·e + ||e||²; ||q||² constant per row
+        d2 = en[None, :] - 2.0 * (q @ e_m.T)
+        dt = d2[np.arange(len(df)), ti]
+        smaller = (d2 < dt[:, None]).sum(axis=1)
+        tie_before = ((d2 == dt[:, None])
+                      & (np.arange(len(en))[None, :] < ti[:, None])
+                      ).sum(axis=1)
+        rank = 1 + smaller + tie_before
+        return pd.DataFrame({
+            "k": np.arange(4, dtype="int64"),
+            "v": [float((1.0 / rank).sum()), float((rank <= 1).sum()),
+                  float((rank <= 10).sum()), float(len(df))]})
+
+    g = (edges.map_batches(partial, batch_format="pandas")
+         .to_pandas().groupby("k")["v"].sum())
+    n = g[3]
+    return pd.DataFrame({"mrr": [g[0] / n], "hits1": [g[1] / n],
+                         "hits10": [g[2] / n], "n": [int(n)]})

@@ -1037,3 +1037,44 @@ def test_transe_epoch_matches_numpy(ray_session):
     assert summary["n_pairs"].iloc[0] == n
     assert abs(summary["loss_before"].iloc[0] - loss0 / n) < 1e-9
     assert summary["loss_after"].iloc[0] < summary["loss_before"].iloc[0]
+
+
+def test_transe_rank_eval_matches_numpy(ray_session):
+    """Raw MRR/Hits@k equal the dense numpy ranking (squared-distance
+    ranks, deterministic tie-break by entity order)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.kgtrain import _init_vecs, transe_rank_eval
+
+    rng = np.random.RandomState(9)
+    edges = pd.DataFrame({
+        "src": [f"s{i % 5}" for i in range(30)],
+        "type": [["R1", "R2"][i % 2] for i in range(30)],
+        "dst": [f"d{rng.randint(0, 8)}" for i in range(30)],
+    }).drop_duplicates().reset_index(drop=True)
+    ents = np.sort(pd.unique(pd.concat([edges["dst"], edges["src"]])))
+    rels = np.sort(edges["type"].unique())
+    E = _init_vecs(ents, 8, "ent")
+    R = _init_vecs(rels, 8, "rel")
+
+    out = transe_rank_eval(
+        rd.from_pandas(edges).repartition(3),
+        ents, E, rels, R)
+
+    eix = {e: i for i, e in enumerate(ents)}
+    rix = {r: i for i, r in enumerate(rels)}
+    en = (E * E).sum(axis=1)
+    rr, h1, h10 = [], 0, 0
+    for s, t, d in edges.to_numpy():
+        q = E[eix[s]] + R[rix[t]]
+        d2 = en - 2.0 * (E @ q)
+        dt = d2[eix[d]]
+        rank = 1 + int((d2 < dt).sum()) + int(
+            ((d2 == dt) & (np.arange(len(ents)) < eix[d])).sum())
+        rr.append(1.0 / rank)
+        h1 += rank <= 1
+        h10 += rank <= 10
+    assert abs(out["mrr"].iloc[0] - np.mean(rr)) < 1e-12
+    assert abs(out["hits1"].iloc[0] - h1 / len(edges)) < 1e-12
+    assert abs(out["hits10"].iloc[0] - h10 / len(edges)) < 1e-12
+    assert out["n"].iloc[0] == len(edges)
