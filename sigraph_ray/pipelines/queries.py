@@ -5893,3 +5893,18 @@ def q_transe_rank_eval(sf_dir: str):
     _, (ent_ids, E2), (rel_ids, R2) = transe_epoch(
         edges, dim=16, lr=0.1, margin=1.0)
     return transe_rank_eval(edges, ent_ids, E2, rel_ids, R2)
+
+
+def q_random_walks(sf_dir: str):
+    """Deterministic DeepWalk corpus (stages/kgtrain.random_walks) over
+    the provenance edges: one 5-node walk per node, each step a
+    bounded sorted-merge join. Rows-only: hash-driven iteration; the
+    pytest gate replays every step independently."""
+    from sigraph_ray.stages import provenance_graph as G
+    from sigraph_ray.stages.kgtrain import random_walks
+
+    parsed = _parsed_events(sf_dir)
+    ok, _ = G.split_quarantine(parsed)
+    edges = G.build_edges(ok)
+    out = random_walks(edges, length=4).to_pandas()
+    return out.sort_values("walk_id").reset_index(drop=True)

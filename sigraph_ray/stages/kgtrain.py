@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _h16(keys: list[str]) -> np.ndarray:
@@ -306,3 +307,81 @@ def transe_rank_eval(edges, ent_ids: np.ndarray, E: np.ndarray,
     n = g[3]
     return pd.DataFrame({"mrr": [g[0] / n], "hits1": [g[1] / n],
                          "hits10": [g[2] / n], "n": [int(n)]})
+
+
+def random_walks(edges, *, src: str = "src", dst: str = "dst",
+                 length: int = 4):
+    """Deterministic DeepWalk-style corpus generation (Perozzi et al.,
+    KDD 2014): one walk per node, each step choosing
+    ``neighbors[md5_16(node|step) mod degree]`` — a pure function of
+    the graph bytes, so the corpus is identical at any parallelism
+    (the reproducibility a training export needs; a seeded variant
+    just salts the hash). Sink nodes hold in place (self-stay padding)
+    so every walk has exactly ``length + 1`` nodes.
+
+    Dataflow: adjacency lists co-locate once via ``sorted_collect``
+    (degree-bounded; cap degenerate hubs with its ``max_members``
+    guard at web scale), then each step is ONE bounded sorted-merge
+    join of the walk frontier against the adjacency — k steps = k
+    joins, no driver-side graph. Returns (walk_id, path) with path
+    '>'-joined."""
+    from sigraph_ray.stages.collect import sorted_collect, sorted_distinct
+    from sigraph_ray.stages.joins import sorted_merge_join
+
+    pairs = sorted_distinct(edges, [src, dst])
+    adj = sorted_collect(pairs, key=src, order_col=dst, value=dst)
+    # neighbors as one ','-joined string: list columns don't survive
+    # Arrow conversion inside the join's range sort; strings do
+    adj = adj.map_batches(
+        lambda df: pd.DataFrame({"cur": df[src],
+                                 "nbrs": df["values"].map(",".join)}),
+        batch_format="pandas").materialize()
+
+    nodes = sorted_distinct(
+        pairs.map_batches(lambda t: pa.table({"n": t.column(src)}),
+                          batch_format="pyarrow")
+        .union(pairs.map_batches(lambda t: pa.table({"n": t.column(dst)}),
+                                 batch_format="pyarrow")), ["n"])
+
+    state = nodes.map_batches(
+        lambda df: pd.DataFrame({"walk_id": df["n"], "cur": df["n"],
+                                 "path": df["n"]}),
+        batch_format="pandas")
+
+    for step in range(length):
+        joined = sorted_merge_join(
+            state, adj, on="cur",
+            left_cols=["walk_id", "path"], right_cols=["nbrs"])
+
+        def advance(df: pd.DataFrame, *, _step=step) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"walk_id": df.get("walk_id"),
+                                     "cur": pd.Series(dtype="object"),
+                                     "path": pd.Series(dtype="object")})
+            h = _h16((df["walk_id"] + "|" + str(_step)).tolist())
+            nbrs = df["nbrs"].str.split(",")
+            deg = nbrs.str.len().to_numpy()
+            pick = h % deg
+            nxt = np.array([nb[i] for nb, i
+                            in zip(nbrs, pick)], dtype=object)
+            return pd.DataFrame({"walk_id": df["walk_id"],
+                                 "cur": nxt,
+                                 "path": df["path"] + ">" + nxt})
+
+        stepped = joined.map_batches(advance, batch_format="pandas")
+        # sink self-stay: nodes absent from adj keep their position
+        from sigraph_ray.stages.bloom import bloom_semi_anti
+
+        stuck = bloom_semi_anti(state, adj, left_key="cur",
+                                right_key="cur", anti=True)
+        stuck = stuck.map_batches(        # arrow out: empty-block-safe
+            lambda t: pa.table({"walk_id": t.column("walk_id"),
+                                "cur": t.column("cur"),
+                                "path": pc.binary_join_element_wise(
+                                    t.column("path"), t.column("cur"),
+                                    ">")}),
+            batch_format="pyarrow")
+        state = stepped.union(stuck).materialize()
+
+    return state.map_batches(
+        lambda df: df[["walk_id", "path"]], batch_format="pandas")

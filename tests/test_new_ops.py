@@ -1078,3 +1078,40 @@ def test_transe_rank_eval_matches_numpy(ray_session):
     assert abs(out["hits1"].iloc[0] - h1 / len(edges)) < 1e-12
     assert abs(out["hits10"].iloc[0] - h10 / len(edges)) < 1e-12
     assert out["n"].iloc[0] == len(edges)
+
+
+def test_random_walks_valid_and_deterministic(ray_session):
+    """Every consecutive walk pair is a true edge (or a sink
+    self-stay), each step matches an independent hash replay, and the
+    corpus is identical at different block layouts."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.kgtrain import _h16, random_walks
+
+    edges = pd.DataFrame({
+        "src": ["a", "a", "b", "c", "c", "d"],
+        "dst": ["b", "c", "c", "d", "a", "e"]})  # e is a sink
+    adj = {s: sorted(g["dst"]) for s, g in edges.groupby("src")}
+
+    outs = []
+    for blocks in (1, 3):
+        out = (random_walks(rd.from_pandas(edges).repartition(blocks),
+                            length=3)
+               .to_pandas().sort_values("walk_id")
+               .reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    assert set(got["walk_id"]) == {"a", "b", "c", "d", "e"}
+    for wid, path in got[["walk_id", "path"]].to_numpy():
+        nodes = path.split(">")
+        assert len(nodes) == 4 and nodes[0] == wid
+        cur = wid
+        for step, nxt in enumerate(nodes[1:]):
+            if cur in adj:
+                want = adj[cur][int(_h16([f"{wid}|{step}"])[0])
+                                % len(adj[cur])]
+                assert nxt == want, (wid, step)
+            else:
+                assert nxt == cur  # sink self-stay
+            cur = nxt
