@@ -72,11 +72,13 @@ def negative_samples(edges, *, src: str = "src", type_col: str = "type",
         ranked, on="idx",
         left_cols=[src, type_col, dst], right_cols=["neg_dst"])
 
-    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+    def keyed(df: pd.DataFrame) -> pa.Table:
         d = df[df["neg_dst"] != df[dst]]
         out = d[[src, type_col, "neg_dst"]].copy()
         out["negk"] = d[src] + "|" + d[type_col] + "|" + d["neg_dst"]
-        return out
+        # arrow out: empty post-filter blocks break the pandas size
+        # estimator (noisy per-block warnings); Arrow tables don't
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     true_keys = uniq.map_batches(
         lambda df: pd.DataFrame(
