@@ -5908,3 +5908,39 @@ def q_random_walks(sf_dir: str):
     edges = G.build_edges(ok)
     out = random_walks(edges, length=4).to_pandas()
     return out.sort_values("walk_id").reset_index(drop=True)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal feature pipeline (stages/multimodal): deterministic
+    synthetic media table → actor-pool feature extraction (payload
+    dropped at the stage boundary) → per-kind summary. The decoders
+    are the documented stub boundary (no image/audio libs in this
+    runtime; decoder='fake' derives deterministic pseudo-features) —
+    the Ray plumbing (schema, small batches for wide payloads, actor
+    signature, payload-drop discipline) is the real deliverable.
+    Rows-only: binary payloads have no SQL analog; gated by
+    tests/test_multimodal.py. ``sf_dir`` sets the row count seed
+    surface only (media is synthesized, like the reference's
+    uploads)."""
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+    from sigraph_ray.stages.multimodal import (extract_media_features,
+                                               synth_media)
+
+    n = 600 if "0.01" in sf_dir else 200
+    feats = extract_media_features(synth_media(n, parallelism=4),
+                                   concurrency=2, batch_size=64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("kind", sort=False)
+             .agg(n=("media_id", "size"),
+                  bytes_total=("payload_bytes", "sum"))
+             .reset_index())
+        return g
+
+    out = sorted_groupby_agg(
+        feats.map_batches(partial, batch_format="pandas"),
+        key="kind", aggs={"n": ("n", "sum"),
+                          "bytes_total": ("bytes_total", "sum")}
+    ).to_pandas()
+    return (out.sort_values("kind").reset_index(drop=True)
+            .astype({"n": "int64", "bytes_total": "int64"}))
