@@ -5412,7 +5412,11 @@ def q_user_trigrams(sf_dir: str):
     """Top-20 per-user event-type trigrams (behavioral sequence
     motifs): one sorted_collect co-locates each user's ordered
     sequence, n-grams expand vectorized per block (the PMI shift
-    pattern), one grouped-sum stitch, two-phase top-k."""
+    pattern), one grouped-sum stitch, two-phase top-k. At web scale a
+    degenerate user (bot with ~10⁹ events) is the hot key —
+    ``sorted_collect(max_members=...)`` is the documented cap (same
+    contract as the LSH bucket cap); uncapped here because user
+    activity in this schema is bounded."""
     import ray.data as rd
 
     from sigraph_ray.stages.collect import sorted_collect, sorted_groupby_sum

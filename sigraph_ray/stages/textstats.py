@@ -661,7 +661,14 @@ def bm25_topk(ds, query_terms: list[str], *, k: int = 20,
     (N, Σdl, df_t) fold from per-block partials (|terms|+2 scalars
     each); idf/avgdl broadcast back by closure for the scoring pass;
     top-k is two-phase. Token-exact term matching (word-bounded regex
-    count — 'join' does not hit 'joins')."""
+    count — 'join' does not hit 'joins').
+
+    Scale note: the materialized projection is NARROW (one int64 per
+    term + dl per doc — tens of bytes/row vs the corpus's kilobytes),
+    and Ray's object store spills it; for corpora whose ROW COUNT
+    alone exceeds spill capacity, drop the materialize and pay a
+    second tokenizing scan (stats pass + scoring pass) — same
+    semantics, trade chosen per deployment."""
     import re
 
     terms = list(query_terms)
