@@ -5948,3 +5948,121 @@ def q_media_features(sf_dir: str):
     ).to_pandas()
     return (out.sort_values("kind").reset_index(drop=True)
             .astype({"n": "int64", "bytes_total": "int64"}))
+
+
+def q_doclen_gini(sf_dir: str):
+    """Gini coefficient of document lengths
+    (stages/stats.gini_coefficient) — the corpus-concentration audit
+    (is the byte mass dominated by a few giant pages?)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.stats import gini_coefficient
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["n_chars"])
+    return gini_coefficient(ds, value="n_chars")
+
+
+SQL_DOCLEN_GINI = """
+WITH r AS (
+  SELECT CAST(n_chars AS DOUBLE) AS x,
+         row_number() OVER (ORDER BY n_chars) AS i
+  FROM documents
+)
+SELECT 2.0 * sum(i * x) / (count(*) * sum(x))
+       - (count(*) + 1.0) / count(*) AS gini,
+       count(*) AS n
+FROM r
+"""
+
+
+def q_hourly_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the observed hourly event-count series
+    — the seasonality screen next to burst detection. The count table
+    folds distributed (grouped-sum stitch, one row per observed hour);
+    the r₁ formula runs in one bounded final step over the
+    time-range-bounded series (documented: hours, not events)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ts"].dt.floor("h")
+        return h.value_counts().rename("c").rename_axis("hour")\
+            .reset_index()
+
+    counts = sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        key="hour", aggs={"c": ("c", "sum")}).to_pandas()
+    s = counts.sort_values("hour")["c"].to_numpy(np.float64)
+    mu = s.mean()
+    d = s - mu
+    r1 = float((d[:-1] * d[1:]).sum() / (d * d).sum())
+    return pd.DataFrame({"r1": [r1], "n_hours": [len(s)]})
+
+
+SQL_HOURLY_AUTOCORR = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1
+), m AS (SELECT avg(c) AS mu FROM c),
+d AS (
+  SELECT c - m.mu AS d,
+         lead(c) OVER (ORDER BY hour) - m.mu AS d_next
+  FROM c, m
+)
+SELECT sum(CASE WHEN d_next IS NOT NULL THEN d * d_next ELSE 0 END)
+       / sum(d * d) AS r1,
+       count(*) AS n_hours
+FROM d
+"""
+
+
+def q_props_stats(sf_dir: str):
+    """Semi-structured JSON column handling: extract props.k (the
+    events table's JSON payload) and aggregate per event type — the
+    dynamic-mapping surface (reference S4) over a generic JSON column.
+    Extraction is the vectorized regex fast path for flat scalar keys
+    (documented; a nested-JSON corpus swaps in a per-actor parser at
+    the same stage boundary), matching DuckDB json_extract on this
+    shape."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = (df["props"].str.extract(r'"k":\s*(-?\d+)')[0]
+             .astype("int64"))
+        g = (pd.DataFrame({"event_type": df["event_type"], "k": k})
+             .groupby("event_type", sort=False)
+             .agg(n=("k", "size"), sum_k=("k", "sum"),
+                  max_k=("k", "max"))
+             .reset_index())
+        return g
+
+    agg = sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        key="event_type",
+        aggs={"n": ("n", "sum"), "sum_k": ("sum_k", "sum"),
+              "max_k": ("max_k", "max")}).to_pandas()
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n": agg["n"].astype("int64"),
+        "avg_k": agg["sum_k"].to_numpy(np.float64)
+        / agg["n"].to_numpy(np.float64),
+        "max_k": agg["max_k"].astype("int64")})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_PROPS_STATS = """
+SELECT event_type, count(*) AS n,
+       avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1 ORDER BY 1
+"""

@@ -215,3 +215,37 @@ def ks_two_sample(ds, *, value: str, group: str, a, b):
 
     return (counts.repartition(1)
             .map_batches(finish, batch_format="pandas", batch_size=None))
+
+
+def gini_coefficient(ds, *, value: str):
+    """Exact Gini coefficient of a non-negative column via the
+    rank-sum identity ``G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n`` (ties
+    contribute x·Σi regardless of tie order, so any stable global
+    sort works): ONE range sort, the O(#blocks) row-offset stitch
+    assigns global ranks, each block folds (Σ i·x, Σx, n) — three
+    scalars — and one bounded task finishes. The concentration /
+    inequality screen for source- or host-level skew audits."""
+    import pyarrow as pa
+
+    from sigraph_ray.stages.ordering import _global_positions
+
+    two_col = ds.map_batches(
+        lambda df: pd.DataFrame({"x": df[value], "x2": df[value]}),
+        batch_format="pandas")
+
+    def make_out(t: pa.Table, offset: int) -> pa.Table:
+        x = np.asarray(t.column("x").to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        i = np.arange(offset + 1, offset + 1 + len(x), dtype=np.float64)
+        return pa.table({"sixi": [float((i * x).sum())],
+                         "sx": [float(x.sum())],
+                         "n": [float(len(x))]})
+
+    parts = _global_positions(two_col.sort(["x", "x2"]), make_out)
+    if parts is None:
+        return pd.DataFrame({"gini": pd.Series(dtype="float64"),
+                             "n": pd.Series(dtype="int64")})
+    g = parts.to_pandas().sum()
+    n, sx, sixi = float(g["n"]), float(g["sx"]), float(g["sixi"])
+    gini = 2.0 * sixi / (n * sx) - (n + 1.0) / n
+    return pd.DataFrame({"gini": [gini], "n": [int(n)]})

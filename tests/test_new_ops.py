@@ -1115,3 +1115,23 @@ def test_random_walks_valid_and_deterministic(ray_session):
             else:
                 assert nxt == cur  # sink self-stay
             cur = nxt
+
+
+def test_gini_hand_values(ray_session):
+    """Perfect equality → 0; extreme concentration → →1; a hand case
+    matches the rank-sum identity; layout-invariant."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.stats import gini_coefficient
+
+    def run(vals, blocks=3):
+        ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(blocks)
+        return gini_coefficient(ds, value="v").iloc[0]["gini"]
+
+    assert abs(run([5.0] * 40)) < 1e-12
+    # one holder of everything among n: G = (n-1)/n
+    assert abs(run([0.0] * 9 + [100.0]) - 0.9) < 1e-12
+    # hand case [1,2,3,4]: G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    assert abs(run([1.0, 2.0, 3.0, 4.0]) - 0.25) < 1e-12
+    assert abs(run([1.0, 2.0, 3.0, 4.0], blocks=1)
+               - run([4.0, 3.0, 2.0, 1.0], blocks=4)) < 1e-15
