@@ -483,3 +483,98 @@ def hits(edges, *, src: str = "src", dst: str = "dst",
         nh = np.linalg.norm(hub)
         hub = hub / nh if nh > 0 else hub
     return pd.DataFrame({"node": nodes, "hub": hub, "authority": auth})
+
+
+def hits_join_tier(edges, *, src: str = "src", dst: str = "dst",
+                   n_iter: int = 20, num_partitions: int = 8):
+    """HITS with scores kept as a DATASET end-to-end — the scale tier
+    past :func:`hits`'s broadcast bound (same contract as pagerank's
+    join tier): each half-iteration is one hash join (edges ⨝ scores),
+    one grouped-sum stitch of contributions, one left-outer attach,
+    and one scalar sum-of-squares fold for the L2 normalizer. Nothing
+    node-vector-sized ever lands on the driver. Semantics identical to
+    the broadcast tier (pytest cross-checks them)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_distinct, \
+        sorted_groupby_agg
+    from sigraph_ray.stages.joins import safe_join
+
+    pair = edges.map_batches(
+        lambda t: pa.table({"src": t.column(src).cast(pa.string()),
+                            "dst": t.column(dst).cast(pa.string())}),
+        batch_format="pyarrow").materialize()
+    srcs = pair.map_batches(lambda t: pa.table(
+        {"node": t.column("src")}), batch_format="pyarrow")
+    dsts = pair.map_batches(lambda t: pa.table(
+        {"node": t.column("dst")}), batch_format="pyarrow")
+    nodes = sorted_distinct(srcs.union(dsts), ["node"]).materialize()
+    n = int(nodes.count())
+    if n == 0:
+        return pd.DataFrame({"node": pd.Series(dtype="object"),
+                             "hub": pd.Series(dtype="float64"),
+                             "authority": pd.Series(dtype="float64")})
+    init = 1.0 / float(np.sqrt(n))
+    scores = nodes.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "hub": pa.array([init] * t.num_rows),
+                            "authority": pa.array([init] * t.num_rows)}),
+        batch_format="pyarrow").materialize()
+    score_schema = pa.schema([("node", pa.string()),
+                              ("hub", pa.float64()),
+                              ("authority", pa.float64())])
+    pair_schema = pa.schema([("src", pa.string()),
+                             ("dst", pa.string())])
+
+    def half(scores, from_col, to_col, take_col, put_col):
+        live = scores.map_batches(
+            lambda t: pa.table({from_col: t.column("node"),
+                                "w": t.column(take_col)}),
+            batch_format="pyarrow")
+        joined = safe_join(
+            pair, live, "inner", num_partitions, on=(from_col,),
+            left_schema=pair_schema,
+            right_schema=pa.schema([(from_col, pa.string()),
+                                    ("w", pa.float64())]))
+        contrib = sorted_groupby_agg(
+            joined.map_batches(
+                lambda df: (df.groupby(to_col, sort=False)["w"].sum()
+                            .rename("c").reset_index()),
+                batch_format="pandas"),
+            key=to_col, aggs={"s": ("c", "sum")}).map_batches(
+                lambda t: t.rename_columns(["node", "s"]),
+                batch_format="pyarrow")
+        base = safe_join(
+            scores, contrib, "left_outer", num_partitions, on=("node",),
+            left_schema=score_schema,
+            right_schema=pa.schema([("node", pa.string()),
+                                    ("s", pa.float64())]))
+        raw = base.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "hub": t.column("hub"),
+                "authority": t.column("authority"),
+                "raw": pa.compute.coalesce(t.column("s"),
+                                           pa.scalar(0.0))}),
+            batch_format="pyarrow").materialize()
+        ss = raw.map_batches(
+            lambda df: pd.DataFrame({"q": [float((df["raw"] ** 2)
+                                                 .sum())]}),
+            batch_format="pandas").sum("q") or 0.0
+        norm = float(np.sqrt(ss))
+        inv = 1.0 / norm if norm > 0 else 1.0
+
+        def put(t: pa.Table, *, _inv=inv) -> pa.Table:
+            cols = {"node": t.column("node"),
+                    "hub": t.column("hub"),
+                    "authority": t.column("authority")}
+            cols[put_col] = pa.compute.multiply(t.column("raw"),
+                                                pa.scalar(_inv))
+            return pa.table(cols)
+
+        return raw.map_batches(put, batch_format="pyarrow").materialize()
+
+    for _ in range(n_iter):
+        scores = half(scores, "src", "dst", "hub", "authority")
+        scores = half(scores, "dst", "src", "authority", "hub")
+    return scores

@@ -1135,3 +1135,24 @@ def test_gini_hand_values(ray_session):
     assert abs(run([1.0, 2.0, 3.0, 4.0]) - 0.25) < 1e-12
     assert abs(run([1.0, 2.0, 3.0, 4.0], blocks=1)
                - run([4.0, 3.0, 2.0, 1.0], blocks=4)) < 1e-15
+
+
+def test_hits_join_tier_matches_broadcast(ray_session):
+    """The dataset-resident join tier produces the same hubs and
+    authorities as the broadcast tier (which is itself gated against
+    the dense power iteration)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.graphalgo import hits, hits_join_tier
+
+    edges = pd.DataFrame({
+        "src": ["a", "a", "b", "c", "c", "d", "a", "e"],
+        "dst": ["b", "c", "c", "d", "b", "a", "b", "a"]})
+    ds = rd.from_pandas(edges).repartition(3)
+    want = hits(ds, n_iter=5).sort_values("node").reset_index(drop=True)
+    got = (hits_join_tier(ds, n_iter=5, num_partitions=4).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["node", "hub", "authority"]],
+        want[["node", "hub", "authority"]], check_dtype=False,
+        atol=1e-9, rtol=1e-9)
