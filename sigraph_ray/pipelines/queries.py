@@ -6066,3 +6066,47 @@ SELECT event_type, count(*) AS n,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def q_embed_clusters(sf_dir: str):
+    """K-means clustering of the embedding corpus as a first-class
+    capability: deterministic spherical k-means
+    (stages/similarity.ivf_train — content-keyed bounded sample, hash
+    init) trains 8 centroids, then ONE broadcast assignment pass
+    computes per-cluster size and mean within-cluster cosine (the
+    cohesion diagnostic). Rows-only: iterative Lloyd steps; the
+    IVF recall gates in tests/test_similarity.py cover the trainer."""
+    import ray
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+    from sigraph_ray.stages.similarity import _normalize, ivf_train
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cent = ivf_train(ds, n_centroids=8)
+    cent_ref = ray.put(cent)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        mat = _normalize(np.stack(df["embedding"].to_numpy())
+                         .astype(np.float64))
+        sims = mat @ c.T
+        cell = sims.argmax(axis=1)
+        best = sims[np.arange(len(df)), cell]
+        g = (pd.DataFrame({"cluster": cell.astype("int64"),
+                           "n": 1, "sim": best})
+             .groupby("cluster", sort=False)
+             .agg(n=("n", "sum"), sim=("sim", "sum")).reset_index())
+        return g
+
+    agg = sorted_groupby_agg(
+        ds.map_batches(assign, batch_format="pandas"),
+        key="cluster", aggs={"n": ("n", "sum"), "sim": ("sim", "sum")}
+    ).to_pandas()
+    out = pd.DataFrame({
+        "cluster": agg["cluster"].astype("int64"),
+        "n": agg["n"].astype("int64"),
+        "mean_cosine": agg["sim"].to_numpy(np.float64)
+        / agg["n"].to_numpy(np.float64)})
+    return out.sort_values("cluster").reset_index(drop=True)
