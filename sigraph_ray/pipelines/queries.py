@@ -6110,3 +6110,119 @@ def q_embed_clusters(sf_dir: str):
         "mean_cosine": agg["sim"].to_numpy(np.float64)
         / agg["n"].to_numpy(np.float64)})
     return out.sort_values("cluster").reset_index(drop=True)
+
+
+def q_cumulative_users(sf_dir: str):
+    """Expanding COUNT DISTINCT over time — cumulative unique users by
+    day — via the first-appearance identity: a user contributes on
+    exactly their MIN day, so the expanding distinct equals a grouped
+    min (one stitch) + per-day counts + a cumulative sum over the
+    bounded day series. The classic growth curve without a
+    per-window distinct scan."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({"user_id": df["user_id"],
+                           "day": df["ts"].dt.floor("D")})
+             .groupby("user_id", sort=False)["day"].min().reset_index())
+        return g
+
+    firsts = sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        key="user_id", aggs={"day": ("day", "min")}).to_pandas()
+    per_day = (firsts.groupby("day").size().rename("new_users")
+               .reset_index().sort_values("day"))
+    per_day["cum_users"] = per_day["new_users"].cumsum().astype("int64")
+    per_day["new_users"] = per_day["new_users"].astype("int64")
+    return per_day.reset_index(drop=True)
+
+
+SQL_CUMULATIVE_USERS = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS day
+  FROM events GROUP BY 1
+), d AS (
+  SELECT day, count(*) AS new_users FROM f GROUP BY 1
+)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d ORDER BY day
+"""
+
+
+def q_keyness_src0(sf_dir: str):
+    """Keyness analysis (Monroe et al. 2008 log-odds with +1 prior):
+    top-25 terms most characteristic of src0 vs the rest of the
+    corpus — the per-source vocabulary-drift diagnostic behind the KL
+    metric, but per TERM. One tokenizing scan emits per-term
+    (src0, rest) count columns; one grouped-sum stitch; the score is
+    a vectorized final map over the vocabulary-sized table."""
+    import re
+
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_sum
+    from sigraph_ray.stages.textstats import _WORD_RE
+
+    rx = re.compile(_WORD_RE)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(rx)
+        ex = pd.DataFrame({
+            "term": toks.explode(),
+            "is0": df["source"].eq("src0").reindex(toks.explode().index)
+        }).dropna(subset=["term"])
+        g = (ex.groupby("term", sort=False)["is0"]
+             .agg(a="sum", t="size").reset_index())
+        g["a"] = g["a"].astype("int64")
+        g["b"] = (g["t"] - g["a"]).astype("int64")
+        return g[["term", "a", "b"]]
+
+    counts = sorted_groupby_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        key="term", sum_cols={"a": "a", "b": "b"})
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                 "a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "log_odds": pd.Series(dtype="float64")})
+        a = df["a"].to_numpy(np.float64)
+        b = df["b"].to_numpy(np.float64)
+        lo = np.log((a + 1.0) / (b + 1.0))
+        out = pd.DataFrame({"term": df["term"],
+                            "a": df["a"].astype("int64"),
+                            "b": df["b"].astype("int64"),
+                            "log_odds": lo})
+        return out.sort_values(["log_odds", "term"],
+                               ascending=[False, True]).head(25)
+
+    partials = counts.map_batches(score, batch_format="pandas").to_pandas()
+    return (partials.sort_values(["log_odds", "term"],
+                                 ascending=[False, True])
+            .head(25).reset_index(drop=True))
+
+
+SQL_KEYNESS_SRC0 = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         source = 'src0' AS is0
+  FROM documents
+), c AS (
+  SELECT term,
+         CAST(sum(CASE WHEN is0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN is0 THEN 0 ELSE 1 END) AS BIGINT) AS b
+  FROM toks GROUP BY 1
+)
+SELECT term, a, b,
+       ln((a + 1.0) / (b + 1.0)) AS log_odds
+FROM c ORDER BY log_odds DESC, term LIMIT 25
+"""
