@@ -6226,3 +6226,73 @@ SELECT term, a, b,
        ln((a + 1.0) / (b + 1.0)) AS log_odds
 FROM c ORDER BY log_odds DESC, term LIMIT 25
 """
+
+
+def q_type_gap_stats(sf_dir: str):
+    """Per-event-type inter-arrival cadence
+    (stages/temporal.grouped_gap_stats): mean/max gap seconds and gap
+    count over each type's time-ordered stream — seam-stitched like
+    the transition table."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.temporal import grouped_gap_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "event_id"])
+    return grouped_gap_stats(ds, key="event_type", ts="ts",
+                             tiebreak="event_id")
+
+
+SQL_TYPE_GAP_STATS = """
+WITH s AS (
+  SELECT event_type,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id),
+                   ts) AS gap
+  FROM events
+)
+SELECT event_type,
+       avg(CAST(gap AS DOUBLE)) / 1000000.0 AS mean_gap_s,
+       CAST(max(gap) AS DOUBLE) / 1000000.0 AS max_gap_s,
+       CAST(count(gap) AS BIGINT) AS n_gaps
+FROM s WHERE gap IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_mi_type_weekday(sf_dir: str):
+    """Mutual information between event type and ISO weekday
+    (stages/stats.mutual_information) — the effect-size companion to
+    the χ² test, same contingency dataflow."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.stats import mutual_information
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    prep = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"event_type": df["event_type"],
+             "dow": (df["ts"].dt.dayofweek + 1).astype("int64")}),
+        batch_format="pandas")
+    return mutual_information(prep, a="event_type", b="dow")
+
+
+SQL_MI_TYPE_WEEKDAY = """
+WITH obs AS (
+  SELECT event_type AS a, isodow(ts) AS b,
+         CAST(count(*) AS DOUBLE) AS o
+  FROM events GROUP BY 1, 2
+), nn AS (SELECT sum(o) AS n FROM obs),
+p AS (
+  SELECT o / nn.n AS pxy,
+         sum(o) OVER (PARTITION BY a) / nn.n AS pa,
+         sum(o) OVER (PARTITION BY b) / nn.n AS pb,
+         nn.n AS n
+  FROM obs, nn
+)
+SELECT sum(pxy * ln(pxy / (pa * pb))) AS mi,
+       CAST(max(n) AS BIGINT) AS n
+FROM p
+"""

@@ -249,3 +249,34 @@ def gini_coefficient(ds, *, value: str):
     n, sx, sixi = float(g["n"]), float(g["sx"]), float(g["sixi"])
     gini = 2.0 * sixi / (n * sx) - (n + 1.0) / n
     return pd.DataFrame({"gini": [gini], "n": [int(n)]})
+
+
+def mutual_information(ds, *, a: str, b: str):
+    """Mutual information (nats) between two categorical columns —
+    the effect-size companion to :func:`chi2_independence`, sharing
+    its contingency dataflow (per-block value_counts partials, one
+    bounded grid fold): ``I = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))`` over
+    observed cells."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df.value_counts([a, b])
+        idx = vc.index.to_frame(index=False)
+        return pd.DataFrame({"a": idx[a].astype(str),
+                             "b": idx[b].astype(str),
+                             "o": vc.to_numpy().astype("int64")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"mi": pd.Series(dtype="float64"),
+                                 "n": pd.Series(dtype="int64")})
+        obs = df.groupby(["a", "b"], sort=True)["o"].sum().reset_index()
+        n = float(obs["o"].sum())
+        pa_ = obs.groupby("a")["o"].transform("sum").to_numpy() / n
+        pb_ = obs.groupby("b")["o"].transform("sum").to_numpy() / n
+        pxy = obs["o"].to_numpy(np.float64) / n
+        mi = float((pxy * np.log(pxy / (pa_ * pb_))).sum())
+        return pd.DataFrame({"mi": [mi], "n": [int(n)]})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=None))

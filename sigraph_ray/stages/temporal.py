@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def _boundary_split(df: pd.DataFrame, key: str):
@@ -427,3 +428,68 @@ def interval_overlap_join(left, right, *, key: str, id_l: str,
     return sorted_distinct(
         j.map_batches(overlap, batch_format="pandas"),
         [key, id_l, id_r])
+
+
+def grouped_gap_stats(ds, *, key: str, ts: str, tiebreak: str):
+    """Per-key inter-arrival statistics — (mean_gap_s, max_gap_s,
+    n_gaps) over each key's (ts, tiebreak)-ordered stream; SQL
+    ``lag(ts) OVER (PARTITION BY key ORDER BY ts, tiebreak)``. The
+    arrival-cadence profile burst detection and SLA monitors read.
+
+    Same seam shape as :func:`event_transitions`: ONE range sort, each
+    block folds its within-block gaps to |keys-in-block| partial rows
+    plus four boundary scalars, the driver chains O(#blocks) seams —
+    driver state is key-alphabet-sized, never row-scale."""
+    import ray
+
+    sorted_ds = ds.sort([key, ts, tiebreak]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_stats(t):
+        if not t.num_rows:
+            return None
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        tv = (t.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False)).astype("int64")  # µs
+        same = k[1:] == k[:-1]
+        gaps = (tv[1:] - tv[:-1])[same]
+        gk = k[1:][same]
+        partial: dict = {}
+        for kk, g in zip(gk.tolist(), gaps.tolist()):
+            s, m, n = partial.get(kk, (0, 0, 0))
+            partial[kk] = (s + g, max(m, g), n + 1)
+        first_sort = (t.column(key)[0].as_py(), int(tv[0]),
+                      t.column(tiebreak)[0].as_py())
+        return (first_sort, k[0], int(tv[0]), k[-1], int(tv[-1]),
+                partial)
+
+    stats = [s for s in ray.get([block_stats.remote(r) for r in refs])
+             if s is not None]
+    stats.sort(key=lambda s: s[0])
+    total: dict = {}
+
+    def fold(kk, s, m, n):
+        s0, m0, n0 = total.get(kk, (0, 0, 0))
+        total[kk] = (s0 + s, max(m0, m), n0 + n)
+
+    for i, (_, _fk, _ft, lk, lt, partial) in enumerate(stats):
+        for kk, (s, m, n) in partial.items():
+            fold(kk, s, m, n)
+        if i + 1 < len(stats):
+            nfk, nft = stats[i + 1][1], stats[i + 1][2]
+            if lk == nfk:               # same key continues: seam gap
+                g = nft - lt
+                fold(lk, g, g, 1)
+    if not total:
+        return pd.DataFrame({key: pd.Series(dtype="object"),
+                             "mean_gap_s": pd.Series(dtype="float64"),
+                             "max_gap_s": pd.Series(dtype="float64"),
+                             "n_gaps": pd.Series(dtype="int64")})
+    items = sorted(total.items())
+    return pd.DataFrame({
+        key: [kk for kk, _ in items],
+        "mean_gap_s": [(s / n) / 1e6 for _, (s, _m, n) in items],
+        "max_gap_s": [m / 1e6 for _, (_s, m, _n) in items],
+        "n_gaps": pd.Series([n for _, (_s, _m, n) in items],
+                            dtype="int64")})

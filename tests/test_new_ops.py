@@ -1156,3 +1156,46 @@ def test_hits_join_tier_matches_broadcast(ray_session):
         got[["node", "hub", "authority"]],
         want[["node", "hub", "authority"]], check_dtype=False,
         atol=1e-9, rtol=1e-9)
+
+
+def test_grouped_gap_stats_seams(ray_session):
+    """Gaps crossing block seams are stitched exactly; max/mean/count
+    match a hand computation."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.temporal import grouped_gap_stats
+
+    base = pd.Timestamp("2026-01-01")
+    rows = []
+    for i, off in enumerate([0, 10, 40, 41]):          # gaps 10,30,1 s
+        rows.append(("a", base + pd.Timedelta(seconds=off), i))
+    rows.append(("b", base, 100))                      # single: no gap
+    df = pd.DataFrame(rows, columns=["k", "ts", "uid"])
+    out = (grouped_gap_stats(
+        rd.from_pandas(df.sample(frac=1, random_state=1)).repartition(4),
+        key="k", ts="ts", tiebreak="uid")
+        .sort_values("k").reset_index(drop=True))
+    assert list(out["k"]) == ["a"]
+    r = out.iloc[0]
+    assert r["n_gaps"] == 3
+    assert abs(r["mean_gap_s"] - (10 + 30 + 1) / 3) < 1e-9
+    assert abs(r["max_gap_s"] - 30.0) < 1e-12
+
+
+def test_mutual_information_hand_value(ray_session):
+    """Independent columns → MI 0; a deterministic mapping →
+    MI = H(marginal)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.stats import mutual_information
+
+    ind = pd.DataFrame({"a": ["x", "x", "y", "y"] * 10,
+                        "b": [1, 2, 1, 2] * 10})
+    out = mutual_information(rd.from_pandas(ind).repartition(3),
+                             a="a", b="b").to_pandas()
+    assert abs(out.iloc[0]["mi"]) < 1e-12
+    dep = pd.DataFrame({"a": ["x", "y", "z"] * 10,
+                        "b": [1, 2, 3] * 10})
+    out = mutual_information(rd.from_pandas(dep).repartition(3),
+                             a="a", b="b").to_pandas()
+    assert abs(out.iloc[0]["mi"] - math.log(3)) < 1e-12
