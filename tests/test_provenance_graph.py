@@ -233,3 +233,28 @@ def test_jsonl_roundtrip_graph_identical(ray_session, tmp_path):
         a = a.sort_values(cols[:2]).reset_index(drop=True)
         b = b.sort_values(cols[:2]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_csv_roundtrip_graph_identical(ray_session, tmp_path):
+    """S2 wire-format fidelity (CSV tier): the graph built from a CSV
+    copy of the event stream is byte-identical to the Arrow build —
+    list column JSON-encoded, timestamps ISO-8601."""
+    import ray.data as rd
+
+    from sigraph_ray.sources import synth
+    from sigraph_ray.sources.csvsrc import (read_events_csv,
+                                            write_events_csv)
+    from sigraph_ray.stages import provenance_graph as G
+
+    events = rd.range(400, override_num_blocks=2).map_batches(
+        lambda b: synth.events_batch(b["id"]), batch_format="numpy")
+    path = str(tmp_path / "events_csv")
+    write_events_csv(events, path)
+    via_csv = read_events_csv(path)
+    for key in ("nodes", "edges", "traces"):
+        a = G.build_graph(events)[key].to_pandas()
+        b = G.build_graph(via_csv)[key].to_pandas()
+        cols = list(a.columns)
+        a = a.sort_values(cols[:2]).reset_index(drop=True)
+        b = b.sort_values(cols[:2]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
