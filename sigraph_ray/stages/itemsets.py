@@ -109,7 +109,10 @@ def jaccard_neighbors(ds, *, group: str, item: str, min_common: int = 2,
     range sort, block-local expansion); item degrees are one grouped
     count; both marginals attach via bounded sorted-merge joins, so
     the union term is ``d1 + d2 - common`` without a second pass over
-    the data."""
+    the data. Note: with ``max_basket`` set, degrees still count
+    dropped giant baskets while intersections exclude them — scores
+    for items touching a dropped basket are LOWER bounds (the
+    conservative direction for link proposals)."""
     from sigraph_ray.stages.collect import sorted_groupby_agg
     from sigraph_ray.stages.joins import sorted_merge_join
 

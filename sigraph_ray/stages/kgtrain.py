@@ -17,6 +17,10 @@ import pyarrow.compute as pc
 
 
 def _h16(keys: list[str]) -> np.ndarray:
+    """16-bit md5 prefix (matches the SQL oracle's 4-nibble
+    arithmetic). CONTRACT: mod-sampling with this prefix is uniform
+    only for vocabularies < 2¹⁶ — at web scale widen to ``h[:8]``
+    (32-bit) and the oracle's nibble expansion with it."""
     from sigraph_ray.functions.hashing import md5_hex
 
     return np.array([int(h[:4], 16) for h in md5_hex(keys)],
