@@ -6296,3 +6296,52 @@ SELECT sum(pxy * ln(pxy / (pa * pb))) AS mi,
        CAST(max(n) AS BIGINT) AS n
 FROM p
 """
+
+
+def q_lineitem_covariance(sf_dir: str):
+    """Covariance matrix across the lineitem numeric measures —
+    the scalar-column face of stages/linalg.covariance_matrix (columns
+    packed into a vector per row, then the same d² Gram-partial
+    fold); 1-indexed (i, j) in column order quantity, extendedprice,
+    discount, tax."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.linalg import covariance_matrix
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    # numeric conditioning, applied IDENTICALLY in the SQL twin:
+    # price in k$ (unit scale, keeps every covariance ≤ ~1e3 so the
+    # 6-decimal hash compare sits far above both engines' float64
+    # accumulation error) and shift-centering (covariance is
+    # shift-invariant; keeps Σxy partials variance-sized — the
+    # stats.py x_base guard)
+    shifts = {"l_quantity": 25.0, "l_extendedprice": 35.0,
+              "l_discount": 0.05, "l_tax": 0.04}
+    scale = {"l_extendedprice": 1e-3}
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    packed = ds.map_batches(
+        lambda df: pd.DataFrame({"embedding": list(
+            np.stack([df[c].to_numpy(np.float64) * scale.get(c, 1.0)
+                      - shifts[c] for c in cols], axis=1))}),
+        batch_format="pandas")
+    return covariance_matrix(packed)
+
+
+SQL_LINEITEM_COVARIANCE = """
+WITH s AS (
+  SELECT l_quantity AS q, l_extendedprice / 1000.0 AS p,
+         l_discount AS d, l_tax AS t
+  FROM lineitem
+)
+SELECT 1 AS i, 1 AS j, covar_samp(q, q) AS cov FROM s
+UNION ALL SELECT 1, 2, covar_samp(q, p) FROM s
+UNION ALL SELECT 1, 3, covar_samp(q, d) FROM s
+UNION ALL SELECT 1, 4, covar_samp(q, t) FROM s
+UNION ALL SELECT 2, 2, covar_samp(p, p) FROM s
+UNION ALL SELECT 2, 3, covar_samp(p, d) FROM s
+UNION ALL SELECT 2, 4, covar_samp(p, t) FROM s
+UNION ALL SELECT 3, 3, covar_samp(d, d) FROM s
+UNION ALL SELECT 3, 4, covar_samp(d, t) FROM s
+UNION ALL SELECT 4, 4, covar_samp(t, t) FROM s
+ORDER BY i, j
+"""
