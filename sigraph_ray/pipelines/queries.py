@@ -6345,3 +6345,71 @@ UNION ALL SELECT 3, 4, covar_samp(d, t) FROM s
 UNION ALL SELECT 4, 4, covar_samp(t, t) FROM s
 ORDER BY i, j
 """
+
+
+def q_mahalanobis_outliers(sf_dir: str):
+    """Multivariate (2-D) Mahalanobis outlier detection over
+    (quantity, price-k$): the Gram fold supplies means and the 2×2
+    sample covariance, its closed-form inverse broadcasts into one
+    scoring pass, top-20 by (distance² DESC, orderkey, linenumber).
+    The multivariate sibling of the per-column MAD screen — identical
+    expression tree in the SQL twin, so the float compare is exact."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.linalg import _unpack, gram_partials
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice"])
+    packed = ds.map_batches(
+        lambda df: pd.DataFrame({"embedding": list(np.stack(
+            [df["l_quantity"].to_numpy(np.float64) - 25.0,
+             df["l_extendedprice"].to_numpy(np.float64) / 1000.0 - 35.0],
+            axis=1))}),
+        batch_format="pandas")
+    n, sums, gram = _unpack(gram_partials(packed).to_pandas())
+    mx, my = sums[0] / n, sums[1] / n
+    sxx = (gram[0, 0] - sums[0] * sums[0] / n) / (n - 1.0)
+    syy = (gram[1, 1] - sums[1] * sums[1] / n) / (n - 1.0)
+    sxy = (gram[0, 1] - sums[0] * sums[1] / n) / (n - 1.0)
+    det = sxx * syy - sxy * sxy
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dx = (df["l_quantity"].to_numpy(np.float64) - 25.0) - mx
+        dy = (df["l_extendedprice"].to_numpy(np.float64) / 1000.0
+              - 35.0) - my
+        d2 = (dx * (syy * dx - sxy * dy)
+              + dy * (sxx * dy - sxy * dx)) / det
+        out = pd.DataFrame({"l_orderkey": df["l_orderkey"],
+                            "l_linenumber": df["l_linenumber"]
+                            .astype("int64"),
+                            "dist2": d2})
+        return out.sort_values(["dist2", "l_orderkey", "l_linenumber"],
+                               ascending=[False, True, True]).head(20)
+
+    partials = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return (partials.sort_values(["dist2", "l_orderkey", "l_linenumber"],
+                                 ascending=[False, True, True])
+            .head(20).reset_index(drop=True))
+
+
+SQL_MAHALANOBIS_OUTLIERS = """
+WITH s AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity - 25.0 AS x,
+         l_extendedprice / 1000.0 - 35.0 AS y
+  FROM lineitem
+), g AS (
+  SELECT avg(x) AS mx, avg(y) AS my,
+         covar_samp(x, x) AS sxx, covar_samp(y, y) AS syy,
+         covar_samp(x, y) AS sxy
+  FROM s
+)
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       ((x - mx) * (syy * (x - mx) - sxy * (y - my))
+        + (y - my) * (sxx * (y - my) - sxy * (x - mx)))
+       / (sxx * syy - sxy * sxy) AS dist2
+FROM s, g
+ORDER BY dist2 DESC, l_orderkey, l_linenumber LIMIT 20
+"""
