@@ -6413,3 +6413,64 @@ SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
 FROM s, g
 ORDER BY dist2 DESC, l_orderkey, l_linenumber LIMIT 20
 """
+
+
+def q_brand_revenue(sf_dir: str):
+    """Top-10 part brands by discounted revenue: per-batch integer
+    combiner (exact cent×discount units, the lineitem_agg trick) keyed
+    by partkey, ONE grouped-sum stitch, then the bounded part→brand
+    dimension attaches by zero-copy broadcast (ray.put Arrow view, task
+    pool — no actor cold start) and the brand re-fold is tiny."""
+    import ray
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_sum
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    ref = ray.put(pa.Table.from_pandas(part, preserve_index=False))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100)\
+            .astype("int64")
+        disc = np.round((1.0 - df["l_discount"].to_numpy()) * 100)\
+            .astype("int64")
+        g = (pd.DataFrame({"l_partkey": df["l_partkey"],
+                           "units": cents * disc})
+             .groupby("l_partkey", sort=False)["units"].sum()
+             .reset_index())
+        return g
+
+    per_part = sorted_groupby_sum(
+        li.map_batches(partial, batch_format="pandas"),
+        key="l_partkey", sum_cols={"units": "units"})
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        dim = ray.get(ref).to_pandas()
+        m = df.merge(dim, left_on="l_partkey", right_on="p_partkey")
+        return (m.groupby("p_brand", sort=False)["units"].sum()
+                .reset_index())
+
+    folded = (per_part.map_batches(attach, batch_format="pandas")
+              .to_pandas()
+              .groupby("p_brand", as_index=False)["units"].sum())
+    folded["revenue"] = folded["units"].astype("float64") / 1e4
+    out = (folded[["p_brand", "revenue"]]
+           .sort_values(["revenue", "p_brand"],
+                        ascending=[False, True])
+           .head(10).reset_index(drop=True))
+    return out
+
+
+SQL_BRAND_REVENUE = """
+SELECT p_brand,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100) AS BIGINT))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY revenue DESC, p_brand LIMIT 10
+"""
