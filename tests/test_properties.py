@@ -87,3 +87,77 @@ def test_chunker_covers_all_content(text):
         # first and last payload survive
         assert stripped[:10] in joined
         assert stripped[-10:] in joined
+
+
+# --- round-3 analytic kernels -------------------------------------------
+
+_pairs = st.lists(
+    st.tuples(st.integers(-20, 20), st.integers(-20, 20)),
+    min_size=1, max_size=40)
+
+
+@given(_pairs)
+@settings(max_examples=200, deadline=None)
+def test_pareto_block_matches_bruteforce(pairs):
+    """The vectorized per-block skyline equals the quadratic dominance
+    definition on arbitrary integer points (ties, duplicates, all)."""
+    import pandas as pd
+
+    from sigraph_ray.stages.stats import _pareto_block
+
+    df = pd.DataFrame(pairs, columns=["lo", "hi"])
+    df["lo"] = df["lo"].astype("float64")
+    got = _pareto_block(df, minimize="lo", maximize="hi")
+    keep = []
+    for i, p in df.iterrows():
+        dom = ((df["lo"] <= p["lo"]) & (df["hi"] >= p["hi"])
+               & ((df["lo"] < p["lo"]) | (df["hi"] > p["hi"])))
+        if not dom.any():
+            keep.append(i)
+    assert sorted(got.index) == keep
+
+
+_sample = st.lists(st.integers(0, 15), min_size=1, max_size=50)
+
+
+@given(_sample, _sample)
+@settings(max_examples=200, deadline=None)
+def test_ks_count_path_matches_direct_ecdf(xa, xb):
+    """The grouped-count + cumsum KS (the distributed fold's math)
+    equals the direct two-sample ECDF sup-distance."""
+    import numpy as np
+    import pandas as pd
+
+    a = np.array(xa, dtype=float)
+    b = np.array(xb, dtype=float)
+    # count path (stats.ks_two_sample finish semantics)
+    vals = np.unique(np.concatenate([a, b]))
+    c1 = np.array([(a == v).sum() for v in vals])
+    c2 = np.array([(b == v).sum() for v in vals])
+    ks_counts = np.abs(c1.cumsum() / len(a) - c2.cumsum() / len(b)).max()
+    # direct ECDF definition
+    ks_direct = max(abs((a <= v).mean() - (b <= v).mean()) for v in vals)
+    assert abs(ks_counts - ks_direct) < 1e-12
+
+
+@given(st.lists(st.floats(min_value=0.0, max_value=100.0,
+                          allow_nan=False), min_size=2, max_size=30),
+       st.integers(1, 5))
+@settings(max_examples=100, deadline=None)
+def test_mmr_lambda_one_is_pure_relevance(scores, k):
+    """With λ=1 MMR degenerates to relevance order regardless of the
+    similarity structure."""
+    import pandas as pd
+
+    from sigraph_ray.stages.textstats import mmr_diversify
+
+    cand = pd.DataFrame({
+        "doc_id": range(len(scores)),
+        "text": [f"tok{i} " * 3 for i in range(len(scores))],
+        "score": scores})
+    out = mmr_diversify(cand, id_col="doc_id", text_col="text",
+                        score_col="score", k=k, lam=1.0)
+    want = (cand.sort_values(["score", "doc_id"],
+                             ascending=[False, True])
+            .head(k)["doc_id"].tolist())
+    assert list(out["doc_id"]) == want
