@@ -6474,3 +6474,51 @@ SELECT p_brand,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1 ORDER BY revenue DESC, p_brand LIMIT 10
 """
+
+
+def q_weighted_quantity_quantiles(sf_dir: str):
+    """Revenue-weighted quantity quantiles
+    (stages/quantiles.weighted_quantiles): the quantity levels below
+    which 25/50/75/95 % of discounted revenue sits — integer revenue
+    units so the weights are exact in both engines."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.quantiles import weighted_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice",
+                                  "l_discount"])
+
+    def units(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100)\
+            .astype("int64")
+        disc = np.round((1.0 - df["l_discount"].to_numpy()) * 100)\
+            .astype("int64")
+        return pd.DataFrame({"qty": df["l_quantity"].astype("int64"),
+                             "units": cents * disc})
+
+    out = weighted_quantiles(ds.map_batches(units, batch_format="pandas"),
+                             value="qty", weight="units",
+                             qs=[0.25, 0.5, 0.75, 0.95])
+    out["value"] = out["value"].astype("int64")
+    return out
+
+
+SQL_WEIGHTED_QUANTITY_QUANTILES = """
+WITH u AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+         * CAST(round((1 - l_discount) * 100) AS BIGINT) AS units
+  FROM lineitem
+), c AS (
+  SELECT qty, CAST(sum(units) AS DOUBLE) AS w FROM u GROUP BY 1
+), e AS (
+  SELECT qty, sum(w) OVER (ORDER BY qty) AS cumw,
+         sum(w) OVER () AS total
+  FROM c
+)
+SELECT q, min(qty) AS value
+FROM (VALUES (0.25), (0.5), (0.75), (0.95)) AS t(q), e
+WHERE e.cumw >= t.q * e.total
+GROUP BY 1 ORDER BY 1
+"""

@@ -327,3 +327,38 @@ def ntile_transform(ds, *, value_col: str, id_col: str, k: int):
              value_col: pa.array([], pa.float64()),
              "bucket": pa.array([], pa.int64())}))
     return out
+
+
+def weighted_quantiles(ds, *, value: str, weight: str,
+                       qs: list[float]) -> pd.DataFrame:
+    """Exact WEIGHTED quantiles: ``q-th = min v with F(v) ≥ q·W`` where
+    ``F(v) = Σ weight over rows with value ≤ v`` — the
+    mass-weighted generalization of quantile_disc (e.g. "the quantity
+    below which half the REVENUE sits").
+
+    Dataflow: per-VALUE grouped weight sums (distinct-value-bounded —
+    one grouped-sum stitch), cumulative sum + selection in one bounded
+    final step. CONTRACT: the value column must be low-cardinality
+    (enums, sizes, bucketed measures); for continuous values use the
+    rank-selection shape of :func:`exact_quantiles` with weight prefix
+    sums instead."""
+    import numpy as np
+
+    from sigraph_ray.stages.collect import sorted_groupby_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(value, sort=False)[weight].sum()
+             .rename("w").reset_index())
+        return g
+
+    counts = sorted_groupby_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        key=value, sum_cols={"w": "w"}).to_pandas()
+    d = counts.sort_values(value).reset_index(drop=True)
+    cumw = d["w"].to_numpy(np.float64).cumsum()
+    total = cumw[-1]
+    rows = []
+    for q in qs:
+        idx = int(np.searchsorted(cumw, q * total, side="left"))
+        rows.append({"q": q, "value": d[value].iloc[min(idx, len(d) - 1)]})
+    return pd.DataFrame(rows)

@@ -1199,3 +1199,18 @@ def test_mutual_information_hand_value(ray_session):
     out = mutual_information(rd.from_pandas(dep).repartition(3),
                              a="a", b="b").to_pandas()
     assert abs(out.iloc[0]["mi"] - math.log(3)) < 1e-12
+
+
+def test_weighted_quantiles_hand_values(ray_session):
+    """min v with F(v) ≥ q·W on a hand-weighted set: values 1,2,3 with
+    weights 10,10,80 → q=0.5 falls on 3, q=0.1 on 1, q=0.2 on 2."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.quantiles import weighted_quantiles
+
+    df = pd.DataFrame({"v": [1, 2, 3], "w": [10, 10, 80]})
+    out = weighted_quantiles(
+        rd.from_pandas(df).repartition(2), value="v", weight="w",
+        qs=[0.1, 0.2, 0.5, 1.0])
+    got = dict(zip(out["q"], out["value"]))
+    assert got == {0.1: 1, 0.2: 2, 0.5: 3, 1.0: 3}
