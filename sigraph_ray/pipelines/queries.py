@@ -6522,3 +6522,127 @@ FROM (VALUES (0.25), (0.5), (0.75), (0.95)) AS t(q), e
 WHERE e.cumw >= t.q * e.total
 GROUP BY 1 ORDER BY 1
 """
+
+
+def q_cluster_exemplars(sf_dir: str):
+    """Cluster exemplar (medoid-to-centroid) selection: for each
+    k-means cluster the vector closest to its centroid — the
+    representative a human labels first in an active-learning loop.
+    One broadcast assignment pass emits per-block per-cluster argmin
+    partials (≤ k rows each); the fold keeps the global (min cosine
+    distance, min id) per cluster. Rows-only (clustering is
+    iterative); deterministic end to end."""
+    import ray
+    import ray.data as rd
+
+    from sigraph_ray.stages.similarity import _normalize, ivf_train
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cent = ivf_train(ds, n_centroids=8)
+    cent_ref = ray.put(cent)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        mat = _normalize(np.stack(df["embedding"].to_numpy())
+                         .astype(np.float64))
+        sims = mat @ c.T
+        cell = sims.argmax(axis=1)
+        best = sims[np.arange(len(df)), cell]
+        d = pd.DataFrame({"cluster": cell.astype("int64"),
+                          "vec_id": df["vec_id"].to_numpy(),
+                          "cosine": best})
+        # per-block argmax cosine per cluster, deterministic id tiebreak
+        d = d.sort_values(["cluster", "cosine", "vec_id"],
+                          ascending=[True, False, True])
+        return d.groupby("cluster", sort=False).head(1)
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .to_pandas()
+             .sort_values(["cluster", "cosine", "vec_id"],
+                          ascending=[True, False, True]))
+    out = (parts.groupby("cluster", as_index=False).head(1)
+           .sort_values("cluster").reset_index(drop=True))
+    return out[["cluster", "vec_id", "cosine"]]
+
+
+def q_knn_label_prop(sf_dir: str):
+    """Semi-supervised kNN label propagation: 20 % hash-seeded labels
+    spread to the rest by two rounds of neighbor majority vote over
+    the exact top-5 cosine graph (Zhu & Ghahramani 2002, the hard-label
+    variant). Per round: one sorted-merge label attach + one
+    grouped-mode stitch; unknowns with no labeled neighbor stay
+    unknown. Returns per-true-label coverage and accuracy on the
+    PROPAGATED (non-seed) vectors. Rows-only: iterative; deterministic
+    (hash seeds, smaller-label tie-break)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import grouped_mode, sorted_groupby_agg
+    from sigraph_ray.stages.joins import sorted_merge_join
+    from sigraph_ray.stages.similarity import knn_self_join
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"])
+    knn = knn_self_join(emb.drop_columns(["label"]), k=5).materialize()
+
+    labels = emb.map_batches(
+        lambda df: pd.DataFrame({
+            "vec_id": df["vec_id"],
+            "true": df["label"].astype("int64"),
+            "seed": (df["vec_id"] % 5 == 0),
+            "cur": np.where(df["vec_id"] % 5 == 0,
+                            df["label"].astype("int64"), -1)}),
+        batch_format="pandas").materialize()
+
+    for _ in range(2):
+        nbr = labels.map_batches(
+            lambda df: pd.DataFrame({"nbr_id": df["vec_id"],
+                                     "nbr_cur": df["cur"]}),
+            batch_format="pandas")
+        j = sorted_merge_join(knn, nbr, on="nbr_id",
+                              left_cols=["vec_id"],
+                              right_cols=["nbr_cur"])
+        known = j.map_batches(lambda df: df[df["nbr_cur"] >= 0],
+                              batch_format="pandas")
+        vote = grouped_mode(known, key="vec_id", value="nbr_cur")
+        vote = vote.map_batches(
+            lambda df: pd.DataFrame({"vec_id": df["vec_id"],
+                                     "mode": df["mode_value"]
+                                     .astype("int64")}),
+            batch_format="pandas")
+        upd = sorted_merge_join(labels, vote, on="vec_id",
+                                left_cols=["true", "seed", "cur"],
+                                right_cols=["mode"], how="left")
+        labels = upd.map_batches(
+            lambda df: pd.DataFrame({
+                "vec_id": df["vec_id"],
+                "true": df["true"].astype("int64"),
+                "seed": df["seed"].astype(bool),
+                "cur": np.where(df["seed"].astype(bool), df["cur"],
+                                df["mode"].fillna(df["cur"])
+                                .astype("int64")).astype("int64")}),
+            batch_format="pandas").materialize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[~df["seed"].astype(bool)]
+        g = (pd.DataFrame({
+            "label": d["true"],
+            "n": 1,
+            "labeled": (d["cur"] >= 0).astype("int64"),
+            "correct": (d["cur"] == d["true"]).astype("int64")})
+            .groupby("label", sort=False).sum().reset_index())
+        return g
+
+    agg = sorted_groupby_agg(
+        labels.map_batches(partial, batch_format="pandas"),
+        key="label", aggs={"n": ("n", "sum"),
+                           "labeled": ("labeled", "sum"),
+                           "correct": ("correct", "sum")}).to_pandas()
+    out = pd.DataFrame({
+        "label": agg["label"].astype("int64"),
+        "n_nonseed": agg["n"].astype("int64"),
+        "coverage": agg["labeled"].to_numpy(np.float64)
+        / agg["n"].to_numpy(np.float64),
+        "accuracy": agg["correct"].to_numpy(np.float64)
+        / np.maximum(agg["labeled"].to_numpy(np.float64), 1.0)})
+    return out.sort_values("label").reset_index(drop=True)

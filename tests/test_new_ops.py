@@ -1214,3 +1214,33 @@ def test_weighted_quantiles_hand_values(ray_session):
         qs=[0.1, 0.2, 0.5, 1.0])
     got = dict(zip(out["q"], out["value"]))
     assert got == {0.1: 1, 0.2: 2, 0.5: 3, 1.0: 3}
+
+
+def test_knn_label_prop_separable_corpus(ray_session, tmp_path):
+    """On a separable planted embedding set, two propagation rounds
+    label every non-seed vector correctly; the run is layout-invariant
+    by construction (hash seeds, deterministic votes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sigraph_ray.pipelines.queries import q_knn_label_prop
+
+    rng = np.random.RandomState(3)
+    n_per, d = 40, 16
+    vecs, labels = [], []
+    for c in range(3):
+        center = np.zeros(d); center[c] = 10.0
+        vecs.append(center + 0.1 * rng.randn(n_per, d))
+        labels += [c] * n_per
+    x = np.vstack(vecs).astype("float32")
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(labels)), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(x.ravel(), pa.float32()), d),
+        "label": pa.array(labels, pa.int32())})
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    out = q_knn_label_prop(str(tmp_path))
+    assert (out["coverage"] == 1.0).all()
+    assert (out["accuracy"] == 1.0).all()
+    assert out["n_nonseed"].sum() == len(labels) - len(labels) // 5
