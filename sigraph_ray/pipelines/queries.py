@@ -6646,3 +6646,70 @@ def q_knn_label_prop(sf_dir: str):
         "accuracy": agg["correct"].to_numpy(np.float64)
         / np.maximum(agg["labeled"].to_numpy(np.float64), 1.0)})
     return out.sort_values("label").reset_index(drop=True)
+
+
+def _tagged_day_sets(sf_dir: str, type_a: str, type_b: str):
+    """Shared core for the set-algebra queries: ONE scan emits tagged
+    (user, day) membership flags, one grouped-max stitch folds them —
+    SET membership as dataflow, no per-side distinct passes and no
+    anti-join."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "user_id": df["user_id"],
+            "day": df["ts"].dt.floor("D"),
+            "a": (df["event_type"] == type_a).astype("int64"),
+            "b": (df["event_type"] == type_b).astype("int64")})
+            .groupby(["user_id", "day"], sort=False).max()
+            .reset_index())
+        return g
+
+    return sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        key=["user_id", "day"],
+        aggs={"a": ("a", "max"), "b": ("b", "max")})
+
+
+def q_userdays_except(sf_dir: str):
+    """SQL EXCEPT as dataflow: (user, day) pairs with a purchase but
+    no error that day — tagged membership flags through one
+    grouped-max stitch, then a vectorized filter."""
+    sets = _tagged_day_sets(sf_dir, "purchase", "error").to_pandas()
+    out = sets[(sets["a"] == 1) & (sets["b"] == 0)][["user_id", "day"]]
+    return (out.astype({"user_id": "int64"})
+            .sort_values(["user_id", "day"]).reset_index(drop=True))
+
+
+SQL_USERDAYS_EXCEPT = """
+SELECT user_id, date_trunc('day', ts) AS day FROM events
+WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id, date_trunc('day', ts) FROM events
+WHERE event_type = 'error'
+ORDER BY user_id, day
+"""
+
+
+def q_userdays_intersect(sf_dir: str):
+    """SQL INTERSECT as dataflow (same tagged-flag stitch): (user,
+    day) pairs with BOTH a signup and a purchase that day."""
+    sets = _tagged_day_sets(sf_dir, "signup", "purchase").to_pandas()
+    out = sets[(sets["a"] == 1) & (sets["b"] == 1)][["user_id", "day"]]
+    return (out.astype({"user_id": "int64"})
+            .sort_values(["user_id", "day"]).reset_index(drop=True))
+
+
+SQL_USERDAYS_INTERSECT = """
+SELECT user_id, date_trunc('day', ts) AS day FROM events
+WHERE event_type = 'signup'
+INTERSECT
+SELECT user_id, date_trunc('day', ts) FROM events
+WHERE event_type = 'purchase'
+ORDER BY user_id, day
+"""
