@@ -241,3 +241,40 @@ def test_doc_store_roundtrip_and_flush(ray_session, tmp_path):
     left = rd.read_parquet(table_dir).to_pandas()
     assert "unit_0" not in set(left["unit_id"])
     assert len(left) < len(stored)
+
+
+def test_null_fields_never_match_contains():
+    """Regression (round-3 advice): a null/NaN field value must never
+    match ``contains`` — without the presence mask, astype(str) turns
+    None/NaN into the literal strings 'None'/'nan' and a rule like
+    ``|contains: 'one'`` (or 'nan') matches rows MISSING the field.
+    The reference's OpenSearch term queries only hit docs that HAVE
+    the field."""
+    yaml_rule = """
+title: r_null
+logsource: {category: click}
+detection:
+  sel:
+    User|contains: 'one'
+  condition: sel
+---
+title: r_null_nan
+logsource: {category: click}
+detection:
+  sel:
+    User|contains: 'nan'
+  condition: sel
+---
+title: r_null_re
+logsource: {category: click}
+detection:
+  sel:
+    User|re: '.'
+  condition: sel
+"""
+    rules = SG.compile_rules(yaml_rule)
+    df = _df(User=[None, float("nan"), "someone", "nanette"])
+    assert rules[0].mask(df).tolist() == [False, False, True, False]
+    assert rules[1].mask(df).tolist() == [False, False, False, True]
+    # |re '.' matches any non-empty PRESENT value, never nulls
+    assert rules[2].mask(df).tolist() == [False, False, True, True]

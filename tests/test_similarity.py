@@ -196,3 +196,37 @@ def test_grouped_centroid_matches_numpy(ray_session):
             np.testing.assert_allclose(
                 got.loc[got["g"] == g, "mean"].to_numpy(), want,
                 rtol=1e-12, atol=1e-12)
+
+
+def test_ivf_train_tiny_corpus(ray_session):
+    """Regression (round-3 advice): a corpus so small the keyed sample
+    (id-hash ≡ 0 mod sample_every) comes back EMPTY must degrade to
+    sampling all rows, not crash in np.stack([])."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.similarity import ivf_train, knn_cosine_ivf
+
+    df = _vectors(3)
+    for every in (7, 10_000):  # 10k guarantees an empty keyed pick
+        cent = ivf_train(rd.from_pandas(df), n_centroids=8,
+                         sample_every=every)
+        assert cent.shape[0] >= 1 and cent.shape[1] == DIM
+        np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0,
+                                   rtol=1e-9)
+    # end-to-end tiny-corpus ANN query still answers
+    qdf = pd.DataFrame({"qid": [0], "vec": [df["embedding"][0]]})
+    out = knn_cosine_ivf(rd.from_pandas(df), qdf, k=2, n_centroids=8)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert len(out) >= 1
+
+
+def test_keyed_sample_empty_corpus_raises(ray_session):
+    """A truly empty corpus is a caller error and must raise, not emit
+    garbage centroids."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.similarity import ivf_train
+
+    empty = rd.from_pandas(_vectors(3).iloc[:0])
+    with pytest.raises(ValueError, match="no rows"):
+        ivf_train(empty, n_centroids=4)

@@ -238,3 +238,25 @@ def test_connected_components_deterministic(ray_session):
             got = dict(zip(lab["node"], lab["comp"]))
             assert got == {"a": "a", "b": "a", "c": "a",
                            "x": "x", "y": "x", "z": "x", "m": "m"}
+
+
+def test_connected_components_survives_signature_collision(
+        ray_session, monkeypatch):
+    """Regression (round-3 advice): the per-round convergence signature
+    is probabilistic (two 31-bit hash sums); a collision must NOT stop
+    iteration early on split labels. Force the worst case — every
+    round's signature 'matches' — and require the exact ±1-count
+    confirmation to reject premature convergence on a 4-chain that
+    needs several propagation rounds."""
+    import ray.data as rd
+
+    from sigraph_ray.stages import canonicalize as C
+
+    monkeypatch.setattr(C, "_label_signature", lambda labels: ("same",))
+    edges = pd.DataFrame({"u": ["a", "b", "c", "d"],
+                          "v": ["b", "c", "d", "e"]})
+    ds = rd.from_pandas(edges).repartition(2)
+    lab = C.connected_components(ds, num_partitions=4,
+                                 small_graph_rows=0).to_pandas()
+    got = dict(zip(lab["node"], lab["comp"]))
+    assert got == {n: "a" for n in "abcde"}
