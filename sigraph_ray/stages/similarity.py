@@ -381,9 +381,12 @@ def knn_self_join(ds, *, k: int = 5, id_col: str = "vec_id",
 
     Exact broadcast tier: the normalized corpus matrix is assembled
     once (float32, 10⁸ × 256-d ≈ 100 GB — the object-store bound,
-    documented like ``joins.broadcast_semi_anti``) and ``ray.put``;
-    each corpus block then computes block × corpusᵀ and its own top-k
-    rows independently — O(n²/blocks) flops per task, zero shuffle.
+    documented like ``joins.broadcast_semi_anti``) INSIDE one Ray
+    worker task that reads the materialized blocks from the object
+    store — the driver holds only the ObjectRef, never the matrix
+    (the ``canonicalize._union_find_task_labels`` idiom); each corpus
+    block then computes block × corpusᵀ and its own top-k rows
+    independently — O(n²/blocks) flops per task, zero shuffle.
     Past the broadcast bound use the bucketed tiers that already serve
     this family at scale: `embed_cosine_pairs` (LSH-bucketed near-dup
     pairs) or `ivf_topk` (probed centroid scan) — this operator is the
@@ -391,17 +394,24 @@ def knn_self_join(ds, *, k: int = 5, id_col: str = "vec_id",
     the SQL oracle: cosine rounded to 9 dp, ties by neighbor id asc."""
     import ray
 
-    parts = ds.map_batches(
-        lambda df: pd.DataFrame({
-            "ids": [df[id_col].to_numpy()],
-            "mat": [np.stack(df[emb_col].to_numpy())]}),
-        batch_format="pandas", batch_size=None).take_all()
-    ids = np.concatenate([p["ids"] for p in parts])
-    mat = _normalize(np.vstack([p["mat"] for p in parts]).astype(
-        np.float64))
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    corpus_ref = ray.put((ids, mat))
+    @ray.remote
+    def _assemble(refs):
+        ids_l, mats = [], []
+        for t in ray.get(list(refs)):
+            if t.num_rows == 0 or id_col not in t.column_names:
+                continue  # empty blocks may carry degenerate schemas
+            df = t.to_pandas()
+            ids_l.append(df[id_col].to_numpy())
+            mats.append(np.stack(df[emb_col].to_numpy()))
+        ids = np.concatenate(ids_l)
+        mat = _normalize(np.vstack(mats).astype(np.float64))
+        order = np.argsort(ids)
+        # the tuple lands in the worker's local object store; only the
+        # ref travels back to the driver
+        return ids[order], mat[order]
+
+    ds = ds.materialize()
+    corpus_ref = _assemble.remote(list(ds.to_arrow_refs()))
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         cids, cmat = ray.get(corpus_ref)
