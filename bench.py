@@ -67,11 +67,13 @@ def _n_pages() -> int:
 
 
 def bench_kg(concurrency: int):
-    """Headline: pages → extract → triples → edges → entities (full KG).
+    """Headline: pages → extract → triples → edges → entities →
+    mentions (full KG, all four output tables).
 
     One streaming pass: extraction feeds the edge-aggregate shuffle
     directly (no mid-pipeline triple materialization); the entity table
-    derives from the small materialized edge table."""
+    derives from the small materialized edge table; mentions re-run the
+    extraction stream through the sorted_distinct stitch."""
     from sigraph_ray.pipelines import kg as K
 
     n = _n_pages()
@@ -80,7 +82,7 @@ def bench_kg(concurrency: int):
     from sigraph_ray.stages.blocks import right_size
 
     triples = K.extract_triples_pipeline(
-        pages, concurrency=concurrency, batch_size=256)
+        pages, concurrency=concurrency, batch_size=256).materialize()
     # staged at the combiner boundary: the extraction pool releases its
     # CPUs before the edge stitch sort runs (see build_kg_edges_staged);
     # then coalesce the small post-aggregation edge table so the entity
@@ -89,9 +91,11 @@ def bench_kg(concurrency: int):
     n_edges = edges.count()
     n_triples = int(edges.sum("weight"))
     n_entities = K.entities_from_edges(edges).count()
+    n_mentions = K.build_mentions(right_size(triples)).count()
     dt = time.time() - t0
     return dt, {"n_pages": n, "n_triples": n_triples,
-                "n_entities": n_entities, "n_edges": n_edges}
+                "n_entities": n_entities, "n_edges": n_edges,
+                "n_mentions": n_mentions}
 
 
 def _collect(x):
