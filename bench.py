@@ -83,6 +83,16 @@ def bench_kg(concurrency: int):
 
     triples = K.extract_triples_pipeline(
         pages, concurrency=concurrency, batch_size=256).materialize()
+    # A2 entity linking with the self-derived vocabulary is part of the
+    # headline (north-star pipeline); GRAFT_KG_LINK=0 gives the A/B
+    # without it
+    if os.environ.get("GRAFT_KG_LINK", "1") != "0":
+        from sigraph_ray.stages.entity_link import link_entities
+
+        vocab = K.derive_link_vocab(triples)
+        triples = K.adopt_links(link_entities(
+            triples, vocab, concurrency=concurrency,
+            batch_size=1024)).materialize()
     # staged at the combiner boundary: the extraction pool releases its
     # CPUs before the edge stitch sort runs (see build_kg_edges_staged);
     # then coalesce the small post-aggregation edge table so the entity

@@ -245,6 +245,31 @@ def adopt_links(linked):
     return dedup_triples(linked.map_batches(f, batch_format="pyarrow"))
 
 
+def derive_link_vocab(triples, *, min_df: int = 2,
+                      max_terms: int = 100_000) -> list[str]:
+    """Self-derived canonical vocabulary for the A2 link stage
+    (ai_agent.py:126-138: the reference scores mentions against the
+    entities already indexed — here the index is the corpus itself):
+    entity surfaces mentioned in ≥ ``min_df`` distinct documents,
+    top ``max_terms`` by (document frequency desc, surface asc).
+
+    Scale bound: document frequencies come from the same
+    sorted-distinct + stitch machinery as :func:`build_mentions`
+    (no corpus-sized Ray aggregate); only the ≤ ``max_terms``
+    vocabulary rows ever reach the driver, and the vocabulary is then
+    broadcast ONCE via ``ray.put`` (stages/entity_link). Pass the
+    MATERIALIZED triple stream — this is a second pass over it."""
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    mentions = build_mentions(triples)  # distinct (doc_url, entity)
+    df_tbl = sorted_groupby_agg(mentions, key="entity",
+                                aggs={"df": ("doc_url", "count")})
+    top = (df_tbl.filter(expr=f"df >= {min_df}")
+           .sort(["df", "entity"], descending=[True, False])
+           .limit(max_terms).to_pandas())
+    return top["entity"].tolist()
+
+
 def build_kg(pages, *, concurrency=4, batch_size: int = 1024,
              fused: bool = True, mode: str = "grammar",
              link_vocab=None, link_threshold: float = 0.75,
@@ -288,6 +313,13 @@ def build_kg(pages, *, concurrency=4, batch_size: int = 1024,
     triples = extract_triples_pipeline(
         pages, concurrency=concurrency, batch_size=batch_size, fused=fused,
         backend=backend, pre_extracted=bool(refine))
+    if link_vocab == "auto":
+        # flagship default (VERDICT r3 #6): vocabulary self-derived
+        # from the extracted stream, so A2 runs with no external input.
+        # Materialize once — the stream feeds vocabulary derivation,
+        # the link pool, and the downstream tables.
+        triples = triples.materialize()
+        link_vocab = derive_link_vocab(triples)
     if link_vocab is not None:
         from sigraph_ray.stages.entity_link import link_entities
 

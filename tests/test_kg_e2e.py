@@ -254,3 +254,61 @@ def test_extractor_backend_seam(ray_session):
     ens = K.build_kg(K.synth_pages(40, parallelism=2), concurrency=2,
                      mode="ensemble")["triples"].to_pandas()
     assert len(ens) > 0
+
+
+def test_derive_link_vocab_df_filter_and_order(ray_session):
+    """Self-derived A2 vocabulary: surfaces in ≥min_df distinct docs,
+    ranked (df desc, surface asc), capped at max_terms."""
+    import ray.data as rd
+
+    from sigraph_ray.pipelines import kg as K
+
+    tri = pd.DataFrame({
+        "doc_url": ["d1", "d2", "d3", "d1", "d2", "d1", "d1"],
+        "subj": ["acme", "acme", "acme", "beta", "beta", "solo", "acme"],
+        "pred": ["used"] * 7,
+        "obj": ["tool_x", "tool_x", "tool_y", "tool_x", "tool_y",
+                "tool_y", "tool_x"],  # acme appears twice in d1
+    })
+    ds = rd.from_pandas(tri).repartition(3)
+    vocab = K.derive_link_vocab(ds, min_df=2, max_terms=100)
+    # distinct-doc dfs: acme 3 (d1,d2,d3), tool_y 3 (d1,d2,d3),
+    # tool_x 2 (d1,d2 — the d1 repeat counts once), beta 2, solo 1
+    # (dropped); ties break surface-asc
+    assert vocab == ["acme", "tool_y", "beta", "tool_x"]
+    assert K.derive_link_vocab(ds, min_df=2, max_terms=2) == [
+        "acme", "tool_y"]
+
+
+def test_build_kg_auto_link_adopts_variant(ray_session):
+    """link_vocab='auto' end to end: a one-document typo variant of a
+    high-df canonical surface adopts it, so the entity disappears from
+    the canonical tables; exact surfaces self-link unchanged (P/R
+    gate's property)."""
+    import ray.data as rd
+
+    from sigraph_ray.pipelines import kg as K
+
+    base = K.synth_pages(60, parallelism=2)
+    # a near-miss surface: one extra char vs a surface the synthetic
+    # corpus mentions in many documents
+    ref = K.build_kg(base, concurrency=2)
+    ref_ents = set(ref["entities"].to_pandas()["entity"])
+    canon = sorted(e for e in ref_ents if len(e) > 8)[0]
+    variant = canon + "x"
+    import pyarrow as pa
+
+    extra = pa.table({
+        "url": pa.array(["http://extra.example/1"], pa.string()),
+        "warc_ts": pa.array([pd.Timestamp("2024-01-01")],
+                            pa.timestamp("us")),
+        "html": pa.array([b""], pa.binary()),
+        "text": pa.array(
+            [f"{variant} downloaded http://evil.example/p.exe."],
+            pa.string()),
+        "lang": pa.array(["en"], pa.string())})
+    pages = base.union(rd.from_arrow(extra))
+    out = K.build_kg(pages, concurrency=2, link_vocab="auto")
+    ents = set(out["entities"].to_pandas()["entity"])
+    assert variant not in ents, "near-miss surface should adopt canon"
+    assert canon in ents
