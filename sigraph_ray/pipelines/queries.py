@@ -4985,6 +4985,17 @@ ORDER BY pmi DESC, w1, w2 LIMIT 50
 
 GAZETTEER_TERMS = ["hash join", "merge part", "quantum flux", "spark",
                    "table scan", "window"]
+# SQL_GAZETTEER_MENTIONS splices these terms into its regex UNESCAPED
+# ('\b' || term || '\b' — DuckDB has no regexp-escape function) while
+# the Python side re.escape()s each term, so a metacharacter would
+# silently diverge between the engines. Enforce the shared contract at
+# the definition:
+import re as _re
+
+if not all(_re.fullmatch(r"[a-z0-9 ]+", _t) for _t in GAZETTEER_TERMS):
+    raise ValueError(
+        "GAZETTEER_TERMS must be lowercase alphanumeric+space only "
+        "(regex metacharacters diverge between the Ray and SQL sides)")
 
 
 def q_gazetteer_mentions(sf_dir: str):
@@ -5158,7 +5169,11 @@ def q_softmax_train(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["embedding", "label"])
     norms, hist, _ = softmax_train(ds, n_classes=10, epochs=30)
-    assert hist["accuracy"].iloc[-1] > hist["accuracy"].iloc[0]
+    if not hist["accuracy"].iloc[-1] > hist["accuracy"].iloc[0]:
+        # production invariant (assert would vanish under python -O)
+        raise RuntimeError(
+            "softmax_train: accuracy did not improve over training "
+            f"({hist['accuracy'].iloc[0]} -> {hist['accuracy'].iloc[-1]})")
     return norms
 
 
@@ -5878,7 +5893,12 @@ def q_transe_epoch(sf_dir: str):
     ok, _ = G.split_quarantine(parsed)
     edges = G.build_edges(ok)
     summary, _, _ = transe_epoch(edges, dim=16, lr=0.1, margin=1.0)
-    assert summary["loss_after"].iloc[0] < summary["loss_before"].iloc[0]
+    if not summary["loss_after"].iloc[0] < summary["loss_before"].iloc[0]:
+        # production invariant (assert would vanish under python -O)
+        raise RuntimeError(
+            "transe_epoch: loss did not decrease "
+            f"({summary['loss_before'].iloc[0]} -> "
+            f"{summary['loss_after'].iloc[0]})")
     return summary
 
 
@@ -5997,9 +6017,12 @@ def q_hourly_autocorr(sf_dir: str):
         ds.map_batches(partial, batch_format="pandas"),
         key="hour", aggs={"c": ("c", "sum")}).to_pandas()
     s = counts.sort_values("hour")["c"].to_numpy(np.float64)
-    mu = s.mean()
-    d = s - mu
-    r1 = float((d[:-1] * d[1:]).sum() / (d * d).sum())
+    d = s - s.mean() if len(s) else s
+    denom = float((d * d).sum())
+    # <2 observed hours (or a constant series) has no lag-1
+    # autocorrelation — NaN beats a ZeroDivisionError
+    r1 = float((d[:-1] * d[1:]).sum() / denom) if denom > 0.0 \
+        else float("nan")
     return pd.DataFrame({"r1": [r1], "n_hours": [len(s)]})
 
 
@@ -6518,6 +6541,39 @@ WITH u AS (
   FROM c
 )
 SELECT q, min(qty) AS value
+FROM (VALUES (0.25), (0.5), (0.75), (0.95)) AS t(q), e
+WHERE e.cumw >= t.q * e.total
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_weighted_price_quantiles(sf_dir: str):
+    """Quantity-weighted CONTINUOUS-value quantiles
+    (stages/quantiles.weighted_quantiles_ranked — the rank-selection
+    tier: one range sort, four scalars per block probed, residual-mass
+    picks on only the crossing blocks; no per-value table exists
+    because the value column is continuous): the price levels below
+    which 25/50/75/95 % of shipped quantity sits."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.quantiles import weighted_quantiles_ranked
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice", "l_quantity"])
+    return weighted_quantiles_ranked(ds, value="l_extendedprice",
+                                     weight="l_quantity",
+                                     qs=[0.25, 0.5, 0.75, 0.95])
+
+
+SQL_WEIGHTED_PRICE_QUANTILES = """
+WITH e AS (
+  SELECT l_extendedprice AS v,
+         sum(CAST(l_quantity AS BIGINT)) OVER (ORDER BY l_extendedprice)
+           AS cumw,
+         sum(CAST(l_quantity AS BIGINT)) OVER () AS total
+  FROM lineitem
+)
+SELECT q, min(v) AS value
 FROM (VALUES (0.25), (0.5), (0.75), (0.95)) AS t(q), e
 WHERE e.cumw >= t.q * e.total
 GROUP BY 1 ORDER BY 1

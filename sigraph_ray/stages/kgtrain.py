@@ -118,10 +118,14 @@ def transe_epoch(edges, *, src: str = "src", type_col: str = "type",
                  margin: float = 1.0):
     """ONE TransE epoch (Bordes et al., NeurIPS 2013) over the
     constructed graph, as dataflow: training pairs are the true edges
-    joined with their deterministic corrupted tails (same corruption
-    as :func:`negative_samples`; self-corruptions dropped, accidental
-    trues retained — Bordes' unfiltered TRAINING setting; the filtered
-    variant composes :func:`negative_samples`' Bloom anti-join), the
+    joined with their deterministic corrupted tails (same md5-keyed
+    RULE as :func:`negative_samples` but over this function's OWN
+    entity pool — src∪dst, the pool the epoch embeds — where
+    negative_samples ranks dst-only entities, so the modulus and the
+    drawn negatives differ between the two functions;
+    self-corruptions dropped, accidental trues retained — Bordes'
+    unfiltered TRAINING setting; the filtered variant composes
+    :func:`negative_samples`' Bloom anti-join), the
     entity/relation matrices are vocabulary-sized state broadcast once
     via ``ray.put``, each block emits SPARSE per-entity gradient rows
     ((kind, id, component) long form — touched entities only, the

@@ -134,7 +134,18 @@ def softmax_train(ds, *, col: str = "embedding", label_col: str = "label",
                                  .astype("int64")}),
         batch_format="pandas").materialize()
 
-    d = len(feats.take(1)[0]["x"])
+    head = feats.take(1)
+    if not head:  # typed-empty guard: no rows → no model to fit
+        norms = pd.DataFrame({
+            "label": pd.Series(dtype="int64"),
+            "weight_norm": pd.Series(dtype="float64"),
+            "bias": pd.Series(dtype="float64")})
+        hist = pd.DataFrame({"epoch": pd.Series(dtype="int64"),
+                             "loss": pd.Series(dtype="float64"),
+                             "accuracy": pd.Series(dtype="float64")})
+        return norms, hist, (np.zeros((0, n_classes)),
+                             np.zeros(n_classes))
+    d = len(head[0]["x"])
     w = np.zeros((d, n_classes))
     b = np.zeros(n_classes)
     hist = []

@@ -338,10 +338,11 @@ def weighted_quantiles(ds, *, value: str, weight: str,
 
     Dataflow: per-VALUE grouped weight sums (distinct-value-bounded —
     one grouped-sum stitch), cumulative sum + selection in one bounded
-    final step. CONTRACT: the value column must be low-cardinality
-    (enums, sizes, bucketed measures); for continuous values use the
-    rank-selection shape of :func:`exact_quantiles` with weight prefix
-    sums instead."""
+    final step. Best when the value column is low-cardinality (enums,
+    sizes, bucketed measures) so the grouped table is small; for
+    continuous values use :func:`weighted_quantiles_ranked`, which
+    never builds a per-value table (identical selection rule — the two
+    tiers are cross-checked in tests)."""
     import numpy as np
 
     from sigraph_ray.stages.collect import sorted_groupby_sum
@@ -354,6 +355,9 @@ def weighted_quantiles(ds, *, value: str, weight: str,
     counts = sorted_groupby_sum(
         ds.map_batches(partial, batch_format="pandas"),
         key=value, sum_cols={"w": "w"}).to_pandas()
+    if counts.empty:
+        return pd.DataFrame({"q": pd.Series(sorted(qs), dtype="float64"),
+                             "value": pd.Series([np.nan] * len(qs))})
     d = counts.sort_values(value).reset_index(drop=True)
     cumw = d["w"].to_numpy(np.float64).cumsum()
     total = cumw[-1]
@@ -362,3 +366,77 @@ def weighted_quantiles(ds, *, value: str, weight: str,
         idx = int(np.searchsorted(cumw, q * total, side="left"))
         rows.append({"q": q, "value": d[value].iloc[min(idx, len(d) - 1)]})
     return pd.DataFrame(rows)
+
+
+def weighted_quantiles_ranked(ds, *, value: str, weight: str,
+                              qs: list[float]) -> pd.DataFrame:
+    """Exact weighted quantiles for CONTINUOUS value columns — the
+    rank-selection tier :func:`weighted_quantiles` defers to when the
+    value column's cardinality is unbounded (same selection rule:
+    ``q-th = min v with F(v) ≥ q·W``, ``F(v) = Σ weight over rows with
+    value ≤ v``; the two tiers are cross-checked in tests).
+
+    Same 100 TB shape as :func:`exact_quantiles` — ONE all-to-all (the
+    value sort), then O(#blocks) driver work:
+
+    1. ``ds.sort(value)`` and pin the sorted blocks.
+    2. Probe pass: one remote task per block returns
+       ``(first, last, Σweight, rows)`` — four scalars per block.
+    3. The driver orders blocks by ``(first, last)``, prefix-sums the
+       block weights, and locates the ≤ ``len(qs)`` blocks whose
+       weight span crosses a target mass ``q·W``.
+    4. Pick pass: a remote task on ONLY those blocks cumsums the block
+       weights and returns the first row whose running mass reaches
+       the residual target.
+
+    In row-sorted order equal values are contiguous, so the first row
+    whose running mass reaches ``q·W`` carries exactly the ``min v
+    with F(v) ≥ q·W``. Weights must be non-negative."""
+    import ray
+
+    s = ds.sort(value).materialize()
+    refs = s.to_arrow_refs()
+
+    @ray.remote
+    def probe(t):
+        if t.num_rows == 0:
+            return None
+        c = t.column(value)
+        w = np.asarray(t.column(weight).to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        return (c[0].as_py(), c[-1].as_py(), float(w.sum()), t.num_rows)
+
+    @ray.remote
+    def pick(t, residuals):
+        w = np.asarray(t.column(weight).to_numpy(zero_copy_only=False),
+                       dtype=np.float64).cumsum()
+        c = t.column(value)
+        return [c[min(int(np.searchsorted(w, r, side="left")),
+                      len(w) - 1)].as_py() for r in residuals]
+
+    probed = [(r, st) for r, st in zip(refs, ray.get(
+        [probe.remote(r) for r in refs])) if st is not None]
+    qs = sorted(qs)
+    if not probed:
+        return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                             "value": pd.Series([np.nan] * len(qs))})
+    probed.sort(key=lambda p: (p[1][0], p[1][1]))
+    block_w = np.array([p[1][2] for p in probed], dtype=np.float64)
+    cum_w = block_w.cumsum()
+    total = cum_w[-1]
+    offsets = cum_w - block_w  # mass before each block
+    # assign each q to the first block whose cumulative mass reaches it
+    per_block: dict[int, list[tuple[int, float]]] = {}
+    for qi, q in enumerate(qs):
+        t = q * total
+        bi = min(int(np.searchsorted(cum_w, t, side="left")),
+                 len(probed) - 1)
+        per_block.setdefault(bi, []).append((qi, t - offsets[bi]))
+    out: list = [None] * len(qs)
+    picked = {bi: pick.remote(probed[bi][0], [r for _, r in targets])
+              for bi, targets in per_block.items()}
+    for bi, targets in per_block.items():
+        for (qi, _), v in zip(targets, ray.get(picked[bi])):
+            out[qi] = v
+    return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                         "value": out})

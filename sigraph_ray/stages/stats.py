@@ -201,13 +201,18 @@ def ks_two_sample(ds, *, value: str, group: str, a, b):
         key="v", sum_cols={"c1": "c1", "c2": "c2"})
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"ks": pd.Series(dtype="float64"),
+                              "n1": pd.Series(dtype="int64"),
+                              "n2": pd.Series(dtype="int64")})
         if len(df) == 0:
-            return pd.DataFrame({"ks": pd.Series(dtype="float64"),
-                                 "n1": pd.Series(dtype="int64"),
-                                 "n2": pd.Series(dtype="int64")})
+            return empty
         d = df.sort_values("v")
         n1 = float(d["c1"].sum())
         n2 = float(d["c2"].sum())
+        if n1 == 0.0 or n2 == 0.0:
+            # one sample absent → no two-sample statistic exists;
+            # typed-empty instead of a silent NaN from the 0-division
+            return empty
         f1 = d["c1"].to_numpy(np.int64).cumsum() / n1
         f2 = d["c2"].to_numpy(np.int64).cumsum() / n2
         return pd.DataFrame({"ks": [float(np.abs(f1 - f2).max())],

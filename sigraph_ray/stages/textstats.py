@@ -693,6 +693,11 @@ def bm25_topk(ds, query_terms: list[str], *, k: int = 20,
 
     g = (per_doc.map_batches(fold_partial, batch_format="pandas")
          .to_pandas().sum())
+    if len(g) == 0 or float(g["n"]) == 0.0:
+        # typed-empty guard: an empty corpus has no ranking (and no
+        # avgdl to divide by)
+        return pd.DataFrame({id_col: pd.Series(dtype="object"),
+                             "score": pd.Series(dtype="float64")})
     n, avgdl = float(g["n"]), float(g["sum_dl"]) / float(g["n"])
     idf = {t: float(np.log(1.0 + (n - g[f"df_{t}"] + 0.5)
                            / (g[f"df_{t}"] + 0.5))) for t in terms}
@@ -753,15 +758,21 @@ def rrf_fuse(rankings: list[pd.DataFrame], *, id_col: str,
              c: int = 60, k: int = 20) -> pd.DataFrame:
     """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of bounded
     top-k lists: ``rrf(d) = Σ_r 1/(c + rank_r(d))`` summed over the
-    lists d appears in; top-k by (rrf DESC, id). Operates on
-    already-bounded ranker outputs (each ≤ its own k), so the fuse is
-    a bounded final fold by construction — the heavy lifting happened
-    inside each ranker's distributed pass."""
+    lists d appears in; top-k by (rrf DESC, id). Each ranking frame
+    MUST carry ``id_col`` plus a 1-based ``rank`` column (validated).
+    Operates on already-bounded ranker outputs (each ≤ its own k), so
+    the fuse is a bounded final fold by construction — the heavy
+    lifting happened inside each ranker's distributed pass."""
     scores: dict = {}
     for r in rankings:
-        for row in r.itertuples():
-            rid = getattr(row, id_col)
-            scores[rid] = scores.get(rid, 0.0) + 1.0 / (c + row.rank)
+        if "rank" not in r.columns or id_col not in r.columns:
+            raise ValueError(
+                f"rrf_fuse: each ranking needs columns ({id_col!r}, "
+                f"'rank'); got {list(r.columns)}")
+        # positional access — itertuples attribute lookup breaks on
+        # non-identifier column names
+        for rid, rk in zip(r[id_col].to_numpy(), r["rank"].to_numpy()):
+            scores[rid] = scores.get(rid, 0.0) + 1.0 / (c + rk)
     out = pd.DataFrame({id_col: list(scores), "rrf": list(scores.values())})
     return (out.sort_values(["rrf", id_col], ascending=[False, True])
             .head(k).reset_index(drop=True))

@@ -1244,3 +1244,77 @@ def test_knn_label_prop_separable_corpus(ray_session, tmp_path):
     assert (out["coverage"] == 1.0).all()
     assert (out["accuracy"] == 1.0).all()
     assert out["n_nonseed"].sum() == len(labels) - len(labels) // 5
+
+
+def test_weighted_quantiles_ranked_matches_grouped_tier(ray_session):
+    """The continuous-value rank-selection tier and the per-value
+    grouped tier implement the same selection rule — identical output
+    on overlapping inputs, any block layout."""
+    import ray.data as rd
+
+    from sigraph_ray.functions.hashing import splitmix64
+    from sigraph_ray.stages.quantiles import (weighted_quantiles,
+                                              weighted_quantiles_ranked)
+
+    raw = splitmix64(np.arange(4000, dtype=np.uint64)).astype(np.float64)
+    df = pd.DataFrame({"v": np.round(raw / 2**54, 4),
+                       "w": (raw % np.uint64(9)).astype("int64") + 1})
+    qs = [0.0, 0.1, 0.5, 0.9, 0.95, 1.0]
+    for blocks in (1, 7):
+        ds = rd.from_pandas(df).repartition(blocks)
+        a = weighted_quantiles(ds, value="v", weight="w", qs=qs)
+        b = weighted_quantiles_ranked(ds, value="v", weight="w", qs=qs)
+        assert list(a["value"]) == list(b["value"])
+    # min v with F(v) >= q*W against a numpy oracle
+    d = df.sort_values("v")
+    cw = d["w"].to_numpy(np.float64).cumsum()
+    want = [d["v"].to_numpy()[np.searchsorted(cw, q * cw[-1], "left")]
+            for q in qs]
+    assert list(b["value"]) == want
+
+
+def test_empty_input_guards(ray_session):
+    """Round-3 advice: degenerate inputs get typed-empty/NaN returns,
+    not crashes — softmax_train, weighted_quantiles (both tiers),
+    bm25_topk, ks_two_sample."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.linalg import softmax_train
+    from sigraph_ray.stages.quantiles import (weighted_quantiles,
+                                              weighted_quantiles_ranked)
+    from sigraph_ray.stages.stats import ks_two_sample
+    from sigraph_ray.stages.textstats import bm25_topk
+
+    empty_vec = rd.from_pandas(pd.DataFrame(
+        {"embedding": pd.Series(dtype="object"),
+         "label": pd.Series(dtype="int64")}))
+    norms, hist, _ = softmax_train(empty_vec, n_classes=3, epochs=2)
+    assert norms.empty and hist.empty
+
+    empty_vw = rd.from_pandas(pd.DataFrame(
+        {"v": pd.Series(dtype="float64"),
+         "w": pd.Series(dtype="float64")}))
+    for fn in (weighted_quantiles, weighted_quantiles_ranked):
+        out = fn(empty_vw, value="v", weight="w", qs=[0.5])
+        assert len(out) == 1 and np.isnan(out["value"].iloc[0])
+
+    empty_docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series(dtype="object"),
+         "text": pd.Series(dtype="object")}))
+    assert bm25_topk(empty_docs, ["spark"]).empty
+
+    one_group = rd.from_pandas(pd.DataFrame(
+        {"v": [1.0, 2.0], "g": ["a", "a"]}))
+    got = ks_two_sample(one_group, value="v", group="g",
+                        a="a", b="b").to_pandas()
+    assert got.empty  # absent sample -> typed empty, not NaN
+
+
+def test_rrf_fuse_requires_rank_column():
+    from sigraph_ray.stages.textstats import rrf_fuse
+
+    good = pd.DataFrame({"doc id": ["a", "b"], "rank": [1, 2]})
+    out = rrf_fuse([good, good], id_col="doc id", k=2)
+    assert list(out["doc id"]) == ["a", "b"]  # non-identifier col ok
+    with __import__("pytest").raises(ValueError, match="rank"):
+        rrf_fuse([good.drop(columns=["rank"])], id_col="doc id")
