@@ -6048,9 +6048,10 @@ def q_props_stats(sf_dir: str):
     """Semi-structured JSON column handling: extract props.k (the
     events table's JSON payload) and aggregate per event type — the
     dynamic-mapping surface (reference S4) over a generic JSON column.
-    Extraction is the vectorized regex fast path for flat scalar keys
-    (documented; a nested-JSON corpus swaps in a per-actor parser at
-    the same stage boundary), matching DuckDB json_extract on this
+    Extraction is the vectorized regex fast path for flat scalar keys;
+    a nested-JSON corpus swaps in the per-actor parser tier
+    (stages/jsoncol.JsonPathExtractor — exercised by q_props_parsed)
+    at the same stage boundary. Matches DuckDB json_extract on this
     shape."""
     import ray.data as rd
 
@@ -6088,6 +6089,59 @@ SELECT event_type, count(*) AS n,
        avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS avg_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_props_parsed(sf_dir: str):
+    """The GENERAL JSON tier (stages/jsoncol.JsonPathExtractor — the
+    per-actor parser q_props_stats' regex fast path names): dotted-path
+    plan compiled once per actor, each document parsed once for all
+    paths, nulls for missing/mistyped keys. Aggregates per event type:
+    parsed-key count, min, and odd-value share."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+    from sigraph_ray.stages.jsoncol import extract_json_paths
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    parsed = extract_json_paths(ds, {"k": ("k", "int64")},
+                                concurrency=_conc(0.25))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"]
+        return (pd.DataFrame({
+            "event_type": df["event_type"],
+            "n_k": k.notna().astype("int64"),
+            "min_k": k.astype("float64"),
+            "odd": (k % 2 != 0).fillna(False).astype("int64")})
+            .groupby("event_type", sort=False)
+            .agg(n_k=("n_k", "sum"), min_k=("min_k", "min"),
+                 odd=("odd", "sum")).reset_index())
+
+    agg = sorted_groupby_agg(
+        parsed.map_batches(partial, batch_format="pandas"),
+        key="event_type",
+        aggs={"n_k": ("n_k", "sum"), "min_k": ("min_k", "min"),
+              "odd": ("odd", "sum")}).to_pandas()
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n_k": agg["n_k"].astype("int64"),
+        "min_k": agg["min_k"].astype("int64"),
+        "odd_share": agg["odd"].to_numpy(np.float64)
+        / agg["n_k"].to_numpy(np.float64)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_PROPS_PARSED = """
+WITH p AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(k) AS n_k, min(k) AS min_k,
+       avg(CASE WHEN k % 2 <> 0 THEN 1.0 ELSE 0.0 END) AS odd_share
+FROM p GROUP BY 1 ORDER BY 1
 """
 
 

@@ -1318,3 +1318,30 @@ def test_rrf_fuse_requires_rank_column():
     assert list(out["doc id"]) == ["a", "b"]  # non-identifier col ok
     with __import__("pytest").raises(ValueError, match="rank"):
         rrf_fuse([good.drop(columns=["rank"])], id_col="doc id")
+
+
+def test_json_path_extractor_nested_and_nulls(ray_session):
+    """The general JSON tier: nested dotted paths, missing keys,
+    type mismatches and broken documents all yield nulls — never
+    raise (ingestion quarantines by predicate, M5 contract)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.jsoncol import extract_json_paths
+
+    docs = pd.DataFrame({"props": [
+        '{"a": {"b": 7, "name": "x"}, "flag": true}',
+        '{"a": {"b": "notint"}, "flag": 0}',
+        '{"a": 3}',            # path steps into a scalar
+        'not json at all',
+        '{"a": {"b": -2, "name": "y"}, "flag": false}']})
+    out = extract_json_paths(
+        rd.from_pandas(docs),
+        {"b": ("a.b", "int64"), "nm": ("a.name", "string"),
+         "fl": ("flag", "bool")}).to_pandas()
+    assert list(out["b"].astype("object").where(out["b"].notna(), None)) \
+        == [7, None, None, None, -2]
+    assert list(out["nm"].where(out["nm"].notna(), None)) \
+        == ["x", None, None, None, "y"]
+    assert list(out["fl"].astype("object").where(out["fl"].notna(), None)) \
+        == [True, None, None, None, False]
+    assert "props" not in out.columns  # extract-then-discard
