@@ -253,17 +253,18 @@ def derive_link_vocab(triples, *, min_df: int = 2,
     entity surfaces mentioned in ≥ ``min_df`` distinct documents,
     top ``max_terms`` by (document frequency desc, surface asc).
 
-    Scale bound: document frequencies come from the same
-    sorted-distinct + stitch machinery as :func:`build_mentions`
-    (no corpus-sized Ray aggregate); only the ≤ ``max_terms``
+    Scale bound: document frequencies come from ONE fused
+    count-distinct stitch (``collect.sorted_count_distinct`` — a
+    single (entity, doc_url) range sort; composing distinct + grouped
+    count would pay two all-to-alls); only the ≤ ``max_terms``
     vocabulary rows ever reach the driver, and the vocabulary is then
     broadcast ONCE via ``ray.put`` (stages/entity_link). Pass the
     MATERIALIZED triple stream — this is a second pass over it."""
-    from sigraph_ray.stages.collect import sorted_groupby_agg
+    from sigraph_ray.stages.collect import sorted_count_distinct
 
-    mentions = build_mentions(triples)  # distinct (doc_url, entity)
-    df_tbl = sorted_groupby_agg(mentions, key="entity",
-                                aggs={"df": ("doc_url", "count")})
+    pairs = triples.map_batches(_mention_partial, batch_format="pyarrow")
+    df_tbl = sorted_count_distinct(pairs, key="entity", dcol="doc_url",
+                                   alias="df")
     top = (df_tbl.filter(expr=f"df >= {min_df}")
            .sort(["df", "entity"], descending=[True, False])
            .limit(max_terms).to_pandas())

@@ -357,3 +357,88 @@ def grouped_mode(ds, *, key: str, value: str):
         return out[[key, "mode_value", "cnt"]]
 
     return top.map_batches(finish, batch_format="pandas")
+
+
+def sorted_count_distinct(ds, *, key, dcol: str, alias: str = "n"):
+    """``COUNT(DISTINCT dcol) GROUP BY key`` in ONE range sort — the
+    fused sibling of ``sorted_distinct`` + ``sorted_groupby_agg``
+    (composing those pays two all-to-alls; at corpus scale the second
+    sort is pure waste because the distinct stream is already
+    key-clustered).
+
+    After the global ``(key, dcol)`` sort, equal pairs are contiguous,
+    so per block: vectorized pair-dedup, then per-key counts. Two
+    cross-block hazards, both confined to block edges:
+
+    - a KEY spanning blocks → its count rows are the first/last
+      key-rows of their blocks; mark those boundary and re-sum them in
+      the driver stitch (the ``sorted_groupby_agg`` correction);
+    - a PAIR spanning blocks → counted once per block; each block
+      ships its edge pairs (≤2, pre-deduped within the block) and the
+      stitch subtracts ``multiplicity − 1`` per distinct edge pair
+      (a pair spanning m blocks appears as an edge record in all m).
+
+    Driver state: O(#blocks) boundary rows + O(#blocks) edge records.
+    Returns a distributed Dataset of ``(key…, alias)``, count int64."""
+    import ray.data as rd
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({**{k: pd.Series(dtype="object")
+                                 for k in keys},
+                              alias: pd.Series(dtype="int64"),
+                              "boundary": pd.Series(dtype="bool"),
+                              "edge_first": pd.Series(dtype="object"),
+                              "edge_last": pd.Series(dtype="object")})
+        d = df[keys + [dcol]].drop_duplicates()
+        if len(d) == 0:
+            return empty
+        cnt = (d.groupby(keys, sort=False).size().rename(alias)
+               .reset_index())
+        boundary = np.zeros(len(cnt), dtype=bool)
+        boundary[0] = True
+        boundary[-1] = True
+        cnt["boundary"] = boundary
+        cnt["edge_first"] = None
+        cnt["edge_last"] = None
+        first, last = d.iloc[0], d.iloc[-1]
+        # edge records, deduped within the block (a single-pair block
+        # must contribute its pair ONCE)
+        same_pair = bool((first[keys + [dcol]] == last[keys + [dcol]])
+                         .all())
+        if not same_pair:
+            cnt.iloc[0, cnt.columns.get_loc("edge_first")] = first[dcol]
+        cnt.iloc[len(cnt) - 1,
+                 cnt.columns.get_loc("edge_last")] = last[dcol]
+        return cnt
+
+    parts = ds.sort(keys + [dcol]).map_batches(
+        per_block, batch_format="pandas", batch_size=None)
+    parts = parts.materialize()  # pin the interior/boundary split
+    interior = parts.filter(expr="boundary == False").map_batches(
+        lambda df: df[keys + [alias]], batch_format="pandas")
+    bdf = parts.filter(expr="boundary == True").to_pandas()
+    if len(bdf) == 0:
+        merged = pd.DataFrame({**{k: pd.Series(dtype="object")
+                                  for k in keys},
+                               alias: pd.Series(dtype="int64")})
+    else:
+        totals = bdf.groupby(keys, sort=False)[alias].sum()
+        # pair-overlap correction: each distinct edge pair seen in m
+        # blocks was counted m times, belongs once
+        recs = []
+        for col in ("edge_first", "edge_last"):
+            sub = bdf[bdf[col].notna()]
+            for _, row in sub.iterrows():
+                recs.append(tuple(row[k] for k in keys) + (row[col],))
+        if recs:
+            rec_df = pd.DataFrame(recs, columns=keys + ["_d"])
+            dup = (rec_df.groupby(keys + ["_d"], sort=False).size() - 1)
+            corr = dup[dup > 0].groupby(level=list(range(len(keys)))) \
+                .sum()
+            totals = totals.sub(corr, fill_value=0)
+        merged = totals.astype("int64").rename(alias).reset_index()
+    return interior.union(
+        rd.from_pandas(merged).map_batches(lambda df: df,
+                                           batch_format="pandas"))

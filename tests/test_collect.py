@@ -431,3 +431,32 @@ def test_salted_merge_join_hot_keys_only(ray_session):
     pd.testing.assert_frame_equal(
         got[["k", "rid", "v"]].astype({"rid": "int64", "v": "int64"}),
         want[["k", "rid", "v"]].astype({"rid": "int64", "v": "int64"}))
+
+
+def test_sorted_count_distinct_layout_invariant(ray_session):
+    """COUNT(DISTINCT) GROUP BY in one range sort: exact at any block
+    layout, including pairs and keys spanning block edges and
+    single-pair blocks."""
+    import numpy as np
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_count_distinct
+
+    from sigraph_ray.functions.hashing import splitmix64
+
+    h = splitmix64(np.arange(2500, dtype=np.uint64))
+    df = pd.DataFrame({"k": (h % np.uint64(31)).astype(str),
+                       "d": ((h >> np.uint64(8)) % np.uint64(7))
+                       .astype(str)})
+    want = df.groupby("k")["d"].nunique()
+    for blocks in (1, 3, 17):
+        got = (sorted_count_distinct(
+            rd.from_pandas(df).repartition(blocks), key="k", dcol="d")
+            .to_pandas().set_index("k")["n"])
+        assert got.sort_index().astype(int).equals(want.sort_index())
+    # hot single-pair key across many blocks
+    hot = pd.DataFrame({"k": ["a"] * 400 + ["b"],
+                        "d": ["x"] * 400 + ["y"]})
+    got = (sorted_count_distinct(rd.from_pandas(hot).repartition(19),
+                                 key="k", dcol="d").to_pandas())
+    assert dict(zip(got["k"], got["n"])) == {"a": 1, "b": 1}
