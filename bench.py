@@ -205,6 +205,9 @@ def main():
 
 
 def scaling():
+    mode = ("--extract-only" if "--isolate" in sys.argv
+            else "--kg-only")
+
     def run(ncpu: int) -> dict:
         # scaling uses a larger corpus so the parallel phases dominate
         # the fixed shuffle/scheduling cost (same input at both levels)
@@ -216,7 +219,7 @@ def scaling():
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_KG_PAGES_MULT=os.environ.get(
                        "GRAFT_KG_PAGES_MULT", "240"))
-        res = subprocess.run([sys.executable, __file__, "--kg-only"],
+        res = subprocess.run([sys.executable, __file__, mode],
                              env=env, capture_output=True, text=True,
                              check=True)
         return json.loads(res.stdout.strip().splitlines()[-1])
@@ -238,7 +241,8 @@ def scaling():
     thr_hi = r_hi["kg_triples_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     print(json.dumps({
-        "headline": "kg_build",
+        "headline": "kg_build" if mode == "--kg-only"
+        else "extract_only (isolation: zero-exchange stage)",
         "sf": SF_DIR,
         f"sec_{lo}": r_lo["kg_sec"], f"sec_{hi}": r_hi["kg_sec"],
         f"triples_per_sec_{lo}": thr_lo, f"triples_per_sec_{hi}": thr_hi,
@@ -267,6 +271,35 @@ def kg_only():
                       "num_cpus": NUM_CPUS}))
 
 
+def extract_only():
+    """Isolation leg for the scaling analysis: ONLY the fused
+    extraction actor pool — pure per-batch compute, NO all-to-all, no
+    stitch, no materialization beyond the streamed count. If THIS
+    stage's per-core throughput collapses between N and 4N CPUs on one
+    box, the ceiling is the machine (shared memory bandwidth), not the
+    pipeline's shuffle/driver structure — no stage with zero exchanges
+    can be serialized by the pipeline."""
+    import ray
+
+    _init_ray()
+    from sigraph_ray.pipelines import kg as K
+
+    conc = _pool_size()
+    K.extract_triples_pipeline(K.synth_pages(max(256, conc * 16),
+                                             parallelism=8),
+                               concurrency=conc).count()
+    n = _n_pages()
+    pages = K.synth_pages(n, parallelism=max(NUM_CPUS * 2, 8))
+    t0 = time.time()
+    n_triples = K.extract_triples_pipeline(
+        pages, concurrency=conc, batch_size=256).count()
+    sec = time.time() - t0
+    ray.shutdown()
+    print(json.dumps({"kg_sec": round(sec, 3), "kg_triples": n_triples,
+                      "kg_triples_per_sec": round(n_triples / sec, 1),
+                      "num_cpus": NUM_CPUS, "stage": "extract_only"}))
+
+
 def stats():
     """Dump ``Dataset.stats()`` for the headline edge pipeline — the
     per-operator wall-time/throughput evidence used to tune batch
@@ -286,9 +319,11 @@ def stats():
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        scaling()
+        scaling()  # add --isolate for the zero-exchange isolation legs
     elif "--kg-only" in sys.argv:
         kg_only()
+    elif "--extract-only" in sys.argv:
+        extract_only()
     elif "--stats" in sys.argv:
         stats()
     else:
