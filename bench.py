@@ -90,9 +90,12 @@ def bench_kg(concurrency: int):
         from sigraph_ray.stages.entity_link import link_entities
 
         vocab = K.derive_link_vocab(triples)
-        triples = K.adopt_links(link_entities(
-            triples, vocab, concurrency=concurrency,
-            batch_size=1024)).materialize()
+        # fused extraction blocks are doc-complete → block-preserving
+        # link pool + the zero-shuffle doc-local adoption dedup
+        triples = K.adopt_links(
+            link_entities(triples, vocab, concurrency=concurrency,
+                          batch_size=None),
+            scope="doc").materialize()
     # staged at the combiner boundary: the extraction pool releases its
     # CPUs before the edge stitch sort runs (see build_kg_edges_staged);
     # then coalesce the small post-aggregation edge table so the entity

@@ -131,6 +131,29 @@ def dedup_triples(triples):
     return agg.map_batches(_triple_dedup_decode, batch_format="pyarrow")
 
 
+def dedup_triples_doc_local(triples):
+    """:func:`dedup_triples` for streams whose BLOCKS hold whole
+    documents (the fused extraction contract: every emitted block is
+    the output of one doc-complete input batch; consumers that must
+    preserve it pass ``batch_size=None``). The dedup key LEADS with
+    ``doc_url``, so a vectorized per-batch min-``ord`` pick IS the
+    global dedup — zero shuffle, against ``dedup_triples``' full range
+    sort. Exactness vs the global tier is pytest-enforced on the
+    linked path; callers whose layout may split a document (the
+    non-fused pipeline's post-stitch blocks) must use the global
+    tier."""
+    def f(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if len(df) == 0:
+            return batch
+        idx = df.groupby(_DEDUP_KEY, sort=False)["ord"].idxmin()
+        return pa.Table.from_pandas(df.loc[np.sort(idx.values)],
+                                    preserve_index=False)
+
+    return triples.map_batches(f, batch_format="pyarrow",
+                               batch_size=None)
+
+
 _SEP = "\x1f"  # unit separator — cannot occur in normalized entities
 
 
@@ -228,21 +251,32 @@ def entities_from_edges(edges):
     return finalize_entity_partials(partials)
 
 
-def adopt_links(linked):
+def adopt_links(linked, *, scope: str = "global"):
     """A2 adoption: confident link surfaces replace the mention
     surfaces (``subj``/``obj`` ← ``subj_link``/``obj_link``), then the
     per-doc dedup re-runs — two surfaces of one document collapsing
     onto one canonical entity must yield ONE triple row (U9
     semantics). The entity key space every downstream shuffle
     (canonicalization, edge aggregate, mentions) moves is thereby
-    shrunk BEFORE those shuffles run."""
+    shrunk BEFORE those shuffles run.
+
+    ``scope``: adoption can only create duplicates WITHIN a document
+    (the dedup key leads with ``doc_url``), so when the stream's
+    blocks hold whole documents (fused extraction + a block-preserving
+    link pool), ``scope='doc'`` replaces the global sorted dedup with
+    the zero-shuffle per-batch tier (:func:`dedup_triples_doc_local`).
+    Default stays ``'global'`` — correct at any layout."""
     def f(t: pa.Table) -> pa.Table:
         keep = [c for c in t.column_names
                 if not c.endswith("_link") and not c.endswith("_link_score")]
         sub = {"subj": "subj_link", "obj": "obj_link"}
         return pa.table({c: t.column(sub.get(c, c)) for c in keep})
 
-    return dedup_triples(linked.map_batches(f, batch_format="pyarrow"))
+    renamed = linked.map_batches(f, batch_format="pyarrow",
+                                 batch_size=None)
+    if scope == "doc":
+        return dedup_triples_doc_local(renamed)
+    return dedup_triples(renamed)
 
 
 def derive_link_vocab(triples, *, min_df: int = 2,
@@ -324,9 +358,16 @@ def build_kg(pages, *, concurrency=4, batch_size: int = 1024,
     if link_vocab is not None:
         from sigraph_ray.stages.entity_link import link_entities
 
-        triples = adopt_links(link_entities(
-            triples, link_vocab, threshold=link_threshold,
-            concurrency=concurrency, batch_size=batch_size))
+        # fused extraction emits doc-complete blocks; batch_size=None
+        # keeps them through the link pool, unlocking the zero-shuffle
+        # doc-local adoption dedup. The non-fused stream's post-stitch
+        # blocks may split a document → global tier.
+        doc_local = bool(fused)
+        triples = adopt_links(
+            link_entities(triples, link_vocab, threshold=link_threshold,
+                          concurrency=concurrency,
+                          batch_size=None if doc_local else batch_size),
+            scope="doc" if doc_local else "global")
     entities = C.canonicalize_entities(triples)
     edges = build_kg_edges(triples)
     mentions = build_mentions(triples)

@@ -312,3 +312,27 @@ def test_build_kg_auto_link_adopts_variant(ray_session):
     ents = set(out["entities"].to_pandas()["entity"])
     assert variant not in ents, "near-miss surface should adopt canon"
     assert canon in ents
+
+
+def test_adopt_links_doc_scope_equals_global(ray_session):
+    """scope='doc' (zero-shuffle per-batch dedup, valid on
+    doc-complete blocks) must equal the global sorted tier row-for-row
+    on the fused linked path — including when adoption collapses two
+    surfaces of one document."""
+    import ray.data as rd
+
+    from sigraph_ray.pipelines import kg as K
+    from sigraph_ray.stages.entity_link import link_entities
+
+    pages = K.synth_pages(80, parallelism=3)
+    triples = K.extract_triples_pipeline(
+        pages, concurrency=2).materialize()
+    vocab = K.derive_link_vocab(triples, min_df=1)
+    linked = link_entities(triples, vocab, concurrency=2,
+                           batch_size=None).materialize()
+    cols = ["doc_url", "chunk_id", "ord", "subj", "pred", "obj"]
+    a = (K.adopt_links(linked, scope="doc").to_pandas()[cols]
+         .sort_values(cols).reset_index(drop=True))
+    b = (K.adopt_links(linked, scope="global").to_pandas()[cols]
+         .sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
