@@ -38,6 +38,9 @@ def main(argv=None) -> int:
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only used when this process owns ray.init")
+    ap.add_argument("--link", choices=["auto", "off"], default="auto",
+                    help="A2 entity linking with the self-derived "
+                         "vocabulary (its own resumable stage)")
     args = ap.parse_args(argv)
 
     import ray
@@ -79,6 +82,24 @@ def main(argv=None) -> int:
     trip_recs = M.write_stage(triples, f"{args.out}/triples",
                               input_desc=input_desc, key="doc_url")
     triples_ds = M.read_stage(f"{args.out}/triples")
+    link_recs = []
+    if args.link == "auto":
+        # stage 1b: A2 entity linking with the self-derived vocabulary
+        # (the flagship default) — its own resume boundary. Global
+        # adoption dedup: parquet reads of the persisted stage may
+        # split a document across blocks, so the doc-local tier's
+        # contract does not hold here.
+        from sigraph_ray.stages.entity_link import link_entities
+
+        vocab = K.derive_link_vocab(triples_ds)
+        linked = K.adopt_links(
+            link_entities(triples_ds, vocab,
+                          concurrency=args.concurrency),
+            scope="global")
+        link_recs = M.write_stage(linked, f"{args.out}/linked",
+                                  input_desc=f"{args.out}/triples",
+                                  key="doc_url")
+        triples_ds = M.read_stage(f"{args.out}/linked")
     # stage 2: edge aggregate from the persisted stage
     edges = K.build_kg_edges(triples_ds)
     edge_recs = M.write_stage(edges, f"{args.out}/edges",
@@ -92,6 +113,7 @@ def main(argv=None) -> int:
         "input": input_desc,
         "out": args.out,
         "wall_s": round(time.time() - t0, 2),
+        "link": args.link,
         "stages": {
             "triples": M.stage_summary(f"{args.out}/triples"),
             "edges": M.stage_summary(f"{args.out}/edges"),
@@ -102,6 +124,10 @@ def main(argv=None) -> int:
             "entities": len(ent_recs),
         },
     }
+    if args.link == "auto":
+        summary["stages"]["linked"] = M.stage_summary(
+            f"{args.out}/linked")
+        summary["partitions_written_this_run"]["linked"] = len(link_recs)
     print(json.dumps(summary))
     return 0
 
