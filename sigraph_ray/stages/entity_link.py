@@ -13,15 +13,28 @@ The scorer here is deterministic (character-trigram Jaccard against a
 broadcast vocabulary — no model weights exist in this container), but
 the stage shape is the production one: vocabulary fetched from the
 object store once per actor in ``__init__`` (``ray.put`` on the
-driver), trigram index precomputed per actor, vectorized scoring per
-batch. Swapping in a GPU bi-encoder changes only ``__init__`` /
-``_score``.
+driver), prefix-filtered trigram index precomputed per actor,
+vectorized verification per mention. Swapping in a GPU bi-encoder
+changes only ``__init__`` / ``_score``.
+
+Two tiers (both exact; see :func:`link_entities`):
+
+- ``unique`` (default): score the DISTINCT mention set once,
+  distributed, then broadcast the small mention→link map to a
+  layout-preserving apply stage. Scoring cost is O(unique mentions),
+  not O(triple rows) — with a warm actor pool every actor would
+  otherwise re-score nearly the whole unique set (measured: the
+  per-row tier spent 610 s at sf0.1 where this tier needs ~3 s of
+  total scoring work).
+- ``stream``: the original per-row pool with a per-actor cache — no
+  barrier, for pipelines that must stay fully streaming.
 """
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -32,70 +45,270 @@ def _trigrams(s: str) -> frozenset[str]:
 
 class EntityLinkScorer:
     """Actor-pool stage: adds ``link_entity`` (best candidate or the
-    mention itself) and ``link_score`` columns for subj and obj."""
+    mention itself) and ``link_score`` columns for subj and obj.
+
+    Candidate generation is PPJoin-style prefix filtering (Xiao et
+    al., WWW'08 — the same theorem :mod:`stages.dedup` uses for
+    ``ngram_jaccard``): under one total order over trigrams, two sets
+    with Jaccard ≥ t must share a trigram within each side's first
+    ``|x| - ceil(t·|x|) + 1`` trigrams, so only those prefixes are
+    indexed / probed. The order here is *rarest-first by vocabulary
+    document frequency* (ties by trigram string; trigrams absent from
+    the vocabulary sort rarest of all): web-scale entity surfaces —
+    URLs, file paths, registry keys — share enormous common substrings
+    ("c:\\users\\…", "http://…"), so a lexicographic prefix order
+    degenerates to candidate lists the size of the vocabulary, while
+    the rare tail of each surface (host label, numeric id) keeps
+    prefix postings short. Survivors pass a Jaccard length filter
+    (``t·|m| ≤ |v| ≤ |m|/t``) and are verified exactly in one
+    vectorized pass: CSR gather of the candidates' full trigram-id
+    sets, ``np.isin`` against the mention's ids, segment-summed with
+    ``np.add.reduceat``; ``argmax`` (first-max) over ascending
+    candidate ids IS the smallest-surface tie-break because the vocab
+    is sorted.
+
+    Exactness contract: every candidate with Jaccard ≥ ``threshold``
+    is found (the filters only prune pairs strictly below it), so the
+    link decision and at-/above-threshold scores are exact. For
+    mentions that link to nothing, ``link_score`` is the best among
+    *filter-surviving* candidates — a lower bound on the true best
+    sub-threshold score (sufficient: downstream ``adopt_links`` drops
+    the score columns, and the contract is "confident or unchanged").
+    """
 
     def __init__(self, vocab_ref, threshold: float = 0.75):
         import ray
 
         vocab: list[str] = sorted(ray.get(vocab_ref))
-        self.threshold = threshold
+        self.threshold = t = threshold
         self.vocab = vocab
-        self.vocab_tg = [_trigrams(v) for v in vocab]
-        # inverted index: trigram -> candidate ids (bounds the scan)
-        self.inv: dict[str, list[int]] = {}
-        for i, tg in enumerate(self.vocab_tg):
-            for t in tg:
-                self.inv.setdefault(t, []).append(i)
+        tg_sets = [_trigrams(v) for v in vocab]
+        self.vocab_len = np.array([len(s) for s in tg_sets], np.int64)
+        df: dict[str, int] = {}
+        for s in tg_sets:
+            for g in s:
+                df[g] = df.get(g, 0) + 1
+        self.rank = {g: r for r, g in
+                     enumerate(sorted(df, key=lambda g: (df[g], g)))}
+        # full trigram-id CSR per term (exact verification gather)
+        flat: list[int] = []
+        offs = [0]
+        for s in tg_sets:
+            flat.extend(self.rank[g] for g in s)
+            offs.append(len(flat))
+        self.full_flat = np.asarray(flat, np.int64)
+        self.full_offs = np.asarray(offs, np.int64)
+        # prefix inverted index: trigram rank -> ascending candidate
+        # ids holding that trigram within their p_v rarest
+        inv: dict[int, list[int]] = {}
+        for i, s in enumerate(tg_sets):
+            p = len(s) - math.ceil(t * len(s) - 1e-9) + 1
+            for g in sorted(s, key=self.rank.__getitem__)[:p]:
+                inv.setdefault(self.rank[g], []).append(i)
+        self.inv = {r: np.asarray(v, np.int64) for r, v in inv.items()}
         self._cache: dict[str, tuple[str, float]] = {}
 
     def _score(self, mention: str) -> tuple[str, float]:
         hit = self._cache.get(mention)
         if hit is not None:
             return hit
+        t = self.threshold
         tg = _trigrams(mention)
-        counts: dict[int, int] = {}
-        for t in tg:
-            for i in self.inv.get(t, ()):
-                counts[i] = counts.get(i, 0) + 1
-        best, best_s = mention, 0.0
-        for i, inter in counts.items():
-            union = len(tg) + len(self.vocab_tg[i]) - inter
-            s = inter / union if union else 1.0
-            if s > best_s or (s == best_s and self.vocab[i] < best):
-                best, best_s = self.vocab[i], s
-        out = (best, best_s) if best_s >= self.threshold else (mention, best_s)
+        m = len(tg)
+        rank = self.rank
+        known = sorted(rank[g] for g in tg if g in rank)
+        # prefix = first p trigrams in the rarity order; the mention's
+        # vocabulary-unknown trigrams are rarest of all, so they fill
+        # the head of the prefix and probe nothing (correct: no vocab
+        # term contains them)
+        p = m - math.ceil(t * m - 1e-9) + 1
+        n_probe = max(0, p - (m - len(known)))
+        arrs = [a for r in known[:n_probe]
+                if (a := self.inv.get(r)) is not None]
+        out = (mention, 0.0)
+        if arrs:
+            cand = np.unique(np.concatenate(arrs))
+            lens = self.vocab_len[cand]
+            keep = (lens >= t * m - 1e-9) & (lens <= m / t + 1e-9)
+            cand, lens = cand[keep], lens[keep]
+            if cand.size:
+                starts = np.repeat(self.full_offs[cand], lens)
+                within = (np.arange(int(lens.sum()), dtype=np.int64)
+                          - np.repeat(np.cumsum(lens) - lens, lens))
+                ids = self.full_flat[starts + within]
+                seg = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                inter = np.add.reduceat(
+                    np.isin(ids, np.asarray(known, np.int64)), seg)
+                jacc = inter / (m + lens - inter)
+                k = int(np.argmax(jacc))
+                s = float(jacc[k])
+                if s >= t:
+                    out = (self.vocab[int(cand[k])], s)
+                else:
+                    out = (mention, s)
         self._cache[mention] = out
         return out
+
+    def _lookup(self, mentions: list[str]) -> tuple[list, list]:
+        out = [self._score(m) for m in mentions]
+        return ([x[0] for x in out], [x[1] for x in out])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         subj = batch.column("subj").to_pylist()
         obj = batch.column("obj").to_pylist()
-        se, ss = zip(*(self._score(m) for m in subj)) if subj else ((), ())
-        oe, os_ = zip(*(self._score(m) for m in obj)) if obj else ((), ())
-        out = batch.append_column("subj_link", pa.array(list(se), pa.string()))
+        se, ss = self._lookup(subj)
+        oe, os_ = self._lookup(obj)
+        out = batch.append_column("subj_link", pa.array(se, pa.string()))
         out = out.append_column("subj_link_score",
-                                pa.array(list(ss), pa.float64()))
-        out = out.append_column("obj_link", pa.array(list(oe), pa.string()))
+                                pa.array(ss, pa.float64()))
+        out = out.append_column("obj_link", pa.array(oe, pa.string()))
         out = out.append_column("obj_link_score",
-                                pa.array(list(os_), pa.float64()))
+                                pa.array(os_, pa.float64()))
         return out
+
+
+class MentionScorer(EntityLinkScorer):
+    """Same scorer over a distinct ``mention`` column — the unique
+    tier's scoring pool (each actor scores only ITS blocks; no
+    cross-actor redundancy)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ms = batch.column("mention").to_pylist()
+        links, scores = self._lookup(ms)
+        return pa.table({"mention": pa.array(ms, pa.string()),
+                         "link": pa.array(links, pa.string()),
+                         "score": pa.array(scores, pa.float64())})
+
+
+class LinkApplier:
+    """Layout-preserving apply stage: holds the broadcast mention→
+    (link, score) map (assembled from block refs once per actor —
+    nothing is materialized on the driver) and gathers the four link
+    columns per batch. Runs with ``batch_size=None`` so blocks pass
+    through unsplit — ``adopt_links(scope='doc')``'s doc-complete-
+    block contract survives the stage.
+
+    Scale bound (documented): the map is O(unique mentions) and must
+    fit a worker heap — the same broadcast-class bound as the dedup
+    verify tier. A corpus whose unique-mention set outgrows memory
+    needs the sorted-merge-join apply tier (stages/joins) at the cost
+    of re-blocking."""
+
+    def __init__(self, map_refs):
+        import ray
+
+        d: dict[str, tuple[str, float]] = {}
+        for t in ray.get(list(map_refs)):
+            # empty pass-through blocks can arrive as pandas frames
+            if isinstance(t, pa.Table):
+                if t.num_rows:
+                    d.update(zip(t.column("mention").to_pylist(),
+                                 zip(t.column("link").to_pylist(),
+                                     t.column("score").to_pylist())))
+            elif len(t):
+                d.update(zip(t["mention"],
+                             zip(t["link"], t["score"])))
+        self.map = d
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mp = self.map
+        out = batch
+        for col, link_c, score_c in (("subj", "subj_link",
+                                      "subj_link_score"),
+                                     ("obj", "obj_link",
+                                      "obj_link_score")):
+            pairs = [mp.get(v, (v, 0.0))
+                     for v in batch.column(col).to_pylist()]
+            out = out.append_column(
+                link_c, pa.array([p[0] for p in pairs], pa.string()))
+            out = out.append_column(
+                score_c, pa.array([p[1] for p in pairs], pa.float64()))
+        return out
+
+
+# Per-worker-process memos for the task tier: Ray reuses worker
+# processes across map tasks, so a module-level single-slot memo gives
+# actor-style setup amortization (index built once per worker) WITHOUT
+# an actor pool — measured here: a 28-actor pool costs ~14 s to spin
+# up against ~1 s of actual scoring work, and two pools run per link
+# stage. A model-backed scorer whose weights take minutes to load
+# flips the trade back to the pool classes above — that swap is the
+# ``tier`` kwarg.
+_SCORER_MEMO: dict = {}
+_MAP_MEMO: dict = {}
+
+
+def _memo_scorer(vocab_ref, threshold) -> MentionScorer:
+    key = (vocab_ref, threshold)
+    sc = _SCORER_MEMO.get(key)
+    if sc is None:
+        _SCORER_MEMO.clear()  # one scorer per worker bounds memory
+        sc = _SCORER_MEMO[key] = MentionScorer(vocab_ref, threshold)
+    return sc
+
+
+def _score_batch(batch: pa.Table, *, vocab_ref, threshold) -> pa.Table:
+    return _memo_scorer(vocab_ref, threshold)(batch)
+
+
+def _memo_map(map_refs: tuple) -> LinkApplier:
+    ap = _MAP_MEMO.get(map_refs)
+    if ap is None:
+        _MAP_MEMO.clear()
+        ap = _MAP_MEMO[map_refs] = LinkApplier(map_refs)
+    return ap
+
+
+def _apply_batch(batch: pa.Table, *, map_refs) -> pa.Table:
+    return _memo_map(tuple(map_refs))(batch)
 
 
 def link_entities(triples, vocab: list[str], *, threshold: float = 0.75,
                   concurrency: int = 2, batch_size: int = 1024,
-                  num_cpus: float = 0.5):
+                  num_cpus: float = 0.5, tier: str = "unique"):
     """Score triple endpoints against a canonical vocabulary. The vocab
     is broadcast ONCE (``ray.put``), never shipped per batch.
 
-    ``num_cpus`` defaults fractional: this pool runs CONCURRENTLY with
-    the upstream extraction pool and the downstream dedup shuffle — at
-    full-CPU actors the pools pin every scheduling slot in a small
-    session and the shuffle's map tasks starve (the documented
-    pool+join deadlock, stages/joins.py)."""
+    ``tier='unique'`` (default): distinct mention set via the
+    ``sorted_distinct`` stitch → scoring tasks over the (small)
+    mention table → broadcast map → layout-preserving apply tasks.
+    Total scoring work is O(unique mentions) regardless of row count
+    or parallelism; the scoring barrier is over the side table only,
+    never the triple stream. Both side-stages run as TASKS with
+    per-worker memos (see above) — no pool spin-up. ``tier='stream'``:
+    the per-row cached actor pool (no barrier, O(unique) work PER
+    ACTOR; the seam a heavyweight model scorer drops into).
+
+    ``num_cpus`` (stream tier) defaults fractional: that pool runs
+    CONCURRENTLY with the upstream extraction pool and the downstream
+    dedup shuffle — at full-CPU actors the pools pin every scheduling
+    slot in a small session and the shuffle's map tasks starve (the
+    documented pool+join deadlock, stages/joins.py)."""
     import ray
 
     ref = ray.put(list(vocab))
+    if tier == "stream":
+        return triples.map_batches(
+            EntityLinkScorer, batch_format="pyarrow",
+            batch_size=batch_size,
+            fn_constructor_kwargs={"vocab_ref": ref,
+                                   "threshold": threshold},
+            concurrency=concurrency, num_cpus=num_cpus)
+
+    from sigraph_ray.stages.collect import sorted_distinct
+
+    def proj(t: pa.Table) -> pa.Table:
+        chunks = (t.column("subj").combine_chunks(),
+                  t.column("obj").combine_chunks())
+        return pa.table(
+            {"mention": pa.chunked_array(chunks).combine_chunks()})
+
+    mentions = sorted_distinct(
+        triples.map_batches(proj, batch_format="pyarrow"), ["mention"])
+    scored = mentions.repartition(max(2 * concurrency, 8)).map_batches(
+        _score_batch, batch_format="pyarrow", batch_size=None,
+        fn_kwargs={"vocab_ref": ref, "threshold": threshold})
+    refs = list(scored.to_arrow_refs())
     return triples.map_batches(
-        EntityLinkScorer, batch_format="pyarrow", batch_size=batch_size,
-        fn_constructor_kwargs={"vocab_ref": ref, "threshold": threshold},
-        concurrency=concurrency, num_cpus=num_cpus)
+        _apply_batch, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True, fn_kwargs={"map_refs": refs})
