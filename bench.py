@@ -89,12 +89,12 @@ def bench_kg(concurrency: int):
     if os.environ.get("GRAFT_KG_LINK", "1") != "0":
         from sigraph_ray.stages.entity_link import link_entities
 
-        vocab = K.derive_link_vocab(triples)
+        vocab, mset = K.derive_link_vocab(triples, with_mentions=True)
         # fused extraction blocks are doc-complete → block-preserving
         # link pool + the zero-shuffle doc-local adoption dedup
         triples = K.adopt_links(
             link_entities(triples, vocab, concurrency=concurrency,
-                          batch_size=None),
+                          batch_size=None, mentions=mset),
             scope="doc").materialize()
     # staged at the combiner boundary: the extraction pool releases its
     # CPUs before the edge stitch sort runs (see build_kg_edges_staged);

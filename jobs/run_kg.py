@@ -91,10 +91,10 @@ def main(argv=None) -> int:
         # contract does not hold here.
         from sigraph_ray.stages.entity_link import link_entities
 
-        vocab = K.derive_link_vocab(triples_ds)
+        vocab, mset = K.derive_link_vocab(triples_ds, with_mentions=True)
         linked = K.adopt_links(
             link_entities(triples_ds, vocab,
-                          concurrency=args.concurrency),
+                          concurrency=args.concurrency, mentions=mset),
             scope="global")
         link_recs = M.write_stage(linked, f"{args.out}/linked",
                                   input_desc=f"{args.out}/triples",

@@ -280,7 +280,8 @@ def adopt_links(linked, *, scope: str = "global"):
 
 
 def derive_link_vocab(triples, *, min_df: int = 2,
-                      max_terms: int = 100_000) -> list[str]:
+                      max_terms: int = 100_000,
+                      with_mentions: bool = False):
     """Self-derived canonical vocabulary for the A2 link stage
     (ai_agent.py:126-138: the reference scores mentions against the
     entities already indexed — here the index is the corpus itself):
@@ -293,16 +294,31 @@ def derive_link_vocab(triples, *, min_df: int = 2,
     count would pay two all-to-alls); only the ≤ ``max_terms``
     vocabulary rows ever reach the driver, and the vocabulary is then
     broadcast ONCE via ``ray.put`` (stages/entity_link). Pass the
-    MATERIALIZED triple stream — this is a second pass over it."""
+    MATERIALIZED triple stream — this is a second pass over it.
+
+    ``with_mentions=True`` returns ``(vocab, mentions_ds)``: the
+    stitch's per-entity table IS the distinct mention set, so the
+    link stage can skip its own ``sorted_distinct`` over the same
+    stream (one range sort instead of two). The table is materialized
+    once because two consumers (top-N and the scoring tasks) read
+    it."""
     from sigraph_ray.stages.collect import sorted_count_distinct
 
     pairs = triples.map_batches(_mention_partial, batch_format="pyarrow")
     df_tbl = sorted_count_distinct(pairs, key="entity", dcol="doc_url",
                                    alias="df")
+    if with_mentions:
+        df_tbl = df_tbl.materialize()
     top = (df_tbl.filter(expr=f"df >= {min_df}")
            .sort(["df", "entity"], descending=[True, False])
            .limit(max_terms).to_pandas())
-    return top["entity"].tolist()
+    vocab = top["entity"].tolist()
+    if not with_mentions:
+        return vocab
+    mentions = df_tbl.map_batches(
+        lambda t: pa.table({"mention": t.column("entity")}),
+        batch_format="pyarrow")
+    return vocab, mentions
 
 
 def build_kg(pages, *, concurrency=4, batch_size: int = 1024,
@@ -348,13 +364,15 @@ def build_kg(pages, *, concurrency=4, batch_size: int = 1024,
     triples = extract_triples_pipeline(
         pages, concurrency=concurrency, batch_size=batch_size, fused=fused,
         backend=backend, pre_extracted=bool(refine))
+    link_mentions = None
     if link_vocab == "auto":
         # flagship default (VERDICT r3 #6): vocabulary self-derived
         # from the extracted stream, so A2 runs with no external input.
         # Materialize once — the stream feeds vocabulary derivation,
         # the link pool, and the downstream tables.
         triples = triples.materialize()
-        link_vocab = derive_link_vocab(triples)
+        link_vocab, link_mentions = derive_link_vocab(
+            triples, with_mentions=True)
     if link_vocab is not None:
         from sigraph_ray.stages.entity_link import link_entities
 
@@ -366,7 +384,8 @@ def build_kg(pages, *, concurrency=4, batch_size: int = 1024,
         triples = adopt_links(
             link_entities(triples, link_vocab, threshold=link_threshold,
                           concurrency=concurrency,
-                          batch_size=None if doc_local else batch_size),
+                          batch_size=None if doc_local else batch_size,
+                          mentions=link_mentions),
             scope="doc" if doc_local else "global")
     entities = C.canonicalize_entities(triples)
     edges = build_kg_edges(triples)

@@ -265,7 +265,8 @@ def _apply_batch(batch: pa.Table, *, map_refs) -> pa.Table:
 
 def link_entities(triples, vocab: list[str], *, threshold: float = 0.75,
                   concurrency: int = 2, batch_size: int = 1024,
-                  num_cpus: float = 0.5, tier: str = "unique"):
+                  num_cpus: float = 0.5, tier: str = "unique",
+                  mentions=None):
     """Score triple endpoints against a canonical vocabulary. The vocab
     is broadcast ONCE (``ray.put``), never shipped per batch.
 
@@ -278,6 +279,13 @@ def link_entities(triples, vocab: list[str], *, threshold: float = 0.75,
     per-worker memos (see above) — no pool spin-up. ``tier='stream'``:
     the per-row cached actor pool (no barrier, O(unique) work PER
     ACTOR; the seam a heavyweight model scorer drops into).
+
+    ``mentions``: optional Dataset with a DISTINCT ``mention`` column
+    (unique tier only). ``derive_link_vocab(with_mentions=True)``'s
+    document-frequency stitch already distinct-ed every surface, so
+    passing its side output here skips this stage's own
+    ``sorted_distinct`` — one range sort instead of two over the same
+    mention stream.
 
     ``num_cpus`` (stream tier) defaults fractional: that pool runs
     CONCURRENTLY with the upstream extraction pool and the downstream
@@ -295,16 +303,18 @@ def link_entities(triples, vocab: list[str], *, threshold: float = 0.75,
                                    "threshold": threshold},
             concurrency=concurrency, num_cpus=num_cpus)
 
-    from sigraph_ray.stages.collect import sorted_distinct
+    if mentions is None:
+        from sigraph_ray.stages.collect import sorted_distinct
 
-    def proj(t: pa.Table) -> pa.Table:
-        chunks = (t.column("subj").combine_chunks(),
-                  t.column("obj").combine_chunks())
-        return pa.table(
-            {"mention": pa.chunked_array(chunks).combine_chunks()})
+        def proj(t: pa.Table) -> pa.Table:
+            chunks = (t.column("subj").combine_chunks(),
+                      t.column("obj").combine_chunks())
+            return pa.table(
+                {"mention": pa.chunked_array(chunks).combine_chunks()})
 
-    mentions = sorted_distinct(
-        triples.map_batches(proj, batch_format="pyarrow"), ["mention"])
+        mentions = sorted_distinct(
+            triples.map_batches(proj, batch_format="pyarrow"),
+            ["mention"])
     scored = mentions.repartition(max(2 * concurrency, 8)).map_batches(
         _score_batch, batch_format="pyarrow", batch_size=None,
         fn_kwargs={"vocab_ref": ref, "threshold": threshold})
