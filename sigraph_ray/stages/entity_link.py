@@ -47,22 +47,25 @@ class EntityLinkScorer:
     """Actor-pool stage: adds ``link_entity`` (best candidate or the
     mention itself) and ``link_score`` columns for subj and obj.
 
-    Candidate generation is PPJoin-style prefix filtering (Xiao et
-    al., WWW'08 — the same theorem :mod:`stages.dedup` uses for
-    ``ngram_jaccard``): under one total order over trigrams, two sets
-    with Jaccard ≥ t must share a trigram within each side's first
-    ``|x| - ceil(t·|x|) + 1`` trigrams, so only those prefixes are
-    indexed / probed. The order here is *rarest-first by vocabulary
-    document frequency* (ties by trigram string; trigrams absent from
-    the vocabulary sort rarest of all): web-scale entity surfaces —
-    URLs, file paths, registry keys — share enormous common substrings
-    ("c:\\users\\…", "http://…"), so a lexicographic prefix order
+    Candidate generation is prefix filtering on the PROBE side (Xiao
+    et al., WWW'08 — the same theorem :mod:`stages.dedup` uses for
+    ``ngram_jaccard``): under one total order over trigrams, a
+    mention sharing Jaccard ≥ t with any candidate must share a
+    trigram within its first ``|m| - ceil(t·|m|) + 1`` trigrams, so
+    only those are looked up in a FULL inverted index over the
+    vocabulary. The order is *rarest-first by vocabulary document
+    frequency* (ties by trigram string; trigrams absent from the
+    vocabulary sort rarest of all): web-scale entity surfaces — URLs,
+    file paths, registry keys — share enormous common substrings
+    ("c:\\users\\…", "http://…"), so a lexicographic probe order
     degenerates to candidate lists the size of the vocabulary, while
     the rare tail of each surface (host label, numeric id) keeps
-    prefix postings short. Survivors pass a Jaccard length filter
-    (``t·|m| ≤ |v| ≤ |m|/t``) and are verified exactly in one
-    vectorized pass: CSR gather of the candidates' full trigram-id
-    sets, ``np.isin`` against the mention's ids, segment-summed with
+    probed buckets short. Candidates then pass a Jaccard length
+    filter (``t·|m| ≤ |v| ≤ |m|/t``) and an exact overlap bound
+    (probed-multiplicity + unprobed headroom vs the required
+    ⌈t·(|m|+|v|)/(1+t)⌉), and the few survivors are verified exactly
+    in one vectorized pass: CSR gather of their full trigram-id sets,
+    ``np.isin`` against the mention's ids, segment-summed with
     ``np.add.reduceat``; ``argmax`` (first-max) over ascending
     candidate ids IS the smallest-surface tie-break because the vocab
     is sorted.
@@ -98,12 +101,18 @@ class EntityLinkScorer:
             offs.append(len(flat))
         self.full_flat = np.asarray(flat, np.int64)
         self.full_offs = np.asarray(offs, np.int64)
-        # prefix inverted index: trigram rank -> ascending candidate
-        # ids holding that trigram within their p_v rarest
+        # FULL inverted index: trigram rank -> ascending candidate ids
+        # containing that trigram. Probing stays bounded because only
+        # a mention's p RAREST trigrams are ever looked up (prefix
+        # filtering on the probe side); indexing candidates fully (vs
+        # under their own prefixes only) is what makes the probed
+        # multiplicity an EXACT shared-count over the probed set — a
+        # prefix-indexed bucket undercounts it, which broke the
+        # overlap bound below (measured: near-dup URL pairs of
+        # unequal length were wrongly pruned at the filter boundary).
         inv: dict[int, list[int]] = {}
         for i, s in enumerate(tg_sets):
-            p = len(s) - math.ceil(t * len(s) - 1e-9) + 1
-            for g in sorted(s, key=self.rank.__getitem__)[:p]:
+            for g in s:
                 inv.setdefault(self.rank[g], []).append(i)
         self.inv = {r: np.asarray(v, np.int64) for r, v in inv.items()}
         self._cache: dict[str, tuple[str, float]] = {}
@@ -127,9 +136,21 @@ class EntityLinkScorer:
                 if (a := self.inv.get(r)) is not None]
         out = (mention, 0.0)
         if arrs:
-            cand = np.unique(np.concatenate(arrs))
+            cand, c_probed = np.unique(np.concatenate(arrs),
+                                       return_counts=True)
             lens = self.vocab_len[cand]
-            keep = (lens >= t * m - 1e-9) & (lens <= m / t + 1e-9)
+            # overlap filter (ALL-Pairs/PPJoin family): c_probed is
+            # the EXACT number of m's probed trigrams the candidate
+            # contains (full index), so true intersection ≤ c_probed
+            # + (m's vocabulary-KNOWN unprobed trigrams — unknown
+            # ones can't match anything), and Jaccard ≥ t needs
+            # intersection ≥ ⌈t·(|m|+|v|)/(1+t)⌉ — candidates sharing
+            # only a rare trigram or two (cross-family surfaces
+            # sharing a numeric id) die here without a full-set
+            # gather
+            alpha = np.ceil(t / (1.0 + t) * (m + lens) - 1e-9)
+            keep = ((lens >= t * m - 1e-9) & (lens <= m / t + 1e-9)
+                    & (c_probed + (len(known) - n_probe) >= alpha))
             cand, lens = cand[keep], lens[keep]
             if cand.size:
                 starts = np.repeat(self.full_offs[cand], lens)
