@@ -270,3 +270,46 @@ def test_khop_min_dist_matches_dp(ray_session):
     assert set(got) == set(dist)
     for node, d in dist.items():
         assert abs(got[node] - d) < 1e-12, node
+
+
+def test_entity_link_scorer_matches_brute_force(ray_session):
+    """A2 filter soundness: the probe-side prefix + length + overlap
+    filters must find EXACTLY the brute-force best candidate for every
+    at-threshold mention (the round-4 regression was near-dup pairs of
+    unequal length pruned at the overlap-bound boundary when the bound
+    used prefix-indexed counts)."""
+    import ray
+
+    from sigraph_ray.sources import synth
+    from sigraph_ray.stages.entity_link import EntityLinkScorer, _trigrams
+
+    exp = synth.expected_triples(300)
+    mentions = sorted(set(exp["subj"]) | set(exp["obj"]))
+    # df-ranked vocabulary, as derive_link_vocab builds it
+    df = pd.concat([
+        exp[["doc_url", "subj"]].rename(columns={"subj": "e"}),
+        exp[["doc_url", "obj"]].rename(columns={"obj": "e"}),
+    ]).drop_duplicates().groupby("e").size()
+    vocab = df[df >= 2].index.tolist()
+    # the round-4 regression shape: unequal-length near-dups
+    vocab += ["c2-448.evil2.com", "acme corporation"]
+    mentions += ["c2-48.evil2.com", "acme corp", "zz-unrelated"]
+
+    sc = EntityLinkScorer(ray.put(vocab), 0.75)
+    svocab = sorted(vocab)
+    vt = [_trigrams(v) for v in svocab]
+    for m in mentions:
+        tg = _trigrams(m)
+        best, best_s = m, 0.0
+        for v, s_ in zip(svocab, vt):
+            inter = len(tg & s_)
+            if not inter:
+                continue
+            s = inter / (len(tg) + len(s_) - inter)
+            if s > best_s:
+                best, best_s = v, s
+        want = (best, best_s) if best_s >= 0.75 else (m, best_s)
+        got = sc._score(m)
+        assert got[0] == want[0], (m, got, want)
+        if want[1] >= 0.75:
+            assert abs(got[1] - want[1]) < 1e-12, (m, got, want)
