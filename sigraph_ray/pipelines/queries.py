@@ -2918,6 +2918,110 @@ def q_kg_entities(sf_dir: str):
     return K.build_kg(pages, concurrency=_conc(0.5))["entities"]
 
 
+def q_link_mentions(sf_dir: str):
+    """A2 entity linking under the SQL hash gate: the REAL
+    ``EntityLinkScorer`` (stages/entity_link — prefix-filtered trigram
+    inverted index, exact overlap bound, vectorized CSR verification)
+    scored against a DuckDB trigram-Jaccard oracle.
+
+    Mentions are the distinct word bigrams of ``documents.text``; the
+    vocabulary is self-derived exactly as the flagship derives its link
+    pool (``derive_link_vocab`` semantics: document frequency from ONE
+    ``sorted_count_distinct`` stitch, df ≥ 3, top-200 by (df DESC,
+    surface ASC)). Output = every mention that links at threshold 0.6:
+    ``(mention, link, score)``. Only at-/above-threshold rows are
+    emitted because those are the scorer's exactness contract
+    (entity_link.py docstring: sub-threshold ``link_score`` is a lower
+    bound by design); a missed or spurious link, a wrong best
+    candidate, or a broken smallest-surface tie-break all flip rows
+    here. Reference analog: ai_agent.py:126-138 (mention scoring
+    against the already-indexed entity pool)."""
+    import re
+
+    import ray
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_count_distinct
+    from sigraph_ray.stages.entity_link import _score_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        # mirror the oracle exactly: split on \s+ and pair adjacent
+        # ARRAY slots (not adjacent non-empty tokens) so any empty
+        # split artifacts break the pair on both sides identically
+        ids, ms = [], []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            ws = re.split(r"\s+", txt or "")
+            for a, b in zip(ws, ws[1:]):
+                if a and b:
+                    ids.append(did)
+                    ms.append(f"{a} {b}")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "mention": pa.array(ms, pa.string())})
+
+    pairs = docs.map_batches(bigrams, batch_format="pyarrow")
+    df_tbl = sorted_count_distinct(pairs, key="mention", dcol="doc_id",
+                                   alias="df").materialize()
+    top = (df_tbl.filter(expr="df >= 3")
+           .sort(["df", "mention"], descending=[True, False])
+           .limit(200).to_pandas())
+    ref = ray.put(top["mention"].tolist())
+    scored = df_tbl.map_batches(
+        lambda t: pa.table({"mention": t.column("mention")}),
+        batch_format="pyarrow").map_batches(
+        _score_batch, batch_format="pyarrow",
+        fn_kwargs={"vocab_ref": ref, "threshold": 0.6})
+    return scored.filter(expr="score >= 0.6")
+
+
+SQL_LINK_MENTIONS = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
+),
+pos AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM toks
+),
+bg AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS mention
+  FROM pos WHERE ws[i] <> '' AND ws[i + 1] <> ''
+),
+dfreq AS (SELECT mention, count(DISTINCT doc_id) AS df FROM bg GROUP BY 1),
+vocab AS (SELECT mention AS term FROM dfreq WHERE df >= 3
+          ORDER BY df DESC, mention ASC LIMIT 200),
+mtg AS (
+  SELECT DISTINCT mention, substr('  ' || mention || ' ', i, 3) AS tg
+  FROM (SELECT mention, unnest(generate_series(1, length(mention) + 1)) AS i
+        FROM (SELECT DISTINCT mention FROM dfreq))
+),
+mlen AS (SELECT mention, count(*) AS m FROM mtg GROUP BY 1),
+vtg AS (
+  SELECT DISTINCT term, substr('  ' || term || ' ', i, 3) AS tg
+  FROM (SELECT term, unnest(generate_series(1, length(term) + 1)) AS i
+        FROM vocab)
+),
+vlen AS (SELECT term, count(*) AS v FROM vtg GROUP BY 1),
+inter AS (
+  SELECT mtg.mention, vtg.term, count(*) AS i
+  FROM mtg JOIN vtg USING (tg) GROUP BY 1, 2
+),
+scored AS (
+  SELECT inter.mention, inter.term,
+         CAST(i AS DOUBLE) / (m + v - i) AS score
+  FROM inter JOIN mlen USING (mention) JOIN vlen USING (term)
+),
+best AS (
+  SELECT mention, term, score,
+         row_number() OVER (PARTITION BY mention
+                            ORDER BY score DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT mention, term AS link, score FROM best WHERE rn = 1 AND score >= 0.6
+"""
+
+
 # --- traversal / rule-match / pagination coverage --------------------------
 
 def q_related_traces(sf_dir: str):

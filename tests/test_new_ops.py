@@ -1345,3 +1345,29 @@ def test_json_path_extractor_nested_and_nulls(ray_session):
     assert list(out["fl"].astype("object").where(out["fl"].notna(), None)) \
         == [True, None, None, None, False]
     assert "props" not in out.columns  # extract-then-discard
+
+
+def test_link_mentions_hand_values(ray_session, tmp_path):
+    """q_link_mentions end-to-end on a designed corpus: identity links
+    score 1.0, a one-letter-off bigram links to its canonical surface
+    at the hand-computed trigram Jaccard (9 shared / 13 union), and a
+    dissimilar mention is absent (below threshold 0.6)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sigraph_ray.pipelines.queries import q_link_mentions
+
+    docs = ["alpha beta common token"] * 3 + ["alpha betz something"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())}),
+        tmp_path / "documents.parquet")
+    out = q_link_mentions(str(tmp_path)).to_pandas()
+    got = dict(zip(out["mention"], zip(out["link"], out["score"])))
+    # vocabulary = the df-3 bigrams of the repeated doc; identity links
+    for v in ("alpha beta", "beta common", "common token"):
+        assert got[v] == (v, 1.0)
+    link, score = got["alpha betz"]
+    assert link == "alpha beta"
+    assert abs(score - 9 / 13) < 1e-12
+    assert "betz something" not in got  # nothing similar in the vocab
