@@ -72,8 +72,8 @@ def bench_kg(concurrency: int):
 
     One streaming pass: extraction feeds the edge-aggregate shuffle
     directly (no mid-pipeline triple materialization); the entity table
-    derives from the small materialized edge table; mentions re-run the
-    extraction stream through the sorted_distinct stitch."""
+    derives from the small materialized edge table; mentions ride the
+    zero-shuffle doc-local distinct over the doc-complete blocks."""
     from sigraph_ray.pipelines import kg as K
 
     n = _n_pages()
@@ -104,7 +104,10 @@ def bench_kg(concurrency: int):
     n_edges = edges.count()
     n_triples = int(edges.sum("weight"))
     n_entities = K.entities_from_edges(edges).count()
-    n_mentions = K.build_mentions(right_size(triples)).count()
+    # doc-complete blocks survive extraction → link pool → adoption
+    # (all batch_size=None), so mentions take the zero-shuffle tier;
+    # NOT right_size'd — repartition would split documents
+    n_mentions = K.build_mentions(triples, scope="doc").count()
     dt = time.time() - t0
     return dt, {"n_pages": n, "n_triples": n_triples,
                 "n_entities": n_entities, "n_edges": n_edges,

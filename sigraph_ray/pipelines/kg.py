@@ -389,7 +389,10 @@ def build_kg(pages, *, concurrency=4, batch_size: int = 1024,
             scope="doc" if doc_local else "global")
     entities = C.canonicalize_entities(triples)
     edges = build_kg_edges(triples)
-    mentions = build_mentions(triples)
+    # the fused stream (linked or not) keeps doc-complete blocks all
+    # the way here, so mentions ride the zero-shuffle tier
+    mentions = build_mentions(triples,
+                              scope="doc" if fused else "global")
     out = {"triples": triples, "entities": entities, "edges": edges,
            "mentions": mentions}
     if refined is not None:
@@ -406,13 +409,27 @@ def _mention_partial(batch: pa.Table) -> pa.Table:
         preserve_index=False)
 
 
-def build_mentions(triples):
+def build_mentions(triples, *, scope: str = "global"):
     """Document→entity MENTIONS pairs (ai_agent.py:249-255
     include_source=True). Distinct = per-batch dedup partial +
     ``sorted_distinct`` stitch (one range sort, per-block vectorized
     drop_duplicates, O(#blocks) boundary stitch) — Ray's
     ``groupby().aggregate`` reduce costs ~100 µs/input-row on exactly
-    this row-heavy corpus-sized distinct (measured, BASELINE.md)."""
+    this row-heavy corpus-sized distinct (measured, BASELINE.md).
+
+    ``scope='doc'``: for streams whose BLOCKS hold whole documents
+    (the same fused-extraction contract :func:`dedup_triples_doc_local`
+    rides — blocks preserved through the link pool via
+    ``batch_size=None``), the distinct key LEADS with ``doc_url``, so
+    the per-block dedup partial IS the global distinct — the range
+    sort disappears entirely (zero-shuffle mentions). Callers whose
+    layout may split a document (non-fused streams, anything
+    re-blocked by ``right_size``/``repartition``) must stay
+    ``'global'``."""
+    if scope == "doc":
+        return triples.map_batches(_mention_partial,
+                                   batch_format="pyarrow",
+                                   batch_size=None)
     from sigraph_ray.stages.collect import sorted_distinct
 
     return sorted_distinct(

@@ -336,3 +336,26 @@ def test_adopt_links_doc_scope_equals_global(ray_session):
     b = (K.adopt_links(linked, scope="global").to_pandas()[cols]
          .sort_values(cols).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_build_mentions_doc_scope_equals_global(ray_session):
+    """build_mentions(scope='doc') — the zero-shuffle tier over
+    doc-complete blocks — must equal the sorted_distinct global tier
+    row-for-row on the fused linked path (the bench/flagship layout)."""
+    from sigraph_ray.pipelines import kg as K
+    from sigraph_ray.stages.entity_link import link_entities
+
+    pages = K.synth_pages(80, parallelism=3)
+    triples = K.extract_triples_pipeline(
+        pages, concurrency=2).materialize()
+    vocab = K.derive_link_vocab(triples, min_df=1)
+    adopted = K.adopt_links(
+        link_entities(triples, vocab, concurrency=2, batch_size=None),
+        scope="doc").materialize()
+    cols = ["doc_url", "entity"]
+    a = (K.build_mentions(adopted, scope="doc").to_pandas()[cols]
+         .sort_values(cols).reset_index(drop=True))
+    b = (K.build_mentions(adopted, scope="global").to_pandas()[cols]
+         .sort_values(cols).reset_index(drop=True))
+    assert len(a) == len(a.drop_duplicates()), "doc tier emitted dupes"
+    pd.testing.assert_frame_equal(a, b)
