@@ -89,7 +89,8 @@ def bench_kg(concurrency: int):
     if os.environ.get("GRAFT_KG_LINK", "1") != "0":
         from sigraph_ray.stages.entity_link import link_entities
 
-        vocab, mset = K.derive_link_vocab(triples, with_mentions=True)
+        vocab, mset = K.derive_link_vocab(triples, with_mentions=True,
+                                          doc_local=True)
         # fused extraction blocks are doc-complete → block-preserving
         # link pool + the zero-shuffle doc-local adoption dedup
         triples = K.adopt_links(

@@ -281,7 +281,8 @@ def adopt_links(linked, *, scope: str = "global"):
 
 def derive_link_vocab(triples, *, min_df: int = 2,
                       max_terms: int = 100_000,
-                      with_mentions: bool = False):
+                      with_mentions: bool = False,
+                      doc_local: bool = False):
     """Self-derived canonical vocabulary for the A2 link stage
     (ai_agent.py:126-138: the reference scores mentions against the
     entities already indexed — here the index is the corpus itself):
@@ -301,12 +302,38 @@ def derive_link_vocab(triples, *, min_df: int = 2,
     link stage can skip its own ``sorted_distinct`` over the same
     stream (one range sort instead of two). The table is materialized
     once because two consumers (top-N and the scoring tasks) read
-    it."""
-    from sigraph_ray.stages.collect import sorted_count_distinct
+    it.
 
-    pairs = triples.map_batches(_mention_partial, batch_format="pyarrow")
-    df_tbl = sorted_count_distinct(pairs, key="entity", dcol="doc_url",
-                                   alias="df")
+    ``doc_local=True``: for doc-complete blocks (the fused-extraction
+    contract) an (entity, doc) pair can never straddle blocks, so the
+    per-block dedup partial is already globally distinct and df is a
+    plain grouped SUM of per-block per-entity counts — the sort input
+    shrinks from corpus-pair-sized to (#blocks × per-block uniques)
+    partial rows. Exactness vs the pair-sort tier is pytest-enforced;
+    callers with re-blocked/non-fused streams keep the default."""
+    from sigraph_ray.stages.collect import (sorted_count_distinct,
+                                            sorted_groupby_agg)
+
+    pairs = triples.map_batches(_mention_partial, batch_format="pyarrow",
+                                batch_size=None if doc_local else 1024)
+    if doc_local:
+        def partial_counts(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:  # typed empty — Arrow must not infer null
+                return pa.table({"entity": pa.array([], pa.string()),
+                                 "df": pa.array([], pa.int64())})
+            df = t.to_pandas()
+            cnt = (df.groupby("entity", sort=False).size()
+                   .rename("df").reset_index())
+            return pa.table({"entity": pa.array(cnt["entity"], pa.string()),
+                             "df": pa.array(cnt["df"], pa.int64())})
+
+        df_tbl = sorted_groupby_agg(
+            pairs.map_batches(partial_counts, batch_format="pyarrow",
+                              batch_size=None),
+            key="entity", aggs={"df": ("df", "sum")})
+    else:
+        df_tbl = sorted_count_distinct(pairs, key="entity",
+                                       dcol="doc_url", alias="df")
     if with_mentions:
         df_tbl = df_tbl.materialize()
     top = (df_tbl.filter(expr=f"df >= {min_df}")
@@ -372,7 +399,7 @@ def build_kg(pages, *, concurrency=4, batch_size: int = 1024,
         # the link pool, and the downstream tables.
         triples = triples.materialize()
         link_vocab, link_mentions = derive_link_vocab(
-            triples, with_mentions=True)
+            triples, with_mentions=True, doc_local=bool(fused))
     if link_vocab is not None:
         from sigraph_ray.stages.entity_link import link_entities
 

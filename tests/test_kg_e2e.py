@@ -359,3 +359,22 @@ def test_build_mentions_doc_scope_equals_global(ray_session):
          .sort_values(cols).reset_index(drop=True))
     assert len(a) == len(a.drop_duplicates()), "doc tier emitted dupes"
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_derive_link_vocab_doc_local_equals_pair_sort(ray_session):
+    """doc_local=True (grouped sum of per-block partials — valid on
+    doc-complete blocks where an (entity, doc) pair cannot straddle
+    blocks) must yield the identical vocabulary AND distinct mention
+    set as the pair-sort tier."""
+    from sigraph_ray.pipelines import kg as K
+
+    pages = K.synth_pages(80, parallelism=3)
+    triples = K.extract_triples_pipeline(
+        pages, concurrency=2).materialize()
+    va, ma = K.derive_link_vocab(triples, min_df=2, with_mentions=True,
+                                 doc_local=True)
+    vb, mb = K.derive_link_vocab(triples, min_df=2, with_mentions=True,
+                                 doc_local=False)
+    assert va == vb
+    assert (sorted(ma.to_pandas()["mention"])
+            == sorted(mb.to_pandas()["mention"]))
