@@ -226,10 +226,21 @@ def scaling():
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_KG_PAGES_MULT=os.environ.get(
                        "GRAFT_KG_PAGES_MULT", "240"))
-        res = subprocess.run([sys.executable, __file__, mode],
-                             env=env, capture_output=True, text=True,
-                             check=True)
-        return json.loads(res.stdout.strip().splitlines()[-1])
+        last_err = ""
+        for attempt in range(2):  # one retry: raylet startup flakes
+            res = subprocess.run([sys.executable, __file__, mode],
+                                 env=env, capture_output=True, text=True)
+            if res.returncode == 0:
+                return json.loads(res.stdout.strip().splitlines()[-1])
+            last_err = res.stderr[-4000:]
+            print(f"scaling leg ncpu={ncpu} attempt {attempt} failed "
+                  f"(rc={res.returncode}):\n{last_err}", file=sys.stderr)
+            subprocess.run(["ray", "stop", "--force"],
+                           capture_output=True)
+            time.sleep(5)
+        raise RuntimeError(
+            f"scaling leg ncpu={ncpu} failed twice; last stderr:\n"
+            f"{last_err}")
 
     lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
     hi = lo * 4

@@ -1987,6 +1987,58 @@ GROUP BY dg.doc_id ORDER BY dg.doc_id
 """
 
 
+def q_remove_dup_passages(sf_dir: str):
+    """Duplicate-passage REMOVAL (stages/dedup.remove_dup_passages):
+    Lee et al. 2022's rewrite — delete every non-keeper occurrence of
+    a cross-document 6-token window; keeper = min doc_id. Returns the
+    rewritten corpus (doc_id, n_tokens, n_removed, clean_text)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.dedup import remove_dup_passages
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return remove_dup_passages(ds, n=6)
+
+
+SQL_REMOVE_DUP_PASSAGES = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS arr FROM documents
+), toks AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS ord
+  FROM t
+), grams AS (
+  SELECT doc_id, ord AS start,
+         term || ' ' || lead(term, 1) OVER w || ' '
+              || lead(term, 2) OVER w || ' '
+              || lead(term, 3) OVER w || ' '
+              || lead(term, 4) OVER w || ' '
+              || lead(term, 5) OVER w AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+), occ AS (
+  SELECT doc_id, start, gram FROM grams WHERE gram IS NOT NULL
+), dup AS (
+  SELECT gram, min(doc_id) AS keeper
+  FROM (SELECT DISTINCT doc_id, gram FROM occ)
+  GROUP BY gram HAVING count(*) >= 2
+), removed AS (
+  SELECT DISTINCT o.doc_id, u.pos
+  FROM occ o JOIN dup d USING (gram)
+       CROSS JOIN unnest(range(o.start, o.start + 6)) AS u(pos)
+  WHERE o.doc_id <> d.keeper
+)
+SELECT tk.doc_id,
+       count(*) AS n_tokens,
+       coalesce(sum(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END), 0)
+         AS n_removed,
+       coalesce(string_agg(CASE WHEN r.pos IS NULL THEN tk.term END,
+                           ' ' ORDER BY tk.ord), '') AS clean_text
+FROM toks tk LEFT JOIN removed r
+  ON r.doc_id = tk.doc_id AND r.pos = tk.ord
+GROUP BY tk.doc_id ORDER BY tk.doc_id
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (stages/decontam.decontaminate):
     corpus docs sharing any 4-token shingle with the doc_id%20==0 eval

@@ -744,6 +744,118 @@ def dup_passages(ds, *, n: int = 6, text_col: str = "text",
     return ds.map_batches(probe, batch_format="pandas")
 
 
+def remove_dup_passages(ds, *, n: int = 6, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Duplicate-passage REMOVAL — the rewrite tier over
+    :func:`dup_passages`' detection signal ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022 §4.2 actually
+    DELETES the duplicated spans; detection alone leaves the tokens in
+    the training mix). The reference has no corpus surface —
+    beyond-reference per the build brief.
+
+    Removal rule (deterministic, order-free): an n-token window whose
+    text occurs in ≥2 distinct documents is a duplicate; its minimum
+    ``id_col`` document is the keeper. In every NON-keeper document,
+    all token positions covered by any occurrence of a duplicate
+    window are deleted; the keeper keeps its copy. Interval cover is
+    computed with one +1/−1 difference array per batch (vectorized
+    ``np.add.at`` + cumsum) — overlapping windows never double-count.
+
+    Output per document with ≥1 token: ``(doc_id, n_tokens,
+    n_removed, clean_text)`` where ``clean_text`` is the surviving
+    tokens joined by single spaces (the rewrite is whitespace-
+    normalizing, as any token-level rewrite must be).
+
+    Dataflow / scale bound: identical to :func:`dup_passages` — one
+    (doc, gram) distinct + grouped (count, min) stitch builds the
+    duplicate→keeper table, which is ``ray.put`` broadcast (bounded
+    by the volume of *duplicated* content, not the corpus); every
+    batch then re-derives occurrences and rewrites locally,
+    shuffle-free. Past the broadcast bound, the same semi-join
+    fallback documented on :func:`dup_passages` applies.
+    """
+    import ray
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+    from sigraph_ray.stages.decontam import _doc_grams
+
+    def occurrences(df: pd.DataFrame):
+        """(row-aligned token explode, all window occurrences)."""
+        toks = df[text_col].str.findall(r"\S+")
+        n_tokens = toks.str.len().to_numpy(dtype="int64")
+        s = toks.explode().dropna()
+        gram = s
+        for i in range(1, n):
+            gram = gram + " " + s.groupby(level=0).shift(-i)
+        start = gram.groupby(level=0).cumcount()
+        keep = gram.notna()
+        occ = pd.DataFrame({
+            id_col: df[id_col].reindex(gram.index)[keep].to_numpy(),
+            "row": gram.index[keep],
+            "start": start[keep].to_numpy(dtype="int64"),
+            "gram": gram[keep].to_numpy()})
+        return toks, n_tokens, occ
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "gram": pd.Series(dtype="object")})
+        doc, gram, _ = _doc_grams(df, n, text_col, id_col)
+        return pd.DataFrame({id_col: doc.to_numpy(),
+                             "gram": gram.to_numpy()}).drop_duplicates()
+
+    counts = sorted_groupby_agg(
+        ds.map_batches(pairs, batch_format="pandas"), key="gram",
+        aggs={"n_docs": (id_col, "count"), "keeper": (id_col, "min")})
+    dup = counts.filter(expr="n_docs >= 2")
+    frames = [b[["gram", "keeper"]] for b in
+              dup.iter_batches(batch_format="pandas")]
+    dup_map = (pd.concat(frames).set_index("gram")["keeper"]
+               if frames else
+               pd.Series(dtype="int64", index=pd.Index([], dtype=object)))
+    dup_ref = ray.put(dup_map)
+
+    empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                          "n_tokens": pd.Series(dtype="int64"),
+                          "n_removed": pd.Series(dtype="int64"),
+                          "clean_text": pd.Series(dtype="object")})
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return empty.copy()
+        df = df.reset_index(drop=True)
+        toks, n_tokens, occ = occurrences(df)
+        total = int(n_tokens.sum())
+        if total == 0:
+            return empty.copy()
+        offsets = np.concatenate(([0], np.cumsum(n_tokens)))
+        delta = np.zeros(total + 1, dtype=np.int64)
+        if len(occ):
+            keeper = occ["gram"].map(ray.get(dup_ref))
+            hit = keeper.notna() & (keeper != occ[id_col])
+            if hit.any():
+                g0 = (offsets[occ.loc[hit, "row"].to_numpy()]
+                      + occ.loc[hit, "start"].to_numpy())
+                np.add.at(delta, g0, 1)
+                np.add.at(delta, g0 + n, -1)
+        removed = np.cumsum(delta[:-1]) > 0
+        flat = toks.explode().dropna()
+        kept = flat[~removed]
+        joined = kept.groupby(level=0).agg(" ".join)
+        # per-row removed counts via prefix sums (safe for zero-token
+        # rows, which np.add.reduceat's offset pairs are not)
+        csum = np.concatenate(([0], np.cumsum(removed.astype(np.int64))))
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_tokens": n_tokens,
+            "n_removed": csum[offsets[1:]] - csum[offsets[:-1]]})
+        out["clean_text"] = (joined.reindex(out.index).fillna("")
+                             .to_numpy(dtype=object))
+        return out[n_tokens > 0].reset_index(drop=True)
+
+    return ds.map_batches(rewrite, batch_format="pandas")
+
+
 # --- blocked edit-distance (string-similarity) join -------------------------
 
 

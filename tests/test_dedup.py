@@ -193,6 +193,53 @@ def test_dup_passages_planted(ray_session):
     assert out.loc[3, "dup_fraction"] == 0.0
 
 
+def test_remove_dup_passages_planted(ray_session):
+    """Rewrite tier: the min-doc keeper keeps its copy, every other
+    occurrence is deleted; overlapping duplicate windows remove their
+    UNION of positions (no double-count); zero-token docs are
+    excluded; fully-duplicated docs come back empty."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.dedup import remove_dup_passages
+
+    shared = "alpha beta gamma delta epsilon zeta"      # 6 tokens
+    shared7 = "p q r s t u v"                           # 7 tokens
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+        "text": [
+            f"one two {shared} three four",
+            f"{shared} completely different tail words here",
+            "nothing in common with the others at all nine ten",
+            "   ",                       # zero tokens → excluded
+            shared7,                     # keeper of the 7-token span
+            f"x {shared7} y",            # overlapping windows → union
+            shared,                      # fully duplicated (keeper=1)
+            shared,                      # fully duplicated (keeper=1)
+        ],
+    })
+    out = (remove_dup_passages(rd.from_pandas(df).repartition(3), n=6)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert list(out.index) == [1, 2, 3, 5, 6, 7, 8]
+    # doc 1 is the keeper (min doc_id over {1, 2, 7, 8}) → unchanged
+    assert out.loc[1, "n_removed"] == 0
+    assert out.loc[1, "clean_text"] == f"one two {shared} three four"
+    # doc 2 loses exactly the 6 covered tokens
+    assert out.loc[2, "n_removed"] == 6
+    assert out.loc[2, "clean_text"] == \
+        "completely different tail words here"
+    assert out.loc[3, "n_removed"] == 0
+    # doc 6: two overlapping duplicate windows cover positions 1-7 →
+    # 7 tokens removed once, not 12
+    assert out.loc[5, "n_removed"] == 0
+    assert out.loc[6, "n_tokens"] == 9
+    assert out.loc[6, "n_removed"] == 7
+    assert out.loc[6, "clean_text"] == "x y"
+    # docs 7/8 are non-keeper copies of the doc-1 span → emptied
+    for d in (7, 8):
+        assert out.loc[d, "n_removed"] == 6
+        assert out.loc[d, "clean_text"] == ""
+
+
 def test_levenshtein_matches_textbook_dp():
     import random
 
