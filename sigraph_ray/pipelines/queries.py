@@ -5099,6 +5099,85 @@ def q_incremental_edges(sf_dir: str):
 SQL_INCREMENTAL_EDGES = SQL_PROV_EDGES
 
 
+def q_kg_incremental_edges(sf_dir: str):
+    """KG steady-state maintenance (stages/incremental.merge_kg_edge_delta,
+    sum mode): the corpus splits deterministically into base (~15/16 of
+    documents, "yesterday's crawl") and delta by the first md5 nibble
+    of doc_id; the base's aggregated edge state — the persisted KG
+    edge-weight table, here adjacent-token bigram counts of
+    documents.text, the same grouped-sum shape the flagship's
+    (subj,pred,obj) aggregate maintains — is patched by the BROADCAST
+    delta state in one vectorized pass with NO shuffle (and at scale
+    no re-read) over the base.  Weight sums are associative, so the
+    merged table must equal the full rebuild over ALL documents
+    bit-exactly: that is what this oracle checks."""
+    import re
+
+    import ray.data as rd
+
+    from sigraph_ray.functions.hashing import md5_hex
+    from sigraph_ray.stages import incremental as I
+    from sigraph_ray.stages.collect import sorted_groupby_sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    rx = re.compile(r"[a-z0-9]+")
+
+    def half(want_delta: bool):
+        def split(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            nib = np.fromiter(
+                (int(h[0], 16)
+                 for h in md5_hex(df["doc_id"].astype(str).tolist())),
+                dtype=np.int64, count=len(df))
+            m = (nib == 0) if want_delta else (nib != 0)
+            return df[m]
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            toks = df["text"].str.lower().str.findall(rx)
+            s = toks.explode().dropna()
+            gram = s + " " + s.groupby(level=0).shift(-1)
+            vc = gram.dropna().value_counts()
+            return pd.DataFrame({"k": vc.index.astype(str),
+                                 "cnt": vc.to_numpy().astype("int64")})
+
+        parts = (ds.map_batches(split, batch_format="pandas")
+                 .map_batches(partial, batch_format="pandas"))
+        return sorted_groupby_sum(parts, key="k",
+                                  sum_cols={"weight": "cnt"})
+
+    merged = I.merge_kg_edge_delta(half(False), half(True))
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        sp = df["k"].str.split(" ", n=1, expand=True)
+        if len(df) == 0:
+            return pd.DataFrame({"src": pd.Series(dtype="object"),
+                                 "dst": pd.Series(dtype="object"),
+                                 "weight": pd.Series(dtype="int64")})
+        return pd.DataFrame({"src": sp[0], "dst": sp[1],
+                             "weight": df["weight"].astype("int64")})
+
+    return merged.map_batches(decode, batch_format="pandas")
+
+
+SQL_KG_INCREMENTAL_EDGES = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS ord
+  FROM t
+), bg AS (
+  SELECT term AS src,
+         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS dst
+  FROM toks
+)
+SELECT src, dst, count(*) AS weight FROM bg WHERE dst IS NOT NULL
+GROUP BY src, dst
+"""
+
+
 def q_pmi_collocations(sf_dir: str):
     """PMI collocation mining (stages/textstats.pmi_collocations) —
     the multi-word-expression / entity-phrase discovery step ahead of

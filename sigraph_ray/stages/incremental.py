@@ -114,15 +114,19 @@ def merge_state(base_state, delta_state, *, mode: str,
                 count_cols: tuple[str, ...] = ()):
     """Merge a (small, keyed) delta state into a (large) base state.
 
-    ``mode`` is ``"min"`` (trace arg-min) or ``"max"`` (edge arg-max);
-    every column in ``count_cols`` is summed.  The delta is collected
-    to one pandas frame (one row per touched key — the broadcast
-    assumption; a delta beyond driver memory would take the
-    sorted-merge-join tier instead) and shipped once via ``ray.put``;
-    the base streams through a single vectorized patch pass.
+    ``mode`` is ``"min"`` (trace arg-min), ``"max"`` (edge arg-max) or
+    ``"sum"`` (pure grouped count, e.g. the KG edge-weight table — no
+    ``v`` payload, ``count_cols`` only); every column in ``count_cols``
+    is summed.  The delta is collected to one pandas frame (one row per
+    touched key — the broadcast assumption; a delta beyond driver
+    memory would take the sorted-merge-join tier instead) and shipped
+    once via ``ray.put``; the base streams through a single vectorized
+    patch pass.
     """
-    if mode not in ("min", "max"):
-        raise ValueError(f"mode must be min or max, got {mode!r}")
+    if mode not in ("min", "max", "sum"):
+        raise ValueError(f"mode must be min, max or sum, got {mode!r}")
+    if mode == "sum" and not count_cols:
+        raise ValueError("sum mode needs at least one count column")
     delta_df = delta_state.to_pandas()
     if len(delta_df) == 0:
         return base_state
@@ -140,10 +144,11 @@ def merge_state(base_state, delta_state, *, mode: str,
         out["_hit"] = hit
         if hit.any():
             sub = delta.loc[out.loc[hit, "k"]]
-            bv = out.loc[hit, "v"].to_numpy()
-            dv = sub["v"].to_numpy()
-            keep_base = (bv <= dv) if mode == "min" else (bv >= dv)
-            out.loc[hit, "v"] = np.where(keep_base, bv, dv)
+            if mode != "sum":
+                bv = out.loc[hit, "v"].to_numpy()
+                dv = sub["v"].to_numpy()
+                keep_base = (bv <= dv) if mode == "min" else (bv >= dv)
+                out.loc[hit, "v"] = np.where(keep_base, bv, dv)
             for c in count_cols:
                 out.loc[hit, c] = (out.loc[hit, c].to_numpy()
                                    + sub[c].to_numpy())
@@ -162,7 +167,8 @@ def merge_state(base_state, delta_state, *, mode: str,
     if len(missing):
         import ray.data as rd
 
-        cols = [c for c in ("k", "v", *count_cols)]
+        head = ("k",) if mode == "sum" else ("k", "v")
+        cols = [c for c in (*head, *count_cols)]
         out = out.union(rd.from_pandas(missing[cols]))
     return out
 
@@ -178,3 +184,19 @@ def merge_edge_delta(base_state, delta_events):
     """Incrementally maintained edge table: last-writer-wins arg-max
     merged into the base state."""
     return merge_state(base_state, edge_state(delta_events), mode="max")
+
+
+def merge_kg_edge_delta(base_state, delta_state):
+    """Incrementally maintained KG edge table.  The flagship's edge
+    aggregate (pipelines/kg.build_kg_edges) is a pure grouped SUM of
+    mention counts per edge key — associative and commutative — so the
+    merged state equals a full rebuild over base ∪ delta bit-exactly
+    for ANY corpus split: yesterday's materialized KG plus today's
+    crawl delta, never re-reading the base corpus.  Both arguments are
+    ``(k, weight)`` states (the base typically read back from its
+    persisted parquet); the delta broadcasts, the base streams through
+    one vectorized patch pass (reference analog: the per-event MERGE
+    ... ON MATCH SET weight = weight + 1 steady state,
+    element_behavior.py:260-521)."""
+    return merge_state(base_state, delta_state, mode="sum",
+                       count_cols=("weight",))

@@ -90,6 +90,75 @@ def test_delta_only_keys_are_appended(ray_session):
     assert mk - bk, "delta introduced no new trace keys; test is vacuous"
 
 
+def _count_state(rows: list[tuple[str, int]]):
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(
+        {"k": [r[0] for r in rows],
+         "weight": pd.Series([r[1] for r in rows], dtype="int64")}))
+
+
+def test_sum_merge_equals_rebuild(ray_session):
+    """mode="sum" (the KG edge-weight table): touched keys sum, base-only
+    keys pass through, delta-only keys append — merge == rebuild."""
+    from sigraph_ray.stages import incremental as I
+
+    base = _count_state([("a b", 3), ("b c", 5), ("c d", 1)])
+    delta = _count_state([("b c", 2), ("x y", 7)])
+    got = (I.merge_kg_edge_delta(base, delta).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    want = pd.DataFrame({"k": ["a b", "b c", "c d", "x y"],
+                         "weight": pd.Series([3, 7, 1, 7], dtype="int64")})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_sum_merge_empty_delta_is_identity(ray_session):
+    from sigraph_ray.stages import incremental as I
+
+    base = _count_state([("a b", 3), ("b c", 5)])
+    empty = _count_state([])
+    got = (I.merge_kg_edge_delta(base, empty).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, base.to_pandas().sort_values("k").reset_index(drop=True))
+
+
+def test_sum_mode_requires_count_cols():
+    from sigraph_ray.stages import incremental as I
+
+    with pytest.raises(ValueError):
+        I.merge_state(None, None, mode="sum")
+
+
+def test_kg_incremental_edges_equals_rebuild(ray_session):
+    """The registered query vs a single-process pandas rebuild at
+    sf0.001 — the same full-corpus grouped count the SQL oracle runs."""
+    import re
+
+    import numpy as np
+
+    from sigraph_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    got = (Q.q_kg_incremental_edges(sf).to_pandas()
+           .sort_values(["src", "dst"]).reset_index(drop=True))
+
+    df = pd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"])
+    toks = df["text"].str.lower().str.findall(re.compile(r"[a-z0-9]+"))
+    s = toks.explode().dropna()
+    gram = (s + " " + s.groupby(level=0).shift(-1)).dropna()
+    vc = gram.value_counts()
+    sp = vc.index.to_series().str.split(" ", n=1, expand=True)
+    want = (pd.DataFrame({"src": sp[0].to_numpy(),
+                          "dst": sp[1].to_numpy(),
+                          "weight": vc.to_numpy().astype("int64")})
+            .sort_values(["src", "dst"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["src", "dst", "weight"]], want)
+    assert len(got) > 100
+
+
 def test_empty_delta_is_identity(parsed, ray_session):
     from sigraph_ray.stages import incremental as I
 
