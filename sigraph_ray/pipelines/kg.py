@@ -279,6 +279,11 @@ def adopt_links(linked, *, scope: str = "global"):
     return dedup_triples(renamed)
 
 
+# doc-local vocab partials below this land on the driver for the final
+# df sum + top-N (one pandas pass); above it the range-sort stitch runs
+_VOCAB_DRIVER_BYTES = 128 * 2 ** 20
+
+
 def derive_link_vocab(triples, *, min_df: int = 2,
                       max_terms: int = 100_000,
                       with_mentions: bool = False,
@@ -310,7 +315,18 @@ def derive_link_vocab(triples, *, min_df: int = 2,
     plain grouped SUM of per-block per-entity counts — the sort input
     shrinks from corpus-pair-sized to (#blocks × per-block uniques)
     partial rows. Exactness vs the pair-sort tier is pytest-enforced;
-    callers with re-blocked/non-fused streams keep the default."""
+    callers with re-blocked/non-fused streams keep the default.
+
+    The doc-local partials are additionally size-gated: when the
+    materialized partial table fits ``_VOCAB_DRIVER_BYTES`` the final
+    df sum + filter + top-N run in ONE pandas pass on the driver
+    (identical (df DESC, surface ASC) semantics, pytest-enforced) —
+    the partials are already per-block combined, so the three extra
+    streaming executions (stitch sort, boundary collect, top-N sort)
+    are pure fixed cost at this size.  Beyond the gate the range-sort
+    stitch engages unchanged: at 100 TB the partial table is
+    (#blocks × per-block uniques)-sized and must never land on the
+    driver."""
     from sigraph_ray.stages.collect import (sorted_count_distinct,
                                             sorted_groupby_agg)
 
@@ -327,10 +343,26 @@ def derive_link_vocab(triples, *, min_df: int = 2,
             return pa.table({"entity": pa.array(cnt["entity"], pa.string()),
                              "df": pa.array(cnt["df"], pa.int64())})
 
+        parts = pairs.map_batches(partial_counts, batch_format="pyarrow",
+                                  batch_size=None).materialize()
+        if parts.size_bytes() <= _VOCAB_DRIVER_BYTES:
+            import ray.data as rd
+
+            pdf = parts.to_pandas()
+            dfc = (pdf.groupby("entity", sort=False)["df"].sum()
+                   .reset_index())
+            top = (dfc[dfc["df"] >= min_df]
+                   .sort_values(["df", "entity"],
+                                ascending=[False, True])
+                   .head(max_terms))
+            vocab = top["entity"].tolist()
+            if not with_mentions:
+                return vocab
+            mentions = rd.from_pandas(
+                dfc[["entity"]].rename(columns={"entity": "mention"}))
+            return vocab, mentions
         df_tbl = sorted_groupby_agg(
-            pairs.map_batches(partial_counts, batch_format="pyarrow",
-                              batch_size=None),
-            key="entity", aggs={"df": ("df", "sum")})
+            parts, key="entity", aggs={"df": ("df", "sum")})
     else:
         df_tbl = sorted_count_distinct(pairs, key="entity",
                                        dcol="doc_url", alias="df")

@@ -378,3 +378,25 @@ def test_derive_link_vocab_doc_local_equals_pair_sort(ray_session):
     assert va == vb
     assert (sorted(ma.to_pandas()["mention"])
             == sorted(mb.to_pandas()["mention"]))
+
+
+def test_derive_link_vocab_driver_tier_equals_stitch(ray_session,
+                                                     monkeypatch):
+    """The size-gated driver tier (partials → one pandas pass) and the
+    range-sort stitch tier must agree exactly — vocabulary, order (the
+    (df DESC, surface ASC) top-N contract), and mention set."""
+    from sigraph_ray.pipelines import kg as K
+
+    pages = K.synth_pages(80, parallelism=3)
+    triples = K.extract_triples_pipeline(
+        pages, concurrency=2).materialize()
+    # default gate: tiny partials take the driver tier
+    va, ma = K.derive_link_vocab(triples, min_df=2, with_mentions=True,
+                                 doc_local=True)
+    # gate forced to 0: same call takes the stitch tier
+    monkeypatch.setattr(K, "_VOCAB_DRIVER_BYTES", 0)
+    vb, mb = K.derive_link_vocab(triples, min_df=2, with_mentions=True,
+                                 doc_local=True)
+    assert va == vb
+    assert (sorted(ma.to_pandas()["mention"])
+            == sorted(mb.to_pandas()["mention"]))
