@@ -258,6 +258,11 @@ class LinkApplier:
 _SCORER_MEMO: dict = {}
 _MAP_MEMO: dict = {}
 
+# a materialized mention set at or below this is scored by plain
+# chunked tasks (no repartition exchange / extra streaming execution);
+# above it the Dataset path streams the mention table unchanged
+_DRIVER_MENTION_BYTES = 128 * 2 ** 20
+
 
 def _memo_scorer(vocab_ref, threshold) -> MentionScorer:
     key = (vocab_ref, threshold)
@@ -301,12 +306,20 @@ def link_entities(triples, vocab: list[str], *, threshold: float = 0.75,
     the per-row cached actor pool (no barrier, O(unique) work PER
     ACTOR; the seam a heavyweight model scorer drops into).
 
-    ``mentions``: optional Dataset with a DISTINCT ``mention`` column
-    (unique tier only). ``derive_link_vocab(with_mentions=True)``'s
-    document-frequency stitch already distinct-ed every surface, so
-    passing its side output here skips this stage's own
-    ``sorted_distinct`` — one range sort instead of two over the same
-    mention stream.
+    ``mentions``: optional Dataset OR pandas frame with a DISTINCT
+    ``mention`` column (unique tier only).
+    ``derive_link_vocab(with_mentions=True)``'s document-frequency
+    stitch already distinct-ed every surface, so passing its side
+    output here skips this stage's own ``sorted_distinct`` — one range
+    sort instead of two over the same mention stream.  A mention set
+    that is already materialized and fits ``_DRIVER_MENTION_BYTES``
+    (e.g. the vocab derivation's size-gated driver tier) is scored by
+    plain chunked tasks instead of a Dataset execution: the
+    repartition exchange and streaming-executor spin-up are pure fixed
+    cost at that size, and the scoring kernel (``_score_batch``, one
+    warm index per worker process) is identical.  Beyond the gate the
+    Dataset path is unchanged — the mention table streams and is never
+    driver-resident.
 
     ``num_cpus`` (stream tier) defaults fractional: that pool runs
     CONCURRENTLY with the upstream extraction pool and the downstream
@@ -336,10 +349,30 @@ def link_entities(triples, vocab: list[str], *, threshold: float = 0.75,
         mentions = sorted_distinct(
             triples.map_batches(proj, batch_format="pyarrow"),
             ["mention"])
-    scored = mentions.repartition(max(2 * concurrency, 8)).map_batches(
-        _score_batch, batch_format="pyarrow", batch_size=None,
-        fn_kwargs={"vocab_ref": ref, "threshold": threshold})
-    refs = list(scored.to_arrow_refs())
+    from ray.data.dataset import MaterializedDataset
+
+    if (isinstance(mentions, MaterializedDataset)
+            and (mentions.size_bytes() or 0) <= _DRIVER_MENTION_BYTES):
+        mentions = mentions.to_pandas()
+    import pandas as pd
+
+    if isinstance(mentions, pd.DataFrame):  # driver-resident tier
+        @ray.remote
+        def score_chunk(vals, wrapped, thr):
+            tbl = pa.table({"mention": pa.array(vals, pa.string())})
+            # wrapped[0] is the UNresolved vocab ObjectRef (nested refs
+            # are not auto-dereferenced) — the per-worker memo keys on it
+            return _score_batch(tbl, vocab_ref=wrapped[0], threshold=thr)
+
+        vals = mentions["mention"].to_numpy()
+        nch = max(2 * concurrency, 8)
+        refs = [score_chunk.remote(c, [ref], threshold)
+                for c in np.array_split(vals, nch) if len(c)]
+    else:
+        scored = mentions.repartition(max(2 * concurrency, 8)).map_batches(
+            _score_batch, batch_format="pyarrow", batch_size=None,
+            fn_kwargs={"vocab_ref": ref, "threshold": threshold})
+        refs = list(scored.to_arrow_refs())
     return triples.map_batches(
         _apply_batch, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True, fn_kwargs={"map_refs": refs})

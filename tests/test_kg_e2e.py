@@ -338,6 +338,34 @@ def test_adopt_links_doc_scope_equals_global(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_link_task_tier_equals_dataset_tier(ray_session, monkeypatch):
+    """The driver-resident mention fast path (chunked plain tasks) must
+    produce the identical linked stream as the Dataset scoring path —
+    same kernel, so any divergence is a chunking/broadcast bug."""
+    from sigraph_ray.pipelines import kg as K
+    from sigraph_ray.stages import entity_link as EL
+
+    pages = K.synth_pages(80, parallelism=3)
+    triples = K.extract_triples_pipeline(
+        pages, concurrency=2).materialize()
+    vocab, mset = K.derive_link_vocab(triples, min_df=1,
+                                      with_mentions=True, doc_local=True)
+    cols = ["doc_url", "chunk_id", "ord", "subj", "pred", "obj",
+            "link_subj", "link_obj"]
+
+    def run():
+        out = EL.link_entities(triples, vocab, concurrency=2,
+                               batch_size=None, mentions=mset).to_pandas()
+        out["link_subj"] = out["subj_link"]
+        out["link_obj"] = out["obj_link"]
+        return out[cols].sort_values(cols).reset_index(drop=True)
+
+    a = run()  # small materialized mset → task tier
+    monkeypatch.setattr(EL, "_DRIVER_MENTION_BYTES", -1)
+    b = run()  # gate forced shut → Dataset tier
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_build_mentions_doc_scope_equals_global(ray_session):
     """build_mentions(scope='doc') — the zero-shuffle tier over
     doc-complete blocks — must equal the sorted_distinct global tier
