@@ -59,8 +59,9 @@ NUM_BANDS = 16  # 4 rows per band → catches jaccard ≳ 0.7 reliably
 
 
 class MinHashSignatures:
-    """Actor-pool stage: shingle → minhash → band hashes. Permutation
-    seeds built once per actor in __init__."""
+    """Shingle → minhash → band hashes. Permutation seeds built once
+    per worker (task tier via ``_memo_stage``; deterministic seeds, so
+    every worker computes identical signatures)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  k: int = 3):
@@ -159,11 +160,12 @@ class VerifyJaccard:
 
 
 class _ParticipantTexts:
-    """Actor-pool filter over the corpus: keep only the (id, text) rows
-    whose id appears in the candidate-pair table. The pair table ships
-    as object-store block refs (driver ships refs only, same idiom as
-    stages/traversal._AdjacencyIndex); the id SET builds once per actor
-    in ``__init__``. One distributed corpus scan, small output."""
+    """Corpus filter: keep only the (id, text) rows whose id appears
+    in the candidate-pair table. The pair table ships as object-store
+    block refs (driver ships refs only, same idiom as
+    stages/traversal._AdjacencyIndex); the id SET builds once per
+    WORKER (task tier via ``_memo_stage``). One distributed corpus
+    scan, small output."""
 
     def __init__(self, pair_refs: list, id_col: str, text_col: str):
         import ray
@@ -236,6 +238,46 @@ class _RefLabelAssign:
             "doc_id": ids,
             "cluster_id": ids.map(self.comp).fillna(ids)
             .astype(ids.dtype)})
+
+
+# Per-worker-process memos (one live state per stage class): Ray reuses
+# TASK worker processes, so a module-level memo gives actor-style setup
+# amortization (refs fetched / seeds built once per worker) WITHOUT an
+# actor pool — each pool spawns NEW actor processes, measured here at
+# ~1-1.5 s of latency per pool at 32 cpus, pure fixed cost around these
+# sub-second scans. Same idiom as stages/entity_link._memo_scorer; the
+# per-class slot stays bounded because every held state is
+# broadcast-class by contract (pair-id set / participating texts /
+# label map ≤ the broadcast tier's own bounds).
+_STAGE_MEMO: dict = {}
+
+
+def _memo_stage(cls, kwargs: dict):
+    key = tuple(sorted(
+        (k, tuple(v) if isinstance(v, list) else v)
+        for k, v in kwargs.items()))
+    ent = _STAGE_MEMO.get(cls.__qualname__)
+    if ent is None or ent[0] != key:
+        st = cls(**kwargs)
+        _STAGE_MEMO[cls.__qualname__] = (key, st)
+        return st
+    return ent[1]
+
+
+def _signatures_batch(df: pd.DataFrame, **kw) -> pa.Table:
+    return _memo_stage(MinHashSignatures, kw)(df)
+
+
+def _ptexts_batch(df: pd.DataFrame, **kw) -> pa.Table:
+    return _memo_stage(_ParticipantTexts, kw)(df)
+
+
+def _ref_verify_batch(df: pd.DataFrame, **kw) -> pd.DataFrame:
+    return _memo_stage(_RefVerifyJaccard, kw)(df)
+
+
+def _ref_label_batch(df: pd.DataFrame, **kw) -> pd.DataFrame:
+    return _memo_stage(_RefLabelAssign, kw)(df)
 
 
 def _identity_clusters(ds, id_col: str):
@@ -319,9 +361,8 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     # brief: one bucket's members fit a worker block — a pathological
     # all-identical corpus concentrates one bucket.)
     sigs = ds.map_batches(
-        MinHashSignatures, batch_format="pandas",
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "k": k},
-        concurrency=concurrency)
+        _signatures_batch, batch_format="pandas",
+        fn_kwargs={"text_col": text_col, "id_col": id_col, "k": k})
 
     def bucket_key(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -386,15 +427,13 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         # per join at 32 cpus vs <2 s for the scan+dict path).
         pair_refs = list(pairs.to_arrow_refs())
         ptexts = ds.map_batches(
-            _ParticipantTexts, batch_format="pandas",
-            fn_constructor_kwargs={"pair_refs": pair_refs,
-                                   "id_col": id_col, "text_col": text_col},
-            concurrency=concurrency).materialize()
+            _ptexts_batch, batch_format="pandas",
+            fn_kwargs={"pair_refs": pair_refs,
+                       "id_col": id_col, "text_col": text_col}).materialize()
         verified = pairs.map_batches(
-            _RefVerifyJaccard, batch_format="pandas",
-            fn_constructor_kwargs={"text_refs": list(ptexts.to_arrow_refs()),
-                                   "threshold": threshold, "k": k},
-            concurrency=2).materialize()
+            _ref_verify_batch, batch_format="pandas",
+            fn_kwargs={"text_refs": list(ptexts.to_arrow_refs()),
+                       "threshold": threshold, "k": k}).materialize()
     else:
         docs = ds.map_batches(
             lambda df: df[[id_col, text_col]].rename(
@@ -435,11 +474,9 @@ def minhash_lsh_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         # label table ≤ participating nodes — broadcast it back over
         # the corpus instead of a corpus-wide left-outer hash join
         return ds.map_batches(
-            _RefLabelAssign, batch_format="pandas",
-            fn_constructor_kwargs={"label_refs": list(labels
-                                                      .to_arrow_refs()),
-                                   "id_col": id_col},
-            concurrency=concurrency)
+            _ref_label_batch, batch_format="pandas",
+            fn_kwargs={"label_refs": list(labels.to_arrow_refs()),
+                       "id_col": id_col})
     ids = ds.map_batches(lambda df: pd.DataFrame({"doc_id": df[id_col]}),
                          batch_format="pandas")
     out = safe_join(ids, labels, "left_outer", num_partitions, ("doc_id",),
