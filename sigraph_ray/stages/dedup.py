@@ -240,28 +240,11 @@ class _RefLabelAssign:
             .astype(ids.dtype)})
 
 
-# Per-worker-process memos (one live state per stage class): Ray reuses
-# TASK worker processes, so a module-level memo gives actor-style setup
-# amortization (refs fetched / seeds built once per worker) WITHOUT an
-# actor pool — each pool spawns NEW actor processes, measured here at
-# ~1-1.5 s of latency per pool at 32 cpus, pure fixed cost around these
-# sub-second scans. Same idiom as stages/entity_link._memo_scorer; the
-# per-class slot stays bounded because every held state is
-# broadcast-class by contract (pair-id set / participating texts /
-# label map ≤ the broadcast tier's own bounds).
-_STAGE_MEMO: dict = {}
-
-
-def _memo_stage(cls, kwargs: dict):
-    key = tuple(sorted(
-        (k, tuple(v) if isinstance(v, list) else v)
-        for k, v in kwargs.items()))
-    ent = _STAGE_MEMO.get(cls.__qualname__)
-    if ent is None or ent[0] != key:
-        st = cls(**kwargs)
-        _STAGE_MEMO[cls.__qualname__] = (key, st)
-        return st
-    return ent[1]
+# Task-tier wrappers: setup once per reused task worker instead of an
+# actor pool per stage (see stages/memo — measured ~1-1.5 s of pool
+# spin-up each at 32 cpus, pure fixed cost around these sub-second
+# scans; every memoized state is broadcast-class by contract).
+from sigraph_ray.stages.memo import memo_stage as _memo_stage
 
 
 def _signatures_batch(df: pd.DataFrame, **kw) -> pa.Table:

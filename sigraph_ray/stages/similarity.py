@@ -67,29 +67,55 @@ def _final_topk_factory(k: int):
     return final
 
 
+def _brute_topk_batch(df: pd.DataFrame, **kw) -> pd.DataFrame:
+    from sigraph_ray.stages.memo import memo_stage
+
+    return memo_stage(BruteForceTopK, kw)(df)
+
+
+# partial top-k tables at or below this finish on the driver (one
+# pandas groupby — the table is #blocks × n_queries × k rows); above
+# it the distributed groupby runs unchanged
+_DRIVER_TOPK_BYTES = 64 * 2 ** 20
+
+
 def knn_cosine(corpus, queries_df: pd.DataFrame, *, k: int = 5,
                id_col: str = "vec_id", emb_col: str = "embedding",
                concurrency: int | None = None):
     """corpus Dataset × small query set → (qid, rank, vec_id, cosine).
 
     ``queries_df`` needs columns (qid, vec). Two-phase: partial top-k
-    per batch, final top-k per qid. Exclude-self is the caller's choice
-    (filter qid != vec_id afterwards if ids share a namespace).
+    per batch (memoized tasks — the query matrix builds once per
+    worker, no actor-pool spin-up), final top-k per qid. The partial
+    table is (#blocks × n_queries × k) rows; under the byte gate the
+    final phase is one driver-side pandas groupby (identical ranking
+    code), beyond it the distributed groupby runs. Exclude-self is the
+    caller's choice (filter qid != vec_id afterwards if ids share a
+    namespace).
     """
     import ray
 
-    if concurrency is None:
-        from sigraph_ray.pipelines.queries import _conc
-
-        concurrency = _conc()
     ref = ray.put(queries_df)
     partial = corpus.map_batches(
-        BruteForceTopK, batch_format="pandas",
-        fn_constructor_kwargs={"queries_ref": ref, "k": k,
-                               "id_col": id_col, "emb_col": emb_col},
-        concurrency=concurrency)
+        _brute_topk_batch, batch_format="pandas",
+        fn_kwargs={"queries_ref": ref, "k": k,
+                   "id_col": id_col, "emb_col": emb_col}).materialize()
+    final = _final_topk_factory(k)
+    if (partial.size_bytes() or 0) <= _DRIVER_TOPK_BYTES:
+        import ray.data as rd
+
+        pdf = partial.to_pandas()
+        if len(pdf) == 0:
+            return rd.from_pandas(pd.DataFrame({
+                "qid": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64")}))
+        fin = (pdf.groupby("qid", sort=False, group_keys=False)
+               .apply(final).reset_index(drop=True))
+        return rd.from_pandas(fin)
     return partial.groupby("qid").map_groups(
-        _final_topk_factory(k), batch_format="pandas")
+        final, batch_format="pandas")
 
 
 # --- LSH-bucketed variant (scale path) -------------------------------------
