@@ -30,6 +30,32 @@ import numpy as np
 import pandas as pd
 
 
+# An already-materialized stitch input at/below this finishes in ONE
+# driver pandas pass instead of the range sort: the sort's
+# sample/partition/reduce machinery costs ~2 s at 32 cpus regardless of
+# bytes (measured on the prov builders), pure fixed cost at this size.
+# The gate engages ONLY for MaterializedDataset inputs — callers opt in
+# by materializing their per-batch-combined (bounded) partial streams,
+# the same staged-boundary pattern as kg.build_kg_edges_staged; lazy
+# corpus-scale streams always take the sort.
+_DRIVER_STITCH_BYTES = 64 * 2 ** 20
+
+
+def _driver_small(ds):
+    """The input as one driver pandas frame iff it is materialized,
+    non-empty and at/below ``_DRIVER_STITCH_BYTES``; else None (the
+    caller runs the distributed path — which also owns the typed-empty
+    handling)."""
+    from ray.data.dataset import MaterializedDataset
+
+    if (isinstance(ds, MaterializedDataset)
+            and (ds.size_bytes() or 0) <= _DRIVER_STITCH_BYTES):
+        pdf = ds.to_pandas()
+        if len(pdf):
+            return pdf
+    return None
+
+
 def _collect_block_factory(key: str, order_col: str, value: str,
                            dedup: bool, max_members: int | None):
     def f(df: pd.DataFrame) -> pd.DataFrame:
@@ -88,6 +114,20 @@ def sorted_collect(ds, *, key: str, order_col: str, value: str,
     population. Lists at or under the cap are exact."""
     import ray.data as rd
 
+    pdf = _driver_small(ds)
+    if pdf is not None:
+        d = pdf.sort_values([key, order_col], kind="stable")
+        if dedup:
+            d = d.drop_duplicates([key, value])
+        if max_members is not None:
+            # global cap (vs the distributed tier's per-fragment cap):
+            # lists at/under the cap are identical; overflow keys still
+            # return > cap values, so the sentinel contract holds
+            d = d[d.groupby(key, sort=False).cumcount() < max_members]
+        merged = (d.groupby(key, sort=False)[value].agg(list)
+                  .rename("values").reset_index())
+        return rd.from_pandas(merged)
+
     hydrated = ds.sort([key, order_col])
     collected = hydrated.map_batches(
         _collect_block_factory(key, order_col, value, dedup, max_members),
@@ -140,6 +180,15 @@ def sorted_groupby_agg(ds, *, key, aggs: dict[str, tuple[str, str]]):
         if op not in ops:
             raise ValueError(f"unsupported op {op!r} for {a!r}")
     spec = {a: (c, op) for a, (c, op) in aggs.items()}
+
+    pdf = _driver_small(ds)
+    if pdf is not None:
+        g = pdf.groupby(keys, sort=False)
+        out = {}
+        for a, (c, op) in spec.items():
+            out[a] = g[c].size() if op == "count" else getattr(g[c], op)()
+        merged = pd.DataFrame(out).reset_index()
+        return rd.from_pandas(merged[[*keys, *spec]])
 
     def stitch_combine(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, sort=False)
@@ -250,6 +299,12 @@ def sorted_distinct(ds, keys: list[str]):
     keys are contiguous, so only a block's FIRST and LAST post-dedup
     rows can collide with a neighboring block."""
     import ray.data as rd
+
+    pdf = _driver_small(ds)
+    if pdf is not None:
+        merged = (pdf.sort_values(keys, kind="stable")
+                  .drop_duplicates(keys).reset_index(drop=True))
+        return rd.from_pandas(merged)
 
     def per_block(df: pd.DataFrame) -> pd.DataFrame:
         out = df.drop_duplicates(keys)
@@ -383,6 +438,14 @@ def sorted_count_distinct(ds, *, key, dcol: str, alias: str = "n"):
     import ray.data as rd
 
     keys = [key] if isinstance(key, str) else list(key)
+
+    pdf = _driver_small(ds)
+    if pdf is not None:
+        d = pdf[keys + [dcol]].drop_duplicates()
+        merged = (d.groupby(keys, sort=False).size().rename(alias)
+                  .reset_index())
+        merged[alias] = merged[alias].astype("int64")
+        return rd.from_pandas(merged[keys + [alias]])
 
     def per_block(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({**{k: pd.Series(dtype="object")

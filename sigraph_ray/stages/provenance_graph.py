@@ -225,7 +225,8 @@ def build_nodes_encoded(events):
 
     from sigraph_ray.stages.collect import sorted_collect
 
-    items = events.map_batches(_node_item_partials, batch_format="pyarrow")
+    items = events.map_batches(_node_item_partials,
+                                batch_format="pyarrow").materialize()
     collected = sorted_collect(items, key="ak", order_col="ord",
                                value="member", dedup=True)
 
@@ -266,7 +267,8 @@ def build_nodes_encoded(events):
     # range-sort + blockwise stitch max, not Ray's per-row reduce
     merged = sorted_groupby_agg(
         span_trace_rows.union(image_parent_rows)
-        .map_batches(fill, batch_format="pandas").repartition(8),
+        .map_batches(fill, batch_format="pandas").repartition(8)
+        .materialize(),
         key="artifact",
         aggs={"spans_enc": ("spans_enc", "max"),
               "traces_enc": ("traces_enc", "max"),
@@ -360,7 +362,10 @@ def _trace_decode(batch: pa.Table) -> pa.Table:
 def build_traces(events):
     from sigraph_ray.stages.collect import sorted_groupby_agg
 
-    partials = events.map_batches(_trace_partials, batch_format="pyarrow")
+    # materialized = staged boundary + the stitch's small-input gate
+    # (collect._driver_small) can see the byte size
+    partials = events.map_batches(_trace_partials,
+                                  batch_format="pyarrow").materialize()
     # trace-keyed partials are row-heavy: stitch min/sum
     agg = sorted_groupby_agg(partials, key="k",
                              aggs={"v": ("v", "min"),
@@ -407,7 +412,8 @@ def _edge_decode(batch: pa.Table) -> pa.Table:
 def build_edges(events):
     from sigraph_ray.stages.collect import sorted_groupby_agg
 
-    partials = events.map_batches(_edge_partials, batch_format="pyarrow")
+    partials = events.map_batches(_edge_partials,
+                                   batch_format="pyarrow").materialize()
     # edge-keyed partials are row-heavy: stitch max (last-writer enc)
     agg = sorted_groupby_agg(partials, key="k",
                              aggs={"v": ("v", "max")})
@@ -465,11 +471,13 @@ def build_contains(events):
     # artifact-keyed first-appearance min is row-heavy: stitch min;
     # the set-union DISTINCT is a sorted_distinct (no Count shuffle)
     first = sorted_groupby_agg(
-        events.map_batches(_appearance_partials, batch_format="pyarrow"),
+        events.map_batches(_appearance_partials,
+                           batch_format="pyarrow").materialize(),
         key="artifact", aggs={"v": ("v", "min")})
     parent_pairs = first.map_batches(_decode_parent_first,
                                      batch_format="pyarrow")
-    return (sorted_distinct(cur_partials.union(parent_pairs),
+    return (sorted_distinct(cur_partials.union(parent_pairs)
+                            .materialize(),
                             ["unit_id", "trace_id", "artifact"])
             .map_batches(
                 lambda t: t.select(["unit_id", "trace_id", "artifact"]),
@@ -661,7 +669,8 @@ def _subtract_by_key(table, doomed_keys, *, key: list[str],
     # table rows are keyed one-per-entity (row-heavy): stitch max
     merged = sorted_groupby_agg(
         table.map_batches(encode, batch_format="pandas")
-        .union(doomed_keys.map_batches(tag_doomed, batch_format="pandas")),
+        .union(doomed_keys.map_batches(tag_doomed, batch_format="pandas"))
+        .materialize(),
         key=key, aggs=aggs).filter(expr="_tag == 0")
 
     def decode(df: pd.DataFrame) -> pa.Table:
