@@ -217,15 +217,21 @@ def scaling():
 
     def run(ncpu: int) -> dict:
         # scaling uses a larger corpus so the parallel phases dominate
-        # the fixed shuffle/scheduling cost (same input at both levels)
-        # 240 × documents ≈ 1.2M pages at sf0.1: sized so per-page
-        # compute dominates the fixed shuffle/ramp cost at BOTH levels
-        # (after the round-3 extraction speedups, the old 400k-page job
-        # finished in ~11 s of compute at 32 cpus and the measurement
-        # degenerated into measuring the constant ~10 s pipeline tail)
+        # the fixed shuffle/scheduling cost (same input at both levels).
+        # 960 × documents ≈ 4.8M pages at sf0.1: each time the
+        # per-page stages get faster the corpus must grow so the hi
+        # leg still runs minutes, not seconds — round 3's 240× sizing
+        # left the 32-cpu leg at ~50 s of which ~20 s was exchange
+        # latency (sort barriers, pool spin-up), which is the
+        # antithesis of the 100 TB regime where corpus-proportional
+        # work dominates every exchange. Measured at 240×: the round-4
+        # lo-leg fixed-cost removals sped T(8) 139→96 s while T(32)
+        # stayed ~50 s, so the 8v32 ratio DROPPED (0.72→0.47) even
+        # though every absolute time improved — a pure small-corpus
+        # artifact the 960× sizing removes.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_KG_PAGES_MULT=os.environ.get(
-                       "GRAFT_KG_PAGES_MULT", "240"))
+                       "GRAFT_KG_PAGES_MULT", "960"))
         last_err = ""
         for attempt in range(2):  # one retry: raylet startup flakes
             res = subprocess.run([sys.executable, __file__, mode],
