@@ -19,7 +19,6 @@ import sys
 import time
 
 import duckdb
-import pandas as pd
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
@@ -42,7 +41,7 @@ def main() -> int:
         ray.init(address="local", num_cpus=args.cpus,
                  include_dashboard=False, logging_level="ERROR")
     import __ray_entry__ as em
-    from test_oracle_parity import normalize
+    from test_oracle_parity import assert_strict_match, normalize
 
     qs, osql = em.queries(), em.oracle_sql()
     names = [n for n in args.only.split(",") if n] or list(qs)
@@ -60,14 +59,7 @@ def main() -> int:
                             f"'{args.sf}/{t}.parquet'")
                 want = con.sql(osql[name]).df()
                 g, w = normalize(got), normalize(want)
-                if list(g.columns) != list(w.columns):
-                    raise AssertionError(
-                        f"cols {list(g.columns)} vs {list(w.columns)}")
-                if len(g) != len(w):
-                    raise AssertionError(f"rows {len(g)} vs {len(w)}")
-                pd.testing.assert_frame_equal(
-                    g, w, check_dtype=False, check_exact=False,
-                    atol=1e-6, rtol=1e-6)
+                assert_strict_match(g, w, name)
                 status = "OK"
             else:
                 if len(got.columns) == 0:

@@ -1498,7 +1498,8 @@ tagged AS (
   UNION ALL
   SELECT dst AS node, 0 AS o, 1 AS i FROM edges
 )
-SELECT node, sum(o) AS out_degree, sum(i) AS in_degree
+SELECT node, CAST(sum(o) AS BIGINT) AS out_degree,
+       CAST(sum(i) AS BIGINT) AS in_degree
 FROM tagged GROUP BY node ORDER BY node
 """
 
@@ -1707,9 +1708,9 @@ WITH t AS (
   FROM c WHERE n > 0
 )
 SELECT doc_id, seq_id,
-       greatest(start, seq_id * 512) - start AS doc_offset,
-       least(start + n, (seq_id + 1) * 512)
-         - greatest(start, seq_id * 512) AS n_tokens
+       CAST(greatest(start, seq_id * 512) - start AS BIGINT) AS doc_offset,
+       CAST(least(start + n, (seq_id + 1) * 512)
+         - greatest(start, seq_id * 512) AS BIGINT) AS n_tokens
 FROM s ORDER BY doc_id, seq_id
 """
 
@@ -1939,8 +1940,8 @@ WITH u AS (
   SELECT host, canon_url, count(*) AS n FROM named
   GROUP BY host, canon_url
 )
-SELECT host, sum(n) AS n_pages, count(*) AS n_unique,
-       sum(n) - count(*) AS n_dup
+SELECT host, CAST(sum(n) AS BIGINT) AS n_pages, count(*) AS n_unique,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_dup
 FROM per_canon GROUP BY host ORDER BY host
 """
 
@@ -1978,8 +1979,8 @@ WITH t AS (
   SELECT gram FROM dg GROUP BY gram HAVING count(*) >= 2
 )
 SELECT dg.doc_id, count(*) AS n_windows,
-       coalesce(sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END), 0)
-         AS n_dup_windows,
+       CAST(coalesce(sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_dup_windows,
        coalesce(sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END), 0)
          * 1.0 / count(*) AS dup_fraction
 FROM dg LEFT JOIN dup d USING (gram)
@@ -2029,8 +2030,8 @@ WITH t AS (
 )
 SELECT tk.doc_id,
        count(*) AS n_tokens,
-       coalesce(sum(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END), 0)
-         AS n_removed,
+       CAST(coalesce(sum(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_removed,
        coalesce(string_agg(CASE WHEN r.pos IS NULL THEN tk.term END,
                            ' ' ORDER BY tk.ord), '') AS clean_text
 FROM toks tk LEFT JOIN removed r
@@ -2286,7 +2287,8 @@ def q_corpus_summary(sf_dir: str):
 
 SQL_CORPUS_SUMMARY = r"""
 SELECT count(*) AS n_docs,
-       sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+         AS total_tokens,
        min(len(regexp_extract_all(text, '\S+'))) AS min_tokens,
        max(len(regexp_extract_all(text, '\S+'))) AS max_tokens,
        count(DISTINCT source) AS n_sources
@@ -4037,7 +4039,7 @@ WITH d AS (
 )
 SELECT g.source,
        sum(g.tok * 1.0 / m.m) AS eff_tokens,
-       sum(g.c) AS n_docs
+       CAST(sum(g.c) AS BIGINT) AS n_docs
 FROM g JOIN m USING (h)
 GROUP BY g.source ORDER BY g.source
 """
@@ -4840,7 +4842,7 @@ WITH c AS (
   SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
 )
 SELECT source, ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy,
-       sum(c) AS n_docs
+       CAST(sum(c) AS BIGINT) AS n_docs
 FROM c GROUP BY source ORDER BY source
 """
 

@@ -48,11 +48,14 @@ def _driver_small(ds):
     handling)."""
     from ray.data.dataset import MaterializedDataset
 
-    if (isinstance(ds, MaterializedDataset)
-            and (ds.size_bytes() or 0) <= _DRIVER_STITCH_BYTES):
-        pdf = ds.to_pandas()
-        if len(pdf):
-            return pdf
+    if isinstance(ds, MaterializedDataset):
+        sb = ds.size_bytes()
+        # unknown size (None) must NOT take the driver tier: treat it
+        # as large, never as 0 (ADVICE r4)
+        if sb is not None and sb <= _DRIVER_STITCH_BYTES:
+            pdf = ds.to_pandas()
+            if len(pdf):
+                return pdf
     return None
 
 

@@ -338,6 +338,20 @@ def link_entities(triples, vocab: list[str], *, threshold: float = 0.75,
             concurrency=concurrency, num_cpus=num_cpus)
 
     if mentions is None:
+        from ray.data.dataset import MaterializedDataset as _MD
+
+        if not isinstance(triples, _MD):
+            # deriving the distinct mention set from a LAZY stream
+            # would execute the upstream extraction twice (once here,
+            # once in the apply pass — ADVICE r4); the stream tier is
+            # single-pass with identical output (per-actor mention
+            # cache instead of a global distinct)
+            return triples.map_batches(
+                EntityLinkScorer, batch_format="pyarrow",
+                batch_size=batch_size,
+                fn_constructor_kwargs={"vocab_ref": ref,
+                                       "threshold": threshold},
+                concurrency=concurrency, num_cpus=num_cpus)
         from sigraph_ray.stages.collect import sorted_distinct
 
         def proj(t: pa.Table) -> pa.Table:
@@ -351,9 +365,10 @@ def link_entities(triples, vocab: list[str], *, threshold: float = 0.75,
             ["mention"])
     from ray.data.dataset import MaterializedDataset
 
-    if (isinstance(mentions, MaterializedDataset)
-            and (mentions.size_bytes() or 0) <= _DRIVER_MENTION_BYTES):
-        mentions = mentions.to_pandas()
+    if isinstance(mentions, MaterializedDataset):
+        msize = mentions.size_bytes()
+        if msize is not None and msize <= _DRIVER_MENTION_BYTES:
+            mentions = mentions.to_pandas()
     import pandas as pd
 
     if isinstance(mentions, pd.DataFrame):  # driver-resident tier

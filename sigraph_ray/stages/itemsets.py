@@ -209,7 +209,11 @@ def association_rules(ds, *, group: str, item: str, min_support: int = 2,
         c = df["support"].to_numpy(np.float64)
         da_ = df["da"].to_numpy(np.float64)
         dc_ = df["dc"].to_numpy(np.float64)
-        out = pd.DataFrame({"ant": df["ant"], "cons": df["cons"],
+        # the merge joins upcast the int id columns to float64 (pandas
+        # NaN-capable merge); every ant/cons has a degree row by
+        # construction, so the cast back is lossless
+        out = pd.DataFrame({"ant": df["ant"].astype("int64"),
+                            "cons": df["cons"].astype("int64"),
                             "support": df["support"].astype("int64"),
                             "confidence": c / da_,
                             "lift": c * n_groups / (da_ * dc_)})

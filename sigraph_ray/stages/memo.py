@@ -10,17 +10,21 @@ sub-second scans.  Use a pool instead when the state is NOT a pure
 function of the kwargs (e.g. a per-row cache whose contents depend on
 data order) or must be bounded per stage run.
 
-One live state per stage class: re-keying (new refs / params) replaces
-the slot, so worker memory holds at most one state per class — every
-memoized state here is broadcast-class by contract (query matrices,
-pair-id sets, label maps).  Same idiom as
-``stages/entity_link._memo_scorer`` (which predates this helper and
-keys a single slot per dict).
+A small bounded LRU per stage class (capacity 4): two concurrently
+scheduled stages of the SAME class with different kwargs landing on one
+worker each keep their own state instead of re-keying a single slot
+every batch (ADVICE r4 — the single-slot version silently degraded the
+setup amortization to per-batch cost under that interleaving).  Worker
+memory stays bounded because every memoized state here is
+broadcast-class by contract (query matrices, pair-id sets, label maps).
 """
 
 from __future__ import annotations
 
-_MEMO: dict = {}
+from collections import OrderedDict
+
+_MEMO: dict[str, OrderedDict] = {}
+_CAP_PER_CLASS = 4
 
 
 def memo_stage(cls, kwargs: dict):
@@ -31,9 +35,13 @@ def memo_stage(cls, kwargs: dict):
     key = tuple(sorted(
         (k, tuple(v) if isinstance(v, list) else v)
         for k, v in kwargs.items()))
-    ent = _MEMO.get(cls.__qualname__)
-    if ent is None or ent[0] != key:
+    slots = _MEMO.setdefault(cls.__qualname__, OrderedDict())
+    st = slots.get(key)
+    if st is None:
         st = cls(**kwargs)
-        _MEMO[cls.__qualname__] = (key, st)
-        return st
-    return ent[1]
+        slots[key] = st
+        if len(slots) > _CAP_PER_CLASS:
+            slots.popitem(last=False)
+    else:
+        slots.move_to_end(key)
+    return st

@@ -101,7 +101,8 @@ def knn_cosine(corpus, queries_df: pd.DataFrame, *, k: int = 5,
         fn_kwargs={"queries_ref": ref, "k": k,
                    "id_col": id_col, "emb_col": emb_col}).materialize()
     final = _final_topk_factory(k)
-    if (partial.size_bytes() or 0) <= _DRIVER_TOPK_BYTES:
+    psize = partial.size_bytes()
+    if psize is not None and psize <= _DRIVER_TOPK_BYTES:
         import ray.data as rd
 
         pdf = partial.to_pandas()
@@ -111,8 +112,17 @@ def knn_cosine(corpus, queries_df: pd.DataFrame, *, k: int = 5,
                 "rank": pd.Series(dtype="int64"),
                 "vec_id": pd.Series(dtype="int64"),
                 "cosine": pd.Series(dtype="float64")}))
-        fin = (pdf.groupby("qid", sort=False, group_keys=False)
-               .apply(final).reset_index(drop=True))
+        # vectorized whole-frame rank (no per-group apply): same
+        # deterministic ordering as _final_topk_factory — cosine
+        # rounded to 9 dp desc, ties by vec_id asc, top-k per qid
+        pdf = pdf.assign(cosine_r=pdf["cosine"].round(9)).sort_values(
+            ["qid", "cosine_r", "vec_id"],
+            ascending=[True, False, True], kind="stable")
+        fin = pdf.groupby("qid", sort=False).head(k).copy()
+        fin["rank"] = fin.groupby("qid", sort=False).cumcount() + 1
+        fin = (fin[["qid", "rank", "vec_id", "cosine_r"]]
+               .rename(columns={"cosine_r": "cosine"})
+               .reset_index(drop=True))
         return rd.from_pandas(fin)
     return partial.groupby("qid").map_groups(
         final, batch_format="pandas")

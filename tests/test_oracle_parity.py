@@ -25,18 +25,43 @@ def run_oracle(sql: str) -> pd.DataFrame:
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize WITHIN a dtype kind only (int width → int64, float
+    width → float64, datetime unit → ns). Deliberately does NOT bridge
+    int↔float: the driver's value hash distinguishes ``38`` from
+    ``38.0``, so the local gate must too (r4 post-mortem — 5 driver
+    reds that the old ``check_dtype=False`` compare waved through)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
-        if pd.api.types.is_integer_dtype(df[c]):
+        if pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64").round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
-        if df[c].dtype == object:
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = (pd.to_datetime(df[c]).dt.tz_localize(None)
+                     .astype("datetime64[ns]"))
+        elif df[c].dtype == object:
             df[c] = df[c].where(pd.notna(df[c]), None)
     df = df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
     return df
+
+
+def assert_strict_match(g: pd.DataFrame, w: pd.DataFrame,
+                        name: str = "") -> None:
+    """Driver-grade compare of two NORMALIZED frames: identical column
+    order, identical dtypes (int vs float is a FAIL), exact values for
+    non-float columns, 1e-6 tolerance for float columns only."""
+    assert list(g.columns) == list(w.columns), (
+        f"{name}: cols {list(g.columns)} vs {list(w.columns)}")
+    gd, wd = [str(t) for t in g.dtypes], [str(t) for t in w.dtypes]
+    assert gd == wd, (
+        f"{name}: dtype mismatch (query vs oracle): "
+        + ", ".join(f"{c}: {a} vs {b}"
+                    for c, a, b in zip(g.columns, gd, wd) if a != b))
+    assert len(g) == len(w), f"{name}: rows {len(g)} vs {len(w)}"
+    pd.testing.assert_frame_equal(g, w, check_dtype=True,
+                                  check_exact=False, atol=1e-6, rtol=1e-6)
 
 
 ORACLED = sorted(entrymod.oracle_sql().keys())
@@ -50,11 +75,7 @@ def test_query_matches_oracle(ray_session, name):
         got = got.to_pandas()
     want = run_oracle(entrymod.oracle_sql()[name])
     g, w = normalize(got), normalize(want)
-    assert list(g.columns) == list(w.columns), (list(g.columns),
-                                                list(w.columns))
-    assert len(g) == len(w), f"{name}: rows {len(g)} vs {len(w)}"
-    pd.testing.assert_frame_equal(g, w, check_dtype=False,
-                                  check_exact=False, atol=1e-6, rtol=1e-6)
+    assert_strict_match(g, w, name)
 
 
 def test_rows_only_queries_execute(ray_session):
