@@ -7060,3 +7060,291 @@ SELECT user_id, date_trunc('day', ts) FROM events
 WHERE event_type = 'purchase'
 ORDER BY user_id, day
 """
+
+
+# ---------------------------------------------------------------------------
+# round 5: multi-grouping-set / window-distribution / unpivot / regression
+# ---------------------------------------------------------------------------
+
+
+def q_cube_revenue(sf_dir: str):
+    """SQL ``GROUP BY CUBE(l_returnflag, l_linestatus)`` in ONE narrow
+    shuffle: the per-batch combiner folds to the FINEST grouping set
+    (flag x status, <= ~6 keys), one sorted stitch sums the integer
+    partials, and all four grouping sets derive from that tiny folded
+    table on the driver (rollups of an additive aggregate are exact
+    re-folds). A naive translation runs one shuffle per grouping set —
+    4x the exchange volume for bytes that a <=6-row table already
+    carries. Money/quantity stay integer (cents x discount-percent
+    units, the lineitem_agg trick) until the final division, so the
+    comparison is aggregation-order-proof. grp_id follows SQL
+    ``GROUPING(l_returnflag, l_linestatus)`` (bit 1 = flag rolled up,
+    bit 0 = status rolled up); rolled-up keys surface as '(all)'."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qty = np.round(df["l_quantity"].to_numpy() * 100).astype("int64")
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100)\
+            .astype("int64")
+        disc = np.round((1.0 - df["l_discount"].to_numpy()) * 100)\
+            .astype("int64")
+        g = (pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                           "l_linestatus": df["l_linestatus"],
+                           "qty_units": qty,
+                           "rev_units": cents * disc,
+                           "n_rows": np.ones(len(df), dtype="int64")})
+             .groupby(["l_returnflag", "l_linestatus"], sort=False,
+                      as_index=False)
+             .sum())
+        return g
+
+    fine = sorted_groupby_agg(
+        li.map_batches(partial, batch_format="pandas"),
+        key=["l_returnflag", "l_linestatus"],
+        aggs={"qty_units": ("qty_units", "sum"),
+              "rev_units": ("rev_units", "sum"),
+              "n_rows": ("n_rows", "sum")}).to_pandas()
+
+    sets = []
+    num = ["qty_units", "rev_units", "n_rows"]
+    for grp_id, keys in ((0, ["l_returnflag", "l_linestatus"]),
+                         (1, ["l_returnflag"]),
+                         (2, ["l_linestatus"]),
+                         (3, [])):
+        if keys:
+            s = fine.groupby(keys, sort=False, as_index=False)[num].sum()
+        else:
+            s = fine[num].sum().to_frame().T
+        for col in ("l_returnflag", "l_linestatus"):
+            if col not in keys:
+                s[col] = "(all)"
+        s["grp_id"] = np.int64(grp_id)
+        sets.append(s)
+    out = pd.concat(sets, ignore_index=True)
+    out["sum_qty"] = out["qty_units"].astype("float64") / 100.0
+    out["revenue"] = out["rev_units"].astype("float64") / 10000.0
+    out = out[["grp_id", "l_returnflag", "l_linestatus",
+               "sum_qty", "revenue", "n_rows"]]
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return (out.sort_values(["grp_id", "l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+
+
+SQL_CUBE_REVENUE = """
+SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp_id,
+       COALESCE(l_returnflag, '(all)') AS l_returnflag,
+       COALESCE(l_linestatus, '(all)') AS l_linestatus,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100) AS BIGINT))
+            AS DOUBLE) / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY grp_id, l_returnflag, l_linestatus
+"""
+
+
+def q_grouped_cume_dist(sf_dir: str):
+    """Per-partition ``cume_dist() OVER (PARTITION BY event_type ORDER
+    BY value)`` as a transform on every event row — the grouped
+    cumulative-distribution feature (percentile-within-segment) that
+    rank-normalizes a metric per cohort before training. Same shape as
+    stages/quantiles.percent_rank_transform but per KEY: per-batch
+    (type, value)-count partials fold to the distinct-value table (one
+    narrow stitch — the data rows themselves never shuffle), the driver
+    cumsums each type's counts into an inclusive-rank table, broadcasts
+    it once via ray.put, and every batch probes by searchsorted.
+    Bound (same as percent_rank): the distinct-(key, value) table must
+    fit the object store — true for bounded-precision metrics like
+    this 2-decimal column; near-unique continuous values need the
+    ranked range-sort tier instead."""
+    import ray
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def vc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "event_type": df["event_type"],
+            "vc": np.round(df["value"].to_numpy() * 100).astype("int64"),
+            "c": np.ones(len(df), dtype="int64")})
+            .groupby(["event_type", "vc"], sort=False, as_index=False)
+            .sum())
+        return g
+
+    counts = sorted_groupby_agg(
+        ds.map_batches(vc_partial, batch_format="pandas"),
+        key=["event_type", "vc"],
+        aggs={"c": ("c", "sum")}).to_pandas()
+    counts = counts.sort_values(["event_type", "vc"],
+                                kind="stable").reset_index(drop=True)
+    table = {}
+    for et, g in counts.groupby("event_type", sort=False):
+        vals = g["vc"].to_numpy()
+        incl = np.cumsum(g["c"].to_numpy(dtype="int64"))
+        table[et] = (vals, incl, int(incl[-1]))
+    ref = ray.put(table)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        tab = ray.get(ref)
+        vc = np.round(df["value"].to_numpy() * 100).astype("int64")
+        cd = np.empty(len(df), dtype="float64")
+        types = df["event_type"].to_numpy()
+        for et in pd.unique(types):
+            vals, incl, n = tab[et]
+            m = types == et
+            pos = np.searchsorted(vals, vc[m], side="right")
+            cd[m] = incl[pos - 1] / n
+        out = df[["event_id", "event_type", "value"]].copy()
+        out["cd"] = cd
+        return out
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
+SQL_GROUPED_CUME_DIST = """
+SELECT event_id, event_type, value,
+       cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+FROM events ORDER BY event_id
+"""
+
+
+def q_melt_source_metrics(sf_dir: str):
+    """Wide-to-long UNPIVOT (pandas ``melt``) over per-source corpus
+    aggregates — the reporting layout metric stores / dashboards ingest
+    (one (entity, metric, value) row per cell). One per-batch combiner
+    + one narrow stitch computes the wide table (count / sum / max in
+    a single pass); the melt itself is a driver-side reshape of the
+    per-source result (#sources rows). Integer partials; avg_chars is
+    the only float and both sides compute it as the same single
+    double division."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", sort=False)["n_chars"]\
+            .agg(t="sum", m="max", n="count").reset_index()
+        return g.astype({"t": "int64", "m": "int64", "n": "int64"})
+
+    wide = sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        key="source",
+        aggs={"t": ("t", "sum"), "m": ("m", "max"),
+              "n": ("n", "sum")}).to_pandas()
+    wide["n_docs"] = wide["n"].astype("float64")
+    wide["total_chars"] = wide["t"].astype("float64")
+    wide["max_chars"] = wide["m"].astype("float64")
+    wide["avg_chars"] = wide["t"].astype("float64") / wide["n"]\
+        .astype("float64")
+    out = wide.melt(id_vars=["source"],
+                    value_vars=["n_docs", "total_chars", "max_chars",
+                                "avg_chars"],
+                    var_name="metric", value_name="value")
+    return (out.sort_values(["source", "metric"])
+            .reset_index(drop=True))
+
+
+SQL_MELT_SOURCE_METRICS = """
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS t,
+         CAST(max(n_chars) AS BIGINT) AS m
+  FROM documents GROUP BY source)
+SELECT source, 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM s
+UNION ALL
+SELECT source, 'total_chars', CAST(t AS DOUBLE) FROM s
+UNION ALL
+SELECT source, 'max_chars', CAST(m AS DOUBLE) FROM s
+UNION ALL
+SELECT source, 'avg_chars', CAST(t AS DOUBLE) / CAST(n AS DOUBLE) FROM s
+ORDER BY source, metric
+"""
+
+
+def q_type_value_regression(sf_dir: str):
+    """Per-group simple linear regression (SQL ``regr_slope`` /
+    ``regr_intercept`` semantics: value vs. time) via exact integer
+    sufficient statistics — the per-segment trend fit run over metric
+    streams (drift detection, forecasting features). Per-batch
+    combiner folds (n, sum_x, sum_y, sum_xy, sum_xx) per event_type
+    with x = hour index (int) and y = value cents (int); one narrow
+    stitch sums them; the closed form runs on the driver in unbounded
+    Python ints, with ONE float conversion at the end. The oracle
+    mirrors the identical integer formula (DuckDB HUGEINT sums), so
+    the match is aggregation-order-proof where a naive
+    ``regr_slope(value, x)`` float accumulation would not be."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = (df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+             // 3_600_000_000)
+        y = np.round(df["value"].to_numpy() * 100).astype("int64")
+        g = (pd.DataFrame({"event_type": df["event_type"],
+                           "n_rows": np.ones(len(df), dtype="int64"),
+                           "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+             .groupby("event_type", sort=False, as_index=False)
+             .sum())
+        return g
+
+    agg = sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        key="event_type",
+        aggs={c: (c, "sum")
+              for c in ("n_rows", "sx", "sy", "sxy", "sxx")}).to_pandas()
+
+    rows = []
+    for r in agg.itertuples(index=False):
+        n, sx, sy, sxy, sxx = (int(r.n_rows), int(r.sx), int(r.sy),
+                               int(r.sxy), int(r.sxx))
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        slope = float(num) / float(den) / 100.0
+        intercept = (float(sy) / 100.0 / float(n)
+                     - slope * (float(sx) / float(n)))
+        rows.append((r.event_type, n, slope, intercept))
+    out = pd.DataFrame(rows, columns=["event_type", "n_rows",
+                                      "slope", "intercept"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_TYPE_VALUE_REGRESSION = """
+WITH b AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events),
+a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx
+  FROM b GROUP BY event_type)
+SELECT event_type, n_rows,
+       CAST(n_rows * sxy - sx * sy AS DOUBLE)
+         / CAST(n_rows * sxx - sx * sx AS DOUBLE) / 100.0 AS slope,
+       CAST(sy AS DOUBLE) / 100.0 / CAST(n_rows AS DOUBLE)
+         - (CAST(n_rows * sxy - sx * sy AS DOUBLE)
+            / CAST(n_rows * sxx - sx * sx AS DOUBLE) / 100.0)
+           * (CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE)) AS intercept
+FROM a ORDER BY event_type
+"""
