@@ -209,12 +209,16 @@ def association_rules(ds, *, group: str, item: str, min_support: int = 2,
         c = df["support"].to_numpy(np.float64)
         da_ = df["da"].to_numpy(np.float64)
         dc_ = df["dc"].to_numpy(np.float64)
-        # the merge joins upcast the int id columns to float64 (pandas
+        # the merge joins upcast int id columns to float64 (pandas
         # NaN-capable merge); every ant/cons has a degree row by
-        # construction, so the cast back is lossless
-        out = pd.DataFrame({"ant": df["ant"].astype("int64"),
-                            "cons": df["cons"].astype("int64"),
-                            "support": df["support"].astype("int64"),
+        # construction, so the cast back is lossless. Item columns may
+        # also be strings — only undo a float upcast, never coerce.
+        def unfloat(s: pd.Series) -> pd.Series:
+            return s.astype("int64") if pd.api.types.is_float_dtype(s) else s
+
+        out = pd.DataFrame({"ant": unfloat(df["ant"]),
+                            "cons": unfloat(df["cons"]),
+                            "support": unfloat(df["support"]),
                             "confidence": c / da_,
                             "lift": c * n_groups / (da_ * dc_)})
         return out.sort_values(["lift", "ant", "cons"],
