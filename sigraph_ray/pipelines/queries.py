@@ -7348,3 +7348,229 @@ SELECT event_type, n_rows,
            * (CAST(sx AS DOUBLE) / CAST(n_rows AS DOUBLE)) AS intercept
 FROM a ORDER BY event_type
 """
+
+
+def q_full_outer_daily(sf_dir: str):
+    """FULL OUTER JOIN of two per-day aggregate streams (events vs
+    orders) expressed as the Ray-native equivalent for ADDITIVE
+    aggregates: tag each side's per-batch partials with the other
+    side's columns zeroed, ``union`` the two datasets, and fold with
+    ONE narrow stitch — a full outer join of grouped sums is exactly a
+    union + re-sum, so no join operator (and no second shuffle) is
+    needed, and days present on only one side surface with honest
+    zeros (the COALESCE(…, 0) the SQL spells out). Money stays in
+    integer cents until the final division. Scale: both partial
+    streams are per-batch pre-folded to #days rows; the single stitch
+    moves O(#blocks x #days) tiny partials."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "value"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def ev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+             // 86_400_000_000)
+        cents = np.round(df["value"].to_numpy() * 100).astype("int64")
+        g = (pd.DataFrame({"day_idx": d,
+                           "n_events": np.ones(len(df), dtype="int64"),
+                           "value_cents": cents})
+             .groupby("day_idx", sort=False, as_index=False).sum())
+        g["n_orders"] = np.int64(0)
+        g["total_cents"] = np.int64(0)
+        return g
+
+    def od_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["o_orderdate"].to_numpy(dtype="datetime64[us]")
+             .astype("int64") // 86_400_000_000)
+        cents = np.round(df["o_totalprice"].to_numpy() * 100)\
+            .astype("int64")
+        g = (pd.DataFrame({"day_idx": d,
+                           "n_orders": np.ones(len(df), dtype="int64"),
+                           "total_cents": cents})
+             .groupby("day_idx", sort=False, as_index=False).sum())
+        g["n_events"] = np.int64(0)
+        g["value_cents"] = np.int64(0)
+        return g
+
+    cols = ["day_idx", "n_events", "value_cents", "n_orders",
+            "total_cents"]
+    parts = (ev.map_batches(lambda df: ev_partial(df)[cols],
+                            batch_format="pandas")
+             .union(od.map_batches(lambda df: od_partial(df)[cols],
+                                   batch_format="pandas")))
+    agg = sorted_groupby_agg(
+        parts, key="day_idx",
+        aggs={c: (c, "sum") for c in cols[1:]}).to_pandas()
+    out = pd.DataFrame({
+        "day_idx": agg["day_idx"].astype("int64"),
+        "n_events": agg["n_events"].astype("int64"),
+        "sum_value": agg["value_cents"].astype("float64") / 100.0,
+        "n_orders": agg["n_orders"].astype("int64"),
+        "sum_total": agg["total_cents"].astype("float64") / 100.0})
+    return out.sort_values("day_idx").reset_index(drop=True)
+
+
+SQL_FULL_OUTER_DAILY = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY 1),
+o AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day_idx,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders GROUP BY 1)
+SELECT CAST(COALESCE(e.day_idx, o.day_idx) AS BIGINT) AS day_idx,
+       CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(e.value_cents, 0) AS DOUBLE) / 100.0 AS sum_value,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(o.total_cents, 0) AS DOUBLE) / 100.0 AS sum_total
+FROM e FULL OUTER JOIN o ON e.day_idx = o.day_idx
+ORDER BY day_idx
+"""
+
+
+def q_quantity_skewkurt(sf_dir: str):
+    """Per-group higher moments — SQL ``skewness()`` / ``kurtosis()``
+    (sample-adjusted G1 / excess G2, DuckDB semantics) — from EXACT
+    integer power sums: the per-batch combiner folds
+    (n, Σx, Σx², Σx³, Σx⁴) per group with x = l_quantity (integer-
+    valued, ≤50, so x⁴ ≤ 6.25e6 and the int64 partials are exact up to
+    ~1.5e12 rows per group — document-scale safe; wider inputs need
+    the shifted-moment merge instead), ONE narrow stitch sums them,
+    and the closed form runs on the driver in unbounded Python ints
+    with a single float conversion at the end — so the comparison is
+    aggregation-order-proof, unlike a naive float accumulation whose
+    value depends on block layout."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.round(df["l_quantity"].to_numpy()).astype("int64")
+        g = (pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                           "n_rows": np.ones(len(df), dtype="int64"),
+                           "s1": x, "s2": x * x, "s3": x * x * x,
+                           "s4": x * x * x * x})
+             .groupby("l_returnflag", sort=False, as_index=False)
+             .sum())
+        return g
+
+    agg = sorted_groupby_agg(
+        li.map_batches(partial, batch_format="pandas"),
+        key="l_returnflag",
+        aggs={c: (c, "sum")
+              for c in ("n_rows", "s1", "s2", "s3", "s4")}).to_pandas()
+
+    rows = []
+    for r in agg.itertuples(index=False):
+        n, s1, s2, s3, s4 = (int(r.n_rows), int(r.s1), int(r.s2),
+                             int(r.s3), int(r.s4))
+        # exact integer central-moment numerators:
+        #   B = n²·m2, A = n³·m3, C = n⁴·m4
+        b = n * s2 - s1 * s1
+        a3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        c4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
+              + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        g1 = float(a3) / float(b) ** 1.5          # m3 / m2^1.5
+        g2 = float(c4) / float(b) ** 2 - 3.0      # m4 / m2²  - 3
+        skew = g1 * (float(n * (n - 1)) ** 0.5) / (n - 2)
+        kurt = (((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3)))
+        rows.append((r.l_returnflag, n, float(s1) / n, skew, kurt))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "n_rows",
+                                      "avg_qty", "skew", "kurt"])
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_QUANTITY_SKEWKURT = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       avg(l_quantity) AS avg_qty,
+       skewness(l_quantity) AS skew,
+       kurtosis(l_quantity) AS kurt
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_ewma_daily(sf_dir: str):
+    """Per-key exponentially-weighted moving average over a daily
+    aggregate stream (α = 0.3) — the smoothing pass behind drift
+    monitors and forecasting features. The corpus-scale work is ONE
+    per-batch combiner + one narrow stitch to the per-(type, day)
+    integer-cents table; the recurrence ewma_i = α·x_i + (1-α)·ewma_{i-1}
+    then runs per type over that tiny table (#types × #days rows) on
+    the driver, in the EXACT float-op order the oracle's recursive CTE
+    uses, so the values agree bit-for-bit. Scale bound: the recurrence
+    input is the post-aggregation table, never the event stream; an
+    unbounded day range would move the scan into
+    groupby(type).map_groups with per-group sorted segments."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import sorted_groupby_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+             // 86_400_000_000)
+        cents = np.round(df["value"].to_numpy() * 100).astype("int64")
+        g = (pd.DataFrame({"event_type": df["event_type"],
+                           "day_idx": d, "cents": cents})
+             .groupby(["event_type", "day_idx"], sort=False,
+                      as_index=False).sum())
+        return g
+
+    daily = sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        key=["event_type", "day_idx"],
+        aggs={"cents": ("cents", "sum")}).to_pandas()
+    daily = daily.sort_values(["event_type", "day_idx"],
+                              kind="stable").reset_index(drop=True)
+    out_frames = []
+    for et, g in daily.groupby("event_type", sort=False):
+        x = g["cents"].to_numpy(dtype="int64").astype("float64") / 100.0
+        e = np.empty(len(x), dtype="float64")
+        e[0] = x[0]
+        for i in range(1, len(x)):
+            e[i] = 0.3 * x[i] + 0.7 * e[i - 1]
+        out_frames.append(pd.DataFrame({
+            "event_type": et,
+            "day_idx": g["day_idx"].astype("int64").to_numpy(),
+            "day_value": x, "ewma": e}))
+    out = pd.concat(out_frames, ignore_index=True)
+    return (out.sort_values(["event_type", "day_idx"])
+            .reset_index(drop=True))
+
+
+SQL_EWMA_DAILY = """
+WITH RECURSIVE b AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day_idx,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS day_value
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type, day_idx, day_value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY day_idx) AS rn
+  FROM b),
+e AS (
+  SELECT event_type, day_idx, day_value, rn, day_value AS ewma
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.day_idx, r.day_value, r.rn,
+         0.3 * r.day_value + 0.7 * e.ewma
+  FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1)
+SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx, day_value, ewma
+FROM e ORDER BY event_type, day_idx
+"""

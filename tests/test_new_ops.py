@@ -1371,3 +1371,97 @@ def test_link_mentions_hand_values(ray_session, tmp_path):
     assert link == "alpha beta"
     assert abs(score - 9 / 13) < 1e-12
     assert "betz something" not in got  # nothing similar in the vocab
+
+
+def test_full_outer_daily_union_semantics(ray_session, tmp_path):
+    """Days present on only one side must surface with zero counts on
+    the other — the COALESCE contract of a FULL OUTER join — and the
+    fold must be layout-invariant (multi-block parquet)."""
+    from sigraph_ray.pipelines.queries import q_full_outer_daily
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    ev = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 05:00", "2024-01-01 06:00",
+                              "2024-01-03 09:00"]),
+        "value": [1.25, 2.50, 4.00],
+        "event_id": [1, 2, 3], "user_id": [1, 1, 2],
+        "event_type": ["click"] * 3, "props": ["{}"] * 3})
+    od = pd.DataFrame({
+        "o_orderkey": [1, 2], "o_custkey": [1, 2],
+        "o_orderstatus": ["F", "O"],
+        "o_totalprice": [10.00, 20.00],
+        "o_orderdate": pd.to_datetime(["2024-01-02", "2024-01-03"]),
+        "o_orderpriority": ["1-URGENT"] * 2})
+    ev.to_parquet(d / "events.parquet", row_group_size=1)
+    od.to_parquet(d / "orders.parquet", row_group_size=1)
+    out = q_full_outer_daily(str(d))
+    assert len(out) == 3                       # 1/1, 1/2, 1/3
+    day1, day2, day3 = (out.iloc[i] for i in range(3))
+    assert day1.n_events == 2 and day1.n_orders == 0
+    assert day1.sum_value == 3.75 and day1.sum_total == 0.0
+    assert day2.n_events == 0 and day2.n_orders == 1
+    assert day3.n_events == 1 and day3.n_orders == 1
+    assert str(out["n_events"].dtype) == "int64"
+    assert str(out["n_orders"].dtype) == "int64"
+
+
+def test_skewkurt_matches_direct_formula(ray_session, tmp_path):
+    """Integer-power-sum closed form == the sample-adjusted G1/G2
+    formulas computed directly (DuckDB skewness()/kurtosis()
+    semantics), on an asymmetric hand distribution."""
+    from sigraph_ray.pipelines.queries import q_quantity_skewkurt
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    qty = np.array([1, 1, 2, 3, 5, 8, 13, 21, 34, 50], dtype="float64")
+    li = pd.DataFrame({
+        "l_orderkey": np.arange(10, dtype="int64"),
+        "l_partkey": np.zeros(10, dtype="int64"),
+        "l_suppkey": np.zeros(10, dtype="int64"),
+        "l_linenumber": np.zeros(10, dtype="int32"),
+        "l_quantity": qty,
+        "l_extendedprice": qty, "l_discount": np.zeros(10),
+        "l_tax": np.zeros(10),
+        "l_returnflag": ["A"] * 10, "l_linestatus": ["O"] * 10,
+        "l_shipdate": pd.to_datetime(["2024-01-01"] * 10)})
+    li.to_parquet(d / "lineitem.parquet", row_group_size=3)
+    out = q_quantity_skewkurt(str(d))
+    n = len(qty)
+    m = qty.mean()
+    m2 = ((qty - m) ** 2).sum() / n
+    m3 = ((qty - m) ** 3).sum() / n
+    m4 = ((qty - m) ** 4).sum() / n
+    g1 = m3 / m2 ** 1.5
+    g2 = m4 / m2 ** 2 - 3
+    G1 = g1 * math.sqrt(n * (n - 1)) / (n - 2)
+    G2 = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    assert out.iloc[0]["n_rows"] == n
+    assert abs(out.iloc[0]["skew"] - G1) < 1e-12
+    assert abs(out.iloc[0]["kurt"] - G2) < 1e-12
+
+
+def test_ewma_daily_recurrence(ray_session, tmp_path):
+    """ewma_0 = x_0; ewma_i = 0.3 x_i + 0.7 ewma_{i-1}, per key, over
+    the observed (possibly gapped) day sequence."""
+    from sigraph_ray.pipelines.queries import q_ewma_daily
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    ev = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-05",
+                              "2024-01-01"]),
+        "value": [10.0, 20.0, 40.0, 7.0],
+        "event_id": [1, 2, 3, 4], "user_id": [1, 1, 1, 2],
+        "event_type": ["click", "click", "click", "view"],
+        "props": ["{}"] * 4})
+    ev.to_parquet(d / "events.parquet", row_group_size=1)
+    out = q_ewma_daily(str(d))
+    ck = out[out.event_type == "click"].reset_index(drop=True)
+    assert list(ck["day_value"]) == [10.0, 20.0, 40.0]
+    assert ck.iloc[0]["ewma"] == 10.0
+    assert abs(ck.iloc[1]["ewma"] - (0.3 * 20 + 0.7 * 10.0)) < 1e-12
+    assert abs(ck.iloc[2]["ewma"]
+               - (0.3 * 40 + 0.7 * (0.3 * 20 + 0.7 * 10.0))) < 1e-12
+    vw = out[out.event_type == "view"].reset_index(drop=True)
+    assert len(vw) == 1 and vw.iloc[0]["ewma"] == 7.0
