@@ -7574,3 +7574,37 @@ e AS (
 SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx, day_value, ewma
 FROM e ORDER BY event_type, day_idx
 """
+
+
+def q_running_user_value(sf_dir: str):
+    """Running per-user extremes of the event value — the cumulative
+    window transform (ROWS UNBOUNDED PRECEDING) behind monotone
+    feature engineering (peak-so-far, trough-so-far). One range sort by
+    (user, ts, id); every interior key resolves with a vectorized
+    per-block cummax/cummin; only the O(#blocks) boundary-straddling
+    keys re-resolve on the driver (stages/temporal.running_extremes).
+    No arithmetic — values pass through comparisons only, so float
+    equality with the window oracle is exact."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.temporal import running_extremes
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    out = running_extremes(ds, key="user_id", ts="ts",
+                           tiebreak="event_id", value="value")
+    pdf = out.to_pandas()[["event_id", "user_id", "value",
+                           "run_max", "run_min"]]
+    pdf["event_id"] = pdf["event_id"].astype("int64")
+    pdf["user_id"] = pdf["user_id"].astype("int64")
+    return pdf.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_RUNNING_USER_VALUE = """
+SELECT event_id, user_id, value,
+       max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_max,
+       min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_min
+FROM events ORDER BY event_id
+"""

@@ -493,3 +493,23 @@ def grouped_gap_stats(ds, *, key: str, ts: str, tiebreak: str):
         "max_gap_s": [m / 1e6 for _, (_s, m, _n) in items],
         "n_gaps": pd.Series([n for _, (_s, _m, n) in items],
                             dtype="int64")})
+
+
+def running_extremes(ds, *, key: str, ts: str, tiebreak: str,
+                     value: str):
+    """Per-row running MAX/MIN within each ``key``'s (ts, tiebreak)
+    order — SQL ``max(value) OVER (PARTITION BY key ORDER BY ts, tb
+    ROWS UNBOUNDED PRECEDING)`` — on the shared sorted-stitch skeleton:
+    ONE range sort, vectorized ``cummax``/``cummin`` per block for
+    interior keys, and the keys that straddle block boundaries re-run
+    through the SAME resolve on the driver (O(#blocks) boundary rows).
+    Pure comparisons, no arithmetic — exact for any float input."""
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)[value]
+        out = df.copy()
+        out["run_max"] = g.cummax()
+        out["run_min"] = g.cummin()
+        return out
+
+    return _run(ds, [key, ts, tiebreak], key, resolve)

@@ -1465,3 +1465,33 @@ def test_ewma_daily_recurrence(ray_session, tmp_path):
                - (0.3 * 40 + 0.7 * (0.3 * 20 + 0.7 * 10.0))) < 1e-12
     vw = out[out.event_type == "view"].reset_index(drop=True)
     assert len(vw) == 1 and vw.iloc[0]["ewma"] == 7.0
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_running_extremes_boundary_keys(ray_session, blocks):
+    """Keys that straddle block boundaries must carry their running
+    state across blocks — compare against a single-frame cummax/cummin
+    at every layout."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.temporal import running_extremes
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, size=n),          # few keys → all straddle
+        "ts": rng.integers(0, 10_000, size=n),
+        "id": np.arange(n, dtype="int64"),
+        "v": np.round(rng.normal(0, 50, size=n), 2)})
+    ds = rd.from_pandas(df).repartition(blocks)
+    got = (running_extremes(ds, key="k", ts="ts", tiebreak="id",
+                            value="v")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    ref = df.sort_values(["k", "ts", "id"], kind="stable").copy()
+    g = ref.groupby("k", sort=False)["v"]
+    ref["run_max"], ref["run_min"] = g.cummax(), g.cummin()
+    ref = ref.sort_values("id").reset_index(drop=True)
+    assert np.array_equal(got["run_max"].to_numpy(),
+                          ref["run_max"].to_numpy())
+    assert np.array_equal(got["run_min"].to_numpy(),
+                          ref["run_min"].to_numpy())
