@@ -29,6 +29,12 @@ os.environ["PYTHONPATH"] = (
     if os.environ.get("PYTHONPATH") else _REPO)
 
 
+def _n_written(recs: list[dict]) -> int:
+    """Partitions actually (re)written this run — skipped-on-resume
+    records carry the in-memory ``skipped`` marker from the manifest."""
+    return sum(1 for r in recs if not r.get("skipped"))
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--pages", required=True,
@@ -120,14 +126,23 @@ def main(argv=None) -> int:
             "entities": M.stage_summary(f"{args.out}/entities"),
         },
         "partitions_written_this_run": {
-            "triples": len(trip_recs), "edges": len(edge_recs),
-            "entities": len(ent_recs),
+            "triples": _n_written(trip_recs),
+            "edges": _n_written(edge_recs),
+            "entities": _n_written(ent_recs),
+        },
+        "partitions_skipped_this_run": {
+            "triples": len(trip_recs) - _n_written(trip_recs),
+            "edges": len(edge_recs) - _n_written(edge_recs),
+            "entities": len(ent_recs) - _n_written(ent_recs),
         },
     }
     if args.link == "auto":
         summary["stages"]["linked"] = M.stage_summary(
             f"{args.out}/linked")
-        summary["partitions_written_this_run"]["linked"] = len(link_recs)
+        summary["partitions_written_this_run"]["linked"] = \
+            _n_written(link_recs)
+        summary["partitions_skipped_this_run"]["linked"] = \
+            len(link_recs) - _n_written(link_recs)
     print(json.dumps(summary))
     return 0
 

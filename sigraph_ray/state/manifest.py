@@ -75,7 +75,9 @@ def write_partition(stage_dir: str, part: int, table: pa.Table,
     man_path = os.path.join(man_dir, f"part-{part:05d}.json")
     if os.path.exists(man_path):
         with open(man_path) as f:
-            return json.load(f)
+            rec = json.load(f)
+        rec["skipped"] = True   # in-memory marker only, never persisted
+        return rec
 
     final_dir = os.path.join(stage_dir, f"part-{part:05d}")
     tmp_dir = final_dir + ".tmp"
@@ -173,6 +175,7 @@ def _write_or_verify(stage_dir: str, part: int, table: pa.Table,
     if partition_done(stage_dir, part):
         rec = read_record(stage_dir, part)
         if not verify or rec["content_hash"] == _content_hash(table):
+            rec["skipped"] = True   # in-memory marker only
             return rec
         # stale partition (input changed or prior run had a different
         # row→partition assignment): rewrite
