@@ -14,13 +14,13 @@ LINE=$(printf '%s' "$OUT" | tail -1)
 python - "$ATT" "$TREE" "$L1" "$L5" "$E1" "$E5" "$RC" "$LINE" <<'PYEOF'
 import json, sys
 att, tree, l1, l5, e1, e5, rc, line = sys.argv[1:9]
-rec = {"attempt": int(att), "tree": tree,
+rec = {"attempt": int(att), "tree": tree, "rc": int(rc),
        "start_load": float(l1), "start_load_5m": float(l5),
        "end_load": float(e1), "end_load_5m": float(e5)}
 try:
     rec.update(json.loads(line))
 except Exception as ex:
-    rec.update({"rc": int(rc), "error": str(ex)})
+    rec["error"] = str(ex)
 with open("BENCH/bench_runs_r5.jsonl", "a") as f:
     f.write(json.dumps(rec) + "\n")
 print(json.dumps(rec))

@@ -7318,9 +7318,14 @@ def q_type_value_regression(sf_dir: str):
         n, sx, sy, sxy, sxx = (int(r.n_rows), int(r.sx), int(r.sy),
                                int(r.sxy), int(r.sxx))
         num, den = n * sxy - sx * sy, n * sxx - sx * sx
-        slope = float(num) / float(den) / 100.0
-        intercept = (float(sy) / 100.0 / float(n)
-                     - slope * (float(sx) / float(n)))
+        if den == 0:
+            # zero x-variance (single event, or one hour bucket):
+            # SQL x/0.0 is NULL — mirror it
+            slope = intercept = float("nan")
+        else:
+            slope = float(num) / float(den) / 100.0
+            intercept = (float(sy) / 100.0 / float(n)
+                         - slope * (float(sx) / float(n)))
         rows.append((r.event_type, n, slope, intercept))
     out = pd.DataFrame(rows, columns=["event_type", "n_rows",
                                       "slope", "intercept"])
@@ -7330,7 +7335,11 @@ def q_type_value_regression(sf_dir: str):
 SQL_TYPE_VALUE_REGRESSION = """
 WITH b AS (
   SELECT event_type,
-         epoch_us(ts) // 3600000000 AS x,
+         -- floor division (SQL // truncates toward zero; Python //
+         -- floors — they differ on pre-epoch timestamps): subtract the
+         -- positive remainder first so the quotient is exact
+         (epoch_us(ts) - ((epoch_us(ts) % 3600000000 + 3600000000)
+                          % 3600000000)) // 3600000000 AS x,
          CAST(round(value * 100) AS BIGINT) AS y
   FROM events),
 a AS (
@@ -7416,13 +7425,18 @@ def q_full_outer_daily(sf_dir: str):
 
 SQL_FULL_OUTER_DAILY = """
 WITH e AS (
-  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+  -- floor division (see SQL_TYPE_VALUE_REGRESSION note): exact for
+  -- pre-epoch timestamps too
+  SELECT (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000)
+                          % 86400000000)) // 86400000000 AS day_idx,
          CAST(count(*) AS BIGINT) AS n_events,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
            AS value_cents
   FROM events GROUP BY 1),
 o AS (
-  SELECT epoch_us(o_orderdate) // 86400000000 AS day_idx,
+  SELECT (epoch_us(o_orderdate)
+          - ((epoch_us(o_orderdate) % 86400000000 + 86400000000)
+             % 86400000000)) // 86400000000 AS day_idx,
          CAST(count(*) AS BIGINT) AS n_orders,
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            AS total_cents
@@ -7479,13 +7493,22 @@ def q_quantity_skewkurt(sf_dir: str):
         # exact integer central-moment numerators:
         #   B = n²·m2, A = n³·m3, C = n⁴·m4
         b = n * s2 - s1 * s1
-        a3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
-        c4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
-              + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
-        g1 = float(a3) / float(b) ** 1.5          # m3 / m2^1.5
-        g2 = float(c4) / float(b) ** 2 - 3.0      # m4 / m2²  - 3
-        skew = g1 * (float(n * (n - 1)) ** 0.5) / (n - 2)
-        kurt = (((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3)))
+        # DuckDB NULL contract (verified): skewness needs n >= 3 and
+        # a non-constant group; kurtosis needs n >= 4 — mirror as NaN
+        if n < 3 or b == 0:
+            skew = float("nan")
+        else:
+            a3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+            g1 = float(a3) / float(b) ** 1.5      # m3 / m2^1.5
+            skew = g1 * (float(n * (n - 1)) ** 0.5) / (n - 2)
+        if n < 4 or b == 0:
+            kurt = float("nan")
+        else:
+            c4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
+                  + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+            g2 = float(c4) / float(b) ** 2 - 3.0  # m4 / m2²  - 3
+            kurt = (((n + 1) * g2 + 6.0) * (n - 1)
+                    / ((n - 2) * (n - 3)))
         rows.append((r.l_returnflag, n, float(s1) / n, skew, kurt))
     out = pd.DataFrame(rows, columns=["l_returnflag", "n_rows",
                                       "avg_qty", "skew", "kurt"])
@@ -7554,8 +7577,10 @@ def q_ewma_daily(sf_dir: str):
 
 SQL_EWMA_DAILY = """
 WITH RECURSIVE b AS (
+  -- floor division (see SQL_TYPE_VALUE_REGRESSION note)
   SELECT event_type,
-         epoch_us(ts) // 86400000000 AS day_idx,
+         (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000)
+                          % 86400000000)) // 86400000000 AS day_idx,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
            AS day_value
   FROM events GROUP BY 1, 2),

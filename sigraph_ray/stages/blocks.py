@@ -30,11 +30,13 @@ def right_size(ds, *, target_block_bytes: int = TARGET_BLOCK_BYTES,
     downstream. The result is materialized (block metadata known, safe
     to fan out to several consumers)."""
     try:
-        nbytes = ds.size_bytes() or 0
+        nbytes = ds.size_bytes()
         nblocks = ds.num_blocks()
     except Exception:
         return ds
-    if not nblocks:
+    if not nblocks or nbytes is None:
+        # unknown size must NOT read as 0 bytes — that would coalesce
+        # a large dataset to min_blocks and serialize its consumers
         return ds
     target = max(min_blocks,
                  min(max_blocks, nbytes // target_block_bytes + 1))

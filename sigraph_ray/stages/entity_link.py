@@ -343,15 +343,14 @@ def link_entities(triples, vocab: list[str], *, threshold: float = 0.75,
         if not isinstance(triples, _MD):
             # deriving the distinct mention set from a LAZY stream
             # would execute the upstream extraction twice (once here,
-            # once in the apply pass — ADVICE r4); the stream tier is
-            # single-pass with identical output (per-actor mention
-            # cache instead of a global distinct)
-            return triples.map_batches(
-                EntityLinkScorer, batch_format="pyarrow",
-                batch_size=batch_size,
-                fn_constructor_kwargs={"vocab_ref": ref,
-                                       "threshold": threshold},
-                concurrency=concurrency, num_cpus=num_cpus)
+            # once in the apply pass — ADVICE r4). Materialize ONCE
+            # (object-store resident, spillable — the same thing
+            # kg.build_kg's auto path does) rather than silently
+            # downgrading to the stream tier, whose per-actor index
+            # rebuild + near-full re-scoring of the unique mention set
+            # is the O(unique)-per-actor cost this tier exists to
+            # avoid (measured 610 s vs ~3 s at sf0.1 — docstring).
+            triples = triples.materialize()
         from sigraph_ray.stages.collect import sorted_distinct
 
         def proj(t: pa.Table) -> pa.Table:

@@ -174,6 +174,19 @@ def association_rules(ds, *, group: str, item: str, min_support: int = 2,
     from sigraph_ray.stages.collect import sorted_distinct, sorted_groupby_agg
     from sigraph_ray.stages.joins import sorted_merge_join
 
+    # Original item dtype, captured BEFORE the NaN-capable merges
+    # upcast it: the cast-back below must only undo a merge upcast,
+    # never truncate genuinely-float item ids (2.5 -> 2 would merge
+    # distinct items).
+    try:
+        import pyarrow as _pa
+
+        sch = ds.schema()
+        item_is_int = _pa.types.is_integer(
+            dict(zip(sch.names, sch.types))[item])
+    except Exception:
+        item_is_int = False
+
     supports = pair_supports(ds, group=group, item=item,
                              max_basket=max_basket)
     supports = supports.map_batches(
@@ -211,14 +224,17 @@ def association_rules(ds, *, group: str, item: str, min_support: int = 2,
         dc_ = df["dc"].to_numpy(np.float64)
         # the merge joins upcast int id columns to float64 (pandas
         # NaN-capable merge); every ant/cons has a degree row by
-        # construction, so the cast back is lossless. Item columns may
-        # also be strings — only undo a float upcast, never coerce.
-        def unfloat(s: pd.Series) -> pd.Series:
-            return s.astype("int64") if pd.api.types.is_float_dtype(s) else s
+        # construction, so the cast back is lossless — but ONLY for
+        # columns that were integers going in (item_is_int above);
+        # string or genuinely-float items pass through unchanged.
+        def unfloat(s: pd.Series, was_int: bool) -> pd.Series:
+            if was_int and pd.api.types.is_float_dtype(s):
+                return s.astype("int64")
+            return s
 
-        out = pd.DataFrame({"ant": unfloat(df["ant"]),
-                            "cons": unfloat(df["cons"]),
-                            "support": unfloat(df["support"]),
+        out = pd.DataFrame({"ant": unfloat(df["ant"], item_is_int),
+                            "cons": unfloat(df["cons"], item_is_int),
+                            "support": unfloat(df["support"], True),
                             "confidence": c / da_,
                             "lift": c * n_groups / (da_ * dc_)})
         return out.sort_values(["lift", "ant", "cons"],

@@ -1495,3 +1495,54 @@ def test_running_extremes_boundary_keys(ray_session, blocks):
                           ref["run_max"].to_numpy())
     assert np.array_equal(got["run_min"].to_numpy(),
                           ref["run_min"].to_numpy())
+
+
+def test_association_rules_float_items_not_truncated(ray_session):
+    """Genuinely-float item ids must pass through unchanged — the
+    merge-upcast cast-back only applies to integer-typed items."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.itemsets import association_rules
+
+    rows = [(1, 2.5), (1, 3.5), (2, 2.5), (2, 3.5), (3, 2.5)]
+    ds = rd.from_pandas(pd.DataFrame(rows, columns=["g", "i"]))
+    out = association_rules(ds, group="g", item="i",
+                            min_support=2, k=10)
+    assert set(out["ant"]) == {2.5, 3.5}
+    assert str(out["ant"].dtype) == "float64"
+
+
+def test_skewkurt_null_contract_matches_duckdb(ray_session, tmp_path):
+    """Groups with n<3 (skew), n<4 (kurt) or constant values must give
+    NaN exactly where DuckDB skewness()/kurtosis() give NULL."""
+    import duckdb
+
+    from sigraph_ray.pipelines.queries import (SQL_QUANTITY_SKEWKURT,
+                                               q_quantity_skewkurt)
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # A: n=2; B: n=3 non-constant; C: n=4 constant; D: n=5 varied
+    flags = ["A"] * 2 + ["B"] * 3 + ["C"] * 4 + ["D"] * 5
+    qty = [1.0, 2.0, 1.0, 2.0, 4.0, 7.0, 7.0, 7.0, 7.0,
+           1.0, 3.0, 9.0, 27.0, 50.0]
+    n = len(qty)
+    li = pd.DataFrame({
+        "l_orderkey": np.arange(n, dtype="int64"),
+        "l_partkey": np.zeros(n, dtype="int64"),
+        "l_suppkey": np.zeros(n, dtype="int64"),
+        "l_linenumber": np.zeros(n, dtype="int32"),
+        "l_quantity": qty, "l_extendedprice": qty,
+        "l_discount": np.zeros(n), "l_tax": np.zeros(n),
+        "l_returnflag": flags, "l_linestatus": ["O"] * n,
+        "l_shipdate": pd.to_datetime(["2024-01-01"] * n)})
+    li.to_parquet(d / "lineitem.parquet", row_group_size=4)
+    got = q_quantity_skewkurt(str(d))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"'{d}/lineitem.parquet'")
+    want = con.sql(SQL_QUANTITY_SKEWKURT).df()
+    for c in ("n_rows", "avg_qty", "skew", "kurt"):
+        gv, wv = got[c].to_numpy(), want[c].to_numpy()
+        both_nan = pd.isna(gv) & pd.isna(wv)
+        assert (both_nan | (np.abs(gv - wv) < 1e-9)).all(), c
