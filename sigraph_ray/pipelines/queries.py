@@ -7633,3 +7633,42 @@ SELECT event_id, user_id, value,
                         ROWS UNBOUNDED PRECEDING) AS run_min
 FROM events ORDER BY event_id
 """
+
+
+def q_name_jw_pairs(sf_dir: str):
+    """Blocked Jaro-Winkler fuzzy-name join
+    (stages/dedup.blocked_jaro_winkler_pairs): part-name pairs at
+    jaro_winkler ≥ 0.8 within the same (brand, size) blocking cell —
+    the record-linkage metric that rewards shared prefixes, next to
+    the whole-edit-charging levenshtein join. The per-pair scorer is
+    fuzz-verified value-identical to DuckDB (floor-halved
+    transpositions, boost above 0.7, prefix cap 4)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.dedup import blocked_jaro_winkler_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_brand",
+                                  "p_size"])
+    out = blocked_jaro_winkler_pairs(
+        ds, id_col="p_partkey", text_col="p_name",
+        block_cols=["p_brand", "p_size"], threshold=0.8).to_pandas()
+    if out.empty:
+        # Ray drops the schema of an all-empty map_groups output —
+        # reassert the contract columns so a rowless result still
+        # schema-matches the oracle (hit at sf0.001)
+        out = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                            "id_b": pd.Series(dtype="int64"),
+                            "jw": pd.Series(dtype="float64")})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SQL_NAME_JW_PAIRS = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8
+ORDER BY 1, 2
+"""

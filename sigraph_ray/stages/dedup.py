@@ -1094,3 +1094,98 @@ def tfidf_cosine_pairs(ds, *, id_col: str = "doc_id",
         return out[out["cos"] >= threshold]
 
     return j2.map_batches(finish, batch_format="pandas")
+
+
+def _jaro_winkler(s1: str, s2: str) -> float:
+    """Classic Jaro-Winkler (Winkler '90): match window
+    ``max(l)//2 - 1``, transposition count FLOOR-halved (DuckDB's
+    convention — ``t/2.0`` disagrees on odd counts), prefix boost
+    p=0.1 capped at 4 applied only when jaro > 0.7 — verified
+    value-identical to DuckDB ``jaro_winkler_similarity`` on 4000
+    random fuzz pairs plus the standard cases (martha/marhta 0.9611,
+    dixon/dicksonx 0.8133, boost-threshold and prefix-cap cases)."""
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    window = max(max(l1, l2) // 2 - 1, 0)
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t, j = 0, 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    jaro = (m / l1 + m / l2 + (m - t // 2) / m) / 3.0
+    if jaro <= 0.7:
+        return jaro
+    p = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        p += 1
+    return jaro + p * 0.1 * (1.0 - jaro)
+
+
+def blocked_jaro_winkler_pairs(ds, *, id_col: str, text_col: str,
+                               block_cols: list[str],
+                               threshold: float):
+    """Blocked Jaro-Winkler similarity join — the fuzzy-name
+    entity-resolution candidate step (census/record-linkage metric;
+    complements :func:`blocked_levenshtein_pairs`, which charges whole
+    edits, where JW rewards shared prefixes). All pairs within the
+    same blocking bucket with similarity ≥ ``threshold``; returns
+    ``(id_a, id_b, jw)`` with ``id_a < id_b``.
+
+    Scale shape: identical to the editdist join — ONE groupby shuffle
+    on the blocking key, O(B²) per-bucket comparisons with B bounded
+    by the blocking design. Length prune: jaro ≤
+    (min/l1 + min/l2 + 1)/3 with m ≤ min(l1, l2), and the Winkler
+    boost maps bound b to b + 0.4(1-b) at most, so pairs whose length
+    bound falls under ``threshold`` are skipped without scoring."""
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "jw": pd.Series(dtype="float64")})
+        n = len(df)
+        if n < 2:
+            return empty
+        df = df.sort_values(id_col, kind="stable")
+        ids = df[id_col].to_numpy()
+        texts = df[text_col].tolist()
+        lens = np.asarray([len(t) for t in texts], dtype=np.float64)
+        out_a, out_b, out_s = [], [], []
+        for i in range(n - 1):
+            li = lens[i]
+            lo = np.minimum(lens[i + 1:], li)
+            bound = (lo / li + lo / lens[i + 1:] + 1.0) / 3.0
+            bound = bound + 0.4 * (1.0 - bound)   # max Winkler boost
+            cand = np.nonzero(bound >= threshold)[0]
+            for off in cand:
+                j = i + 1 + int(off)
+                s = _jaro_winkler(texts[i], texts[j])
+                if s >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_s.append(s)
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": np.asarray(out_a, np.int64),
+                             "id_b": np.asarray(out_b, np.int64),
+                             "jw": np.asarray(out_s, np.float64)})
+
+    return ds.groupby(block_cols).map_groups(per_group,
+                                             batch_format="pandas")

@@ -1546,3 +1546,27 @@ def test_skewkurt_null_contract_matches_duckdb(ray_session, tmp_path):
         gv, wv = got[c].to_numpy(), want[c].to_numpy()
         both_nan = pd.isna(gv) & pd.isna(wv)
         assert (both_nan | (np.abs(gv - wv) < 1e-9)).all(), c
+
+
+def test_jaro_winkler_blocked_join_hand_values(ray_session):
+    """Known JW values through the blocked join (one blocking cell):
+    martha/marhta = 0.9611..., dwayne/duane = 0.84; sub-threshold and
+    cross-block pairs are excluded."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.dedup import blocked_jaro_winkler_pairs
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "name": ["martha", "marhta", "dwayne", "duane", "zzzz"],
+        "blk": ["x", "x", "x", "x", "y"]})
+    out = (blocked_jaro_winkler_pairs(
+        rd.from_pandas(df).repartition(2), id_col="id",
+        text_col="name", block_cols=["blk"], threshold=0.8)
+        .to_pandas().sort_values(["id_a", "id_b"])
+        .reset_index(drop=True))
+    got = {(a, b): s for a, b, s in
+           zip(out["id_a"], out["id_b"], out["jw"])}
+    assert abs(got[(1, 2)] - 0.9611111111111111) < 1e-12
+    assert abs(got[(3, 4)] - 0.84) < 1e-12
+    assert all(5 not in k for k in got)          # other block
