@@ -7672,3 +7672,58 @@ FROM part a JOIN part b
 WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8
 ORDER BY 1, 2
 """
+
+
+def q_approx_betweenness(sf_dir: str):
+    """Sampled-source betweenness centrality
+    (stages/graphalgo.approx_betweenness, Brandes–Pich) over the IP
+    co-occurrence graph — which nodes bridge the most shortest paths.
+    Rows-only by design (sampled approximation; the exact all-sources
+    tier is pytest-gated against an independent textbook Brandes)."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.collect import (sorted_collect,
+                                            sorted_distinct,
+                                            sorted_groupby_agg)
+    from sigraph_ray.stages.graphalgo import approx_betweenness
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"]).filter(
+            expr="event_type == 'purchase'")
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id")
+        uid = t.column("user_id").cast(pa.string())
+        ip = pc.binary_join_element_wise(
+            "10.0.0.",
+            pc.cast(pc.subtract(eid, pc.multiply(
+                pc.divide(eid, 256), 256)), pa.string()), "")
+        tid = pc.binary_join_element_wise("trace_", uid, "")
+        return pa.table({"tid": tid, "ip": ip})
+
+    pairs = sorted_distinct(
+        ev.map_batches(to_pairs, batch_format="pyarrow"), ["tid", "ip"])
+    per_trace = sorted_collect(pairs, key="tid", order_col="ip",
+                               value="ip")
+
+    def clique_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a_, b_ = [], []
+        for vals in df["values"]:
+            if len(vals) > 1:
+                arr = np.asarray(vals)
+                iu, iv = np.triu_indices(len(arr), 1)
+                a_.append(arr[iu])
+                b_.append(arr[iv])
+        if not a_:
+            return pd.DataFrame({"u": pd.Series(dtype="object"),
+                                 "v": pd.Series(dtype="object"),
+                                 "one": pd.Series(dtype="int64")})
+        a = np.concatenate(a_)
+        return pd.DataFrame({"u": a, "v": np.concatenate(b_),
+                             "one": np.ones(len(a), dtype=np.int64)})
+
+    und = sorted_groupby_agg(
+        per_trace.map_batches(clique_pairs, batch_format="pandas"),
+        key=["u", "v"], aggs={"cnt": ("one", "sum")})
+    return approx_betweenness(und, n_sources=64, seed=7)

@@ -578,3 +578,102 @@ def hits_join_tier(edges, *, src: str = "src", dst: str = "dst",
         scores = half(scores, "src", "dst", "hub", "authority")
         scores = half(scores, "dst", "src", "authority", "hub")
     return scores
+
+
+def _brandes_batch(coo_src, coo_dst, n, sources):
+    """Exact per-source Brandes dependency accumulation (unweighted),
+    vectorized over the COO edge arrays (both directions present):
+    level-synchronous BFS computes path counts, then one backward
+    sweep per level accumulates dependencies. O(E × diameter) per
+    source, all numpy."""
+    import numpy as np
+
+    bc = np.zeros(n, dtype=np.float64)
+    for s in sources:
+        dist = np.full(n, -1, dtype=np.int64)
+        sigma = np.zeros(n, dtype=np.float64)
+        dist[s] = 0
+        sigma[s] = 1.0
+        fmask = np.zeros(n, dtype=bool)
+        fmask[s] = True
+        level = 0
+        while fmask.any():
+            e_sel = fmask[coo_src]
+            tgt, org = coo_dst[e_sel], coo_src[e_sel]
+            new = dist[tgt] == -1
+            dist[tgt[new]] = level + 1
+            on_next = dist[tgt] == level + 1
+            np.add.at(sigma, tgt[on_next], sigma[org[on_next]])
+            fmask = np.zeros(n, dtype=bool)
+            fmask[tgt[new]] = True
+            level += 1
+        delta = np.zeros(n, dtype=np.float64)
+        for lev in range(level, 0, -1):
+            e_sel = (dist[coo_src] == lev) & (dist[coo_dst] == lev - 1)
+            v, w = coo_src[e_sel], coo_dst[e_sel]
+            np.add.at(delta, w, sigma[w] / sigma[v] * (1.0 + delta[v]))
+        delta[s] = 0.0
+        bc += delta
+    return bc
+
+
+def approx_betweenness(edges, *, u: str = "u", v: str = "v",
+                       n_sources: int | None = 64, seed: int = 7,
+                       concurrency: int = 8):
+    """Approximate betweenness centrality (Brandes–Pich 2007:
+    sampled-source exact dependency accumulation, scaled by n/k) over
+    an UNDIRECTED edge Dataset of distinct pairs — the
+    bridging-node/bottleneck score of the graph-analytics family.
+
+    Tiering contract (same as :func:`triangle_counts` /
+    :func:`pagerank` broadcast tier): the DISTINCT-EDGE list is
+    graph-sized, not corpus-sized — it is collected once, packed into
+    two int32 COO arrays (both directions), and broadcast via
+    ``ray.put``; each Ray task then runs an independent batch of
+    sampled sources against the shared arrays (embarrassingly
+    parallel — THE standard way betweenness scales, since per-source
+    work is inherently a full BFS). Source sampling is deterministic
+    and layout-independent: the ``n_sources`` smallest
+    ``splitmix64(node_rank)`` values over the sorted node list.
+    ``n_sources=None`` runs every node = EXACT betweenness (the pytest
+    gate). Returns (node, bc) with the undirected double-count halved
+    and the n/k Brandes–Pich scaling applied."""
+    import ray
+
+    from sigraph_ray.functions.hashing import splitmix64
+
+    pdf = edges.to_pandas()
+    nodes = np.unique(np.concatenate([pdf[u].to_numpy(),
+                                      pdf[v].to_numpy()]))
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": pd.Series(dtype="object"),
+                             "bc": pd.Series(dtype="float64")})
+    idx = pd.Series(np.arange(n), index=nodes)
+    a = idx[pdf[u]].to_numpy(np.int64)
+    b = idx[pdf[v]].to_numpy(np.int64)
+    coo_src = np.concatenate([a, b])
+    coo_dst = np.concatenate([b, a])
+
+    if n_sources is None or n_sources >= n:
+        chosen = np.arange(n)
+        scale = 1.0
+    else:
+        h = splitmix64((np.arange(n) + np.uint64(seed)).astype(np.uint64))
+        chosen = np.argsort(h, kind="stable")[:n_sources]
+        scale = n / float(n_sources)
+
+    src_ref = ray.put(coo_src)
+    dst_ref = ray.put(coo_dst)
+
+    @ray.remote
+    def run_batch(srcs, s_ref, d_ref):
+        return _brandes_batch(s_ref, d_ref, n, srcs)
+
+    nch = min(max(1, concurrency), len(chosen))
+    refs = [run_batch.remote(c, src_ref, dst_ref)
+            for c in np.array_split(chosen, nch) if len(c)]
+    bc = sum(ray.get(refs)) * (scale / 2.0)   # halve: undirected pairs
+    out = pd.DataFrame({"node": nodes, "bc": bc})
+    return out.sort_values(["bc", "node"],
+                           ascending=[False, True]).reset_index(drop=True)

@@ -1570,3 +1570,79 @@ def test_jaro_winkler_blocked_join_hand_values(ray_session):
     assert abs(got[(1, 2)] - 0.9611111111111111) < 1e-12
     assert abs(got[(3, 4)] - 0.84) < 1e-12
     assert all(5 not in k for k in got)          # other block
+
+
+def _brandes_reference(adj: dict, nodes: list) -> dict:
+    """Independent textbook Brandes (2001), dict/queue based."""
+    from collections import deque
+
+    bc = {x: 0.0 for x in nodes}
+    for s in nodes:
+        stack, preds = [], {x: [] for x in nodes}
+        sigma = {x: 0.0 for x in nodes}
+        dist = {x: -1 for x in nodes}
+        sigma[s], dist[s] = 1.0, 0
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            stack.append(x)
+            for w in adj.get(x, ()):
+                if dist[w] < 0:
+                    dist[w] = dist[x] + 1
+                    q.append(w)
+                if dist[w] == dist[x] + 1:
+                    sigma[w] += sigma[x]
+                    preds[w].append(x)
+        delta = {x: 0.0 for x in nodes}
+        while stack:
+            w = stack.pop()
+            for x in preds[w]:
+                delta[x] += sigma[x] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {x: val / 2.0 for x, val in bc.items()}
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_betweenness_exact_gate(ray_session, blocks):
+    """All-sources approx_betweenness == independent textbook Brandes
+    on a seeded random graph, at any block layout."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.graphalgo import approx_betweenness
+
+    rng = np.random.default_rng(5)
+    n = 40
+    pairs = set()
+    while len(pairs) < 90:
+        a, b = sorted(rng.integers(0, n, size=2))
+        if a != b:
+            pairs.add((f"n{a:02d}", f"n{b:02d}"))
+    pdf = pd.DataFrame(sorted(pairs), columns=["u", "v"])
+    ds = rd.from_pandas(pdf).repartition(blocks)
+    got = approx_betweenness(ds, n_sources=None)
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    want = _brandes_reference(adj, sorted(adj))
+    for node, bc in zip(got["node"], got["bc"]):
+        assert abs(bc - want[node]) < 1e-9, node
+
+
+def test_betweenness_sampled_deterministic(ray_session):
+    """Sampled-source run is a pure function of (graph, seed) — same
+    result at different layouts — and scales by n/k."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.graphalgo import approx_betweenness
+
+    rng = np.random.default_rng(9)
+    pairs = sorted({tuple(sorted((int(a), int(b))))
+                    for a, b in rng.integers(0, 60, size=(200, 2))
+                    if a != b})
+    pdf = pd.DataFrame(pairs, columns=["u", "v"])
+    r1 = approx_betweenness(rd.from_pandas(pdf), n_sources=16, seed=3)
+    r2 = approx_betweenness(rd.from_pandas(pdf).repartition(5),
+                            n_sources=16, seed=3)
+    pd.testing.assert_frame_equal(r1, r2)
