@@ -7727,3 +7727,50 @@ def q_approx_betweenness(sf_dir: str):
         per_trace.map_batches(clique_pairs, batch_format="pandas"),
         key=["u", "v"], aggs={"cnt": ("one", "sum")})
     return approx_betweenness(und, n_sources=64, seed=7)
+
+
+def q_event_forest_roots(sf_dir: str):
+    """Forest ancestor resolution by pointer doubling
+    (stages/graphalgo.pointer_double_roots): every node's root and
+    depth in O(log depth) self-join rounds over a deterministic
+    parent forest derived from event ids (parent = e-1-(e%16), roots
+    at e%7==0 — acyclic since parent < node). The hierarchy-rollup /
+    dependency-attribution primitive; the oracle walks the same forest
+    top-down with a recursive CTE."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.graphalgo import pointer_double_roots
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id"])
+
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["event_id"].astype("int64")
+        cand = e - 1 - (e % 16)
+        parent = cand.astype("Int64").where((e % 7 != 0) & (cand >= 0))
+        return pd.DataFrame({"node": e, "parent": parent})
+
+    out = pointer_double_roots(
+        ds.map_batches(to_nodes, batch_format="pandas")).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["root"] = out["root"].astype("int64")
+    out["depth"] = out["depth"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_EVENT_FOREST_ROOTS = """
+WITH RECURSIVE nodes AS (
+  SELECT event_id AS node,
+         CASE WHEN event_id % 7 = 0
+                OR event_id - 1 - (event_id % 16) < 0
+              THEN NULL
+              ELSE event_id - 1 - (event_id % 16) END AS parent
+  FROM events),
+r AS (
+  SELECT node, node AS root, 0 AS depth FROM nodes WHERE parent IS NULL
+  UNION ALL
+  SELECT n.node, r.root, r.depth + 1
+  FROM nodes n JOIN r ON n.parent = r.node)
+SELECT node, root, CAST(depth AS BIGINT) AS depth
+FROM r ORDER BY node
+"""

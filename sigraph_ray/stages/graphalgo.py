@@ -677,3 +677,76 @@ def approx_betweenness(edges, *, u: str = "u", v: str = "v",
     out = pd.DataFrame({"node": nodes, "bc": bc})
     return out.sort_values(["bc", "node"],
                            ascending=[False, True]).reset_index(drop=True)
+
+
+def pointer_double_roots(nodes, *, node: str = "node",
+                         parent: str = "parent",
+                         max_rounds: int = 8):
+    """Forest ancestor resolution by POINTER DOUBLING (Wyllie '79 /
+    Shiloach-Vishkin lineage): every node finds its root and depth in
+    O(log depth) self-join ROUNDS instead of O(depth) sequential hops
+    — the distributed primitive behind hierarchy rollups, dependency
+    attribution, and union-find finalization at scale.
+
+    Input: a Dataset of ``(node, parent)`` rows, ``parent`` NULL for
+    roots, forest-shaped (acyclic — guaranteed by construction when
+    parent < node). State per node is ``(anc, d)`` = an ancestor and
+    its edge distance; roots carry ``(self, 0)``. Each round joins the
+    state to itself through ``anc`` so every pointer jumps to its
+    ancestor's ancestor and ``d`` doubles — after r rounds every chain
+    of depth ≤ 2^r is resolved (``max_rounds=8`` covers depth 256; a
+    chain that deep in a crawl-derived forest means a data bug, and
+    CONVERGENCE IS ASSERTED, never silently truncated). Each round is
+    ONE bounded sort-merge join on a node-sized table — corpus rows
+    never enter the iteration.
+
+    Returns ``(node, root, depth)``."""
+    from sigraph_ray.stages.joins import sorted_merge_join
+
+    def init(df: pd.DataFrame) -> pd.DataFrame:
+        isroot = df[parent].isna()
+        return pd.DataFrame({
+            "node": df[node],
+            "anc": df[parent].where(~isroot, df[node]),
+            "d": np.where(isroot, 0, 1).astype("int64")})
+
+    state = nodes.map_batches(init, batch_format="pandas").materialize()
+
+    for _ in range(max_rounds):
+        hop = state.map_batches(
+            lambda df: df.rename(columns={"node": "anc",
+                                          "anc": "anc_next",
+                                          "d": "d_next"}),
+            batch_format="pandas")
+        joined = sorted_merge_join(state, hop, on="anc",
+                                   left_cols=["node", "d"],
+                                   right_cols=["anc_next", "d_next"])
+
+        def jump(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": df["node"],
+                "anc": df["anc_next"],
+                "d": (df["d"] + df["d_next"]).astype("int64")})
+
+        state = joined.map_batches(jump,
+                                   batch_format="pandas").materialize()
+
+    # convergence assert, DISTRIBUTED (no driver-side node set): one
+    # verification hop — a state row is converged iff its ancestor's
+    # own state row carries d == 0 (roots are the unique fixed points)
+    hop = state.map_batches(
+        lambda df: df.rename(columns={"node": "anc", "anc": "anc_next",
+                                      "d": "d_next"}),
+        batch_format="pandas")
+    check = sorted_merge_join(state, hop, on="anc",
+                              left_cols=["node"],
+                              right_cols=["d_next"])
+    n_bad = check.filter(expr="d_next > 0").count()
+    if n_bad:
+        raise RuntimeError(
+            f"pointer doubling did not converge in {max_rounds} rounds "
+            f"({n_bad} chains deeper than {2 ** max_rounds})")
+    return state.map_batches(
+        lambda df: df.rename(columns={"anc": "root", "d": "depth"})
+        [["node", "root", "depth"]],
+        batch_format="pandas")

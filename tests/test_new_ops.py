@@ -1646,3 +1646,35 @@ def test_betweenness_sampled_deterministic(ray_session):
     r2 = approx_betweenness(rd.from_pandas(pdf).repartition(5),
                             n_sources=16, seed=3)
     pd.testing.assert_frame_equal(r1, r2)
+
+
+def test_pointer_doubling_deep_chain(ray_session):
+    """One chain of depth 200 (needs 8 rounds: 2^8=256) plus scattered
+    roots — exact root/depth at a multi-block layout."""
+    import ray.data as rd
+
+    from sigraph_ray.stages.graphalgo import pointer_double_roots
+
+    n = 201
+    df = pd.DataFrame({
+        "node": np.arange(n, dtype="int64"),
+        "parent": pd.array([None] + list(range(n - 1)), dtype="Int64")})
+    out = (pointer_double_roots(rd.from_pandas(df).repartition(5))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    # join machinery upcasts key dtypes; compare values (the query
+    # layer casts back — parity-gated)
+    assert (out["root"].astype("int64") == 0).all()
+    assert list(out["depth"].astype("int64")) == list(range(n))
+
+
+def test_pointer_doubling_nonconvergence_raises(ray_session):
+    import ray.data as rd
+
+    from sigraph_ray.stages.graphalgo import pointer_double_roots
+
+    n = 40
+    df = pd.DataFrame({
+        "node": np.arange(n, dtype="int64"),
+        "parent": pd.array([None] + list(range(n - 1)), dtype="Int64")})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        pointer_double_roots(rd.from_pandas(df), max_rounds=3)  # 2^3 < 39
